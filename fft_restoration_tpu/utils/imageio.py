@@ -1,0 +1,233 @@
+"""PNG image I/O without OpenCV/PIL.
+
+The reference leans on OpenCV for imread/imwrite (/root/reference/serial.cpp:22,
+gpu.cpp). This framework ships its own codec so the runtime has no OpenCV
+dependency: a pure-Python PNG decoder/encoder on stdlib zlib, with an
+optional C++ fast path (native/png_codec.cpp, loaded via ctypes) for the
+hot unfilter/filter loops on large images.
+
+API parity: `imread` returns BGR uint8 (H, W, 3) like cv::imread(IMREAD_COLOR);
+`imwrite` takes BGR uint8.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# ---------------------------------------------------------------------------
+# optional C++ fast path for scanline unfiltering (see native/png_codec.cpp)
+_native = None
+
+
+def _load_native():
+    global _native
+    if _native is not None:
+        return _native
+    import ctypes
+
+    lib_path = Path(__file__).resolve().parent.parent / "native" / "libpngfilt.so"
+    if not lib_path.exists():
+        _native = False
+        return _native
+    try:
+        lib = ctypes.CDLL(str(lib_path))
+        lib.unfilter_scanlines.restype = ctypes.c_int
+        lib.unfilter_scanlines.argtypes = [
+            ctypes.c_char_p,  # raw filtered data
+            ctypes.POINTER(ctypes.c_uint8),  # out
+            ctypes.c_int,  # height
+            ctypes.c_int,  # stride (bytes per scanline, no filter byte)
+            ctypes.c_int,  # bpp (bytes per pixel)
+        ]
+        _native = lib
+    except OSError:
+        _native = False
+    return _native
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters. Returns (height, stride) uint8."""
+    lib = _load_native()
+    if lib:
+        import ctypes
+
+        out = np.empty((height, stride), dtype=np.uint8)
+        rc = lib.unfilter_scanlines(
+            raw,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            height,
+            stride,
+            bpp,
+        )
+        if rc == 0:
+            return out
+        # fall through to Python on unexpected filter bytes
+
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = data[:, 0]
+    rows = data[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = filters[y]
+        row = rows[y].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+            out[y] = row
+        elif f == 2:  # Up
+            out[y] = (row.astype(np.int32) + prev).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            out[y] = row
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+            out[y] = row
+        else:
+            raise ValueError(f"bad PNG filter {f} on row {y}")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG byte string to an RGB(A)/gray uint8 array (H, W[, C])."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    palette = None
+    trns = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(chunk, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    if bit_depth not in (8, 16):
+        raise ValueError(f"bit depth {bit_depth} not supported")
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    sample_bytes = bit_depth // 8
+    bpp = channels * sample_bytes
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    arr = _unfilter(raw, height, stride, bpp)
+
+    if bit_depth == 16:
+        arr16 = arr.reshape(height, width, channels, 2)
+        arr = arr16[..., 0]  # take high byte -> 8-bit
+        img = arr.reshape(height, width, channels)
+    else:
+        img = arr.reshape(height, width, channels)
+
+    if color_type == 3:  # palette
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = img[..., 0]
+        img = palette[idx]
+        if trns is not None:
+            lut = np.full(256, 255, np.uint8)
+            lut[: min(len(trns), 256)] = trns[:256]
+            img = np.dstack([img, lut[idx]])
+    if img.shape[-1] == 1:
+        img = img[..., 0]
+    return img
+
+
+def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode a uint8 gray/(H,W)/RGB/RGBA array as PNG bytes (filter 0/2)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+        img = img[..., None]
+    elif img.shape[-1] == 3:
+        color_type, channels = 2, 3
+    elif img.shape[-1] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported channel count {img.shape[-1]}")
+    height, width = img.shape[:2]
+
+    flat = img.reshape(height, width * channels)
+    # Use filter type 2 (Up) for rows 1.. — cheap to compute vectorized and
+    # compresses well on natural images; row 0 uses filter 0.
+    filtered = np.empty((height, width * channels + 1), dtype=np.uint8)
+    filtered[:, 0] = 2
+    filtered[0, 0] = 0
+    filtered[0, 1:] = flat[0]
+    if height > 1:
+        filtered[1:, 1:] = flat[1:] - flat[:-1]
+    payload = zlib.compress(filtered.tobytes(), compress_level)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", payload)
+        + chunk(b"IEND", b"")
+    )
+
+
+def imread(path: str) -> np.ndarray:
+    """Read an image file as BGR uint8 (H, W, 3), like cv::imread(IMREAD_COLOR)."""
+    data = Path(path).read_bytes()
+    img = decode_png(data)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    if img.shape[-1] == 4:
+        img = img[..., :3]
+    return img[..., ::-1].copy()  # RGB -> BGR
+
+
+def imwrite(path: str, img_bgr: np.ndarray) -> None:
+    """Write a BGR uint8 (H, W, 3) or gray (H, W) image to a PNG file."""
+    img = np.asarray(img_bgr, dtype=np.uint8)
+    if img.ndim == 3:
+        img = img[..., ::-1]  # BGR -> RGB
+    Path(path).write_bytes(encode_png(img))

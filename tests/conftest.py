@@ -1,0 +1,38 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Multi-chip sharding (parallel/) is validated on a virtual 8-device CPU
+mesh, mirroring how the reference verifies its MPI modes with
+oversubscribed local ranks on one host (SURVEY.md §4,
+/root/reference/README.md:55). Must run before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def car_image():
+    """Small real fixture from the reference repo (640x330 BGR uint8)."""
+    from fft_restoration_tpu.utils.imageio import imread
+
+    return imread("/root/reference/input/car_blurred.png")
+
+
+@pytest.fixture(scope="session")
+def small_bgr(rng):
+    """Random small BGR float image in [0,1] for fast pipeline tests."""
+    return rng.random((48, 56, 3)).astype(np.float32)
