@@ -1,0 +1,186 @@
+"""Single-chip Wiener-deblur pipeline: one fused jit graph.
+
+TPU-native counterpart of the reference's accelerator mode
+(/root/reference/fft/fft_gpu.cu:279-394 wienerDeblur_RGB_optimized +
+gpu.cpp driver): where CUDA stages pinned-host H2D copies, per-kernel
+launches and explicit device buffers, here the WHOLE restoration — pad,
+complexify, PSF synthesis, forward FFTs, filter, inverse FFT, crop,
+min-max normalize, Lab white balance, uint8 encode — is one traced XLA
+graph. Buffer reuse falls out of XLA's allocator + input donation
+(the reference's optimized-vs-naive allocation comparison, SURVEY.md §2
+row 9, is subsumed by donate_argnums).
+
+Semantics preserved from the serial oracle (SURVEY.md §7 contract):
+  * channels are power-of-two padded BEFORE restoration (serial.cpp:36),
+  * min-max normalize runs over the PADDED extent, then crop
+    (fft_serial.cpp:246, serial.cpp:38),
+  * IFFT is scaled explicitly by 1/(M*N) (the GPU/MPI convention,
+    fft_gpu.cu:366) — identical output after normalize, saner numerics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fft_restoration_tpu.models.filters import apply_filter
+from fft_restoration_tpu.ops.color import apply_white_balance, bgr_to_lab, lab_to_bgr
+from fft_restoration_tpu.ops.fft import fft2d
+from fft_restoration_tpu.ops.psf import motion_blur_kernel
+from fft_restoration_tpu.utils.padding import next_power_of_two
+
+
+def _pad2d(x: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
+    pad = [(0, 0)] * (x.ndim - 2) + [
+        (0, rows - x.shape[-2]),
+        (0, cols - x.shape[-1]),
+    ]
+    return jnp.pad(x, pad)
+
+
+def _minmax_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-plane min-max to [0,1] over the last two axes, with the
+    reference's degenerate-range convention scale=0 (fft_serial.cpp:246
+    via cv::normalize NORM_MINMAX)."""
+    lo = jnp.min(x, axis=(-2, -1), keepdims=True)
+    hi = jnp.max(x, axis=(-2, -1), keepdims=True)
+    scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+    return (x - lo) * scale
+
+
+def restore_planes(
+    channels: jnp.ndarray,
+    psf: jnp.ndarray,
+    K,
+    *,
+    fft_backend: str = "radix2",
+    filter_name: str = "wiener",
+) -> jnp.ndarray:
+    """Restore (..., Hp, Wp) power-of-two planes with a (S, S) PSF.
+
+    The (...) leading axes batch channels/images — the TPU equivalent of
+    the reference's sequential per-channel loop (serial.cpp:34-39); the
+    PSF FFT is computed once and broadcast.
+    Returns restored planes, min-max normalized over the padded extent.
+    All frequency-domain state is SoA float32 (no complex dtype on this
+    TPU backend — see ops/fft.py).
+    """
+    hp, wp = channels.shape[-2:]
+    zero = jnp.zeros_like(channels)
+    G = fft2d(channels, zero, inverse=False, backend=fft_backend)
+    psf_pad = _pad2d(psf, hp, wp)
+    H = fft2d(psf_pad, jnp.zeros_like(psf_pad), inverse=False, backend=fft_backend)
+    F = apply_filter(filter_name, G, H, K, backend=fft_backend)
+    r_re, _ = fft2d(F[0], F[1], inverse=True, backend=fft_backend)
+    restored = r_re * jnp.float32(1.0 / (hp * wp))
+    return _minmax_normalize(restored)
+
+
+def _restore_core(
+    img_f32: jnp.ndarray,
+    angle_deg: jnp.ndarray,
+    K: jnp.ndarray,
+    *,
+    psf_length: int,
+    fft_backend: str,
+    filter_name: str,
+    white_balance: bool,
+):
+    """(H, W, 3) float32 BGR in [0,1] -> (H, W, 3) uint8 BGR restored."""
+    h, w = img_f32.shape[:2]
+    hp, wp = next_power_of_two(h), next_power_of_two(w)
+
+    psf = motion_blur_kernel(psf_length, angle_deg)
+    chans = jnp.moveaxis(img_f32, -1, 0)  # (3, H, W) BGR planes
+    chans = _pad2d(chans, hp, wp)
+    restored = restore_planes(
+        chans, psf, K, fft_backend=fft_backend, filter_name=filter_name
+    )
+    restored = restored[..., :h, :w]
+    merged = jnp.moveaxis(restored, 0, -1)  # (H, W, 3)
+
+    if white_balance:
+        lab_deblur = bgr_to_lab(merged)
+        lab_orig = bgr_to_lab(img_f32)
+        corrected = apply_white_balance(lab_deblur, lab_orig)
+        merged = lab_to_bgr(corrected)
+    out = jnp.clip(merged * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    return out, restored
+
+
+class WienerDeblurPipeline:
+    """Compiled single-chip restoration pipeline.
+
+    One instance caches compiled executables per (H, W, psf_length)
+    signature; psf angle and K are traced scalars, so PSF sweeps reuse
+    the same executable (BASELINE.json config 4).
+    """
+
+    def __init__(
+        self,
+        fft_backend: str = "radix2",
+        filter_name: str = "wiener",
+        white_balance: bool = True,
+        device: Optional[object] = None,
+    ):
+        self.fft_backend = fft_backend
+        self.filter_name = filter_name
+        self.white_balance = white_balance
+        self.device = device
+
+    @functools.lru_cache(maxsize=32)
+    def _compiled(self, h: int, w: int, psf_length: int):
+        fn = functools.partial(
+            _restore_core,
+            psf_length=psf_length,
+            fft_backend=self.fft_backend,
+            filter_name=self.filter_name,
+            white_balance=self.white_balance,
+        )
+        return jax.jit(fn)
+
+    def restore(
+        self,
+        img_bgr: np.ndarray,
+        psf_length: int,
+        psf_angle: float,
+        K: float = 0.01,
+    ) -> np.ndarray:
+        """uint8 BGR (H, W, 3) -> restored uint8 BGR (H, W, 3)."""
+        img = jnp.asarray(np.asarray(img_bgr, np.float32) / np.float32(255.0))
+        if self.device is not None:
+            img = jax.device_put(img, self.device)
+        fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
+        out, _ = fn(img, jnp.float32(psf_angle), jnp.float32(K))
+        return np.asarray(out)
+
+    def restore_channels(
+        self,
+        img_bgr: np.ndarray,
+        psf_length: int,
+        psf_angle: float,
+        K: float = 0.01,
+    ) -> np.ndarray:
+        """Restored float32 planes (3, H, W) before color post-processing —
+        the quantity the reference drivers verify against serial
+        (simd.cpp:66-99 et al.)."""
+        img = jnp.asarray(np.asarray(img_bgr, np.float32) / np.float32(255.0))
+        fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
+        _, restored = fn(img, jnp.float32(psf_angle), jnp.float32(K))
+        return np.asarray(restored)
+
+
+def deblur_image(
+    img_bgr: np.ndarray,
+    psf_length: int,
+    psf_angle: float,
+    K: float = 0.01,
+    **kwargs,
+) -> np.ndarray:
+    """One-shot convenience wrapper around WienerDeblurPipeline."""
+    return WienerDeblurPipeline(**kwargs).restore(img_bgr, psf_length, psf_angle, K)

@@ -1,0 +1,75 @@
+"""BGR <-> CIELAB and white balance in jnp (jit-fusable).
+
+Same semantics as the NumPy oracle (fft_restoration_tpu/oracle/color.py):
+exact analytic sRGB companding, D65 white, L in [0,100]. Used by the
+pipeline's post-processing stage (serial.cpp:43-54, utils.hpp:55-71).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from fft_restoration_tpu.oracle.color import _SRGB2XYZ_N, _XYZ2SRGB, _D65
+
+_T0 = 0.008856
+_CBRT_A = 7.787
+_CBRT_B = 16.0 / 116.0
+
+
+def _srgb_to_linear(x):
+    return jnp.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_to_srgb(x):
+    x = jnp.maximum(x, 0.0)
+    return jnp.where(x <= 0.0031308, 12.92 * x, 1.055 * x ** (1.0 / 2.4) - 0.055)
+
+
+def _f_cbrt(t):
+    return jnp.where(t > _T0, jnp.cbrt(t), _CBRT_A * t + _CBRT_B)
+
+
+def bgr_to_lab(img_bgr: jnp.ndarray) -> jnp.ndarray:
+    """float BGR in [0,1], (..., 3) -> Lab float32 (L in [0,100])."""
+    rgb = jnp.clip(img_bgr[..., ::-1].astype(jnp.float32), 0.0, 1.0)
+    lin = _srgb_to_linear(rgb)
+    m = jnp.asarray(np.asarray(_SRGB2XYZ_N, np.float32))
+    t = lin @ m.T
+    f = _f_cbrt(t)
+    fy = f[..., 1]
+    L = jnp.where(t[..., 1] > _T0, 116.0 * fy - 16.0, 903.3 * t[..., 1])
+    a = 500.0 * (f[..., 0] - fy)
+    b = 200.0 * (fy - f[..., 2])
+    return jnp.stack([L, a, b], axis=-1).astype(jnp.float32)
+
+
+def lab_to_bgr(lab: jnp.ndarray) -> jnp.ndarray:
+    """Lab (L in [0,100]) -> float BGR in [0,1], (..., 3)."""
+    lab = lab.astype(jnp.float32)
+    L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def _inv_f(f):
+        f3 = f**3
+        return jnp.where(f3 > _T0, f3, (f - _CBRT_B) / _CBRT_A)
+
+    t = jnp.stack([_inv_f(fx), _inv_f(fy), _inv_f(fz)], axis=-1)
+    xyz = t * jnp.asarray(np.asarray(_D65, np.float32))
+    lin = xyz @ jnp.asarray(np.asarray(_XYZ2SRGB, np.float32)).T
+    rgb = jnp.clip(_linear_to_srgb(lin), 0.0, 1.0)
+    return rgb[..., ::-1]
+
+
+def apply_white_balance(lab_deblur: jnp.ndarray, lab_orig: jnp.ndarray) -> jnp.ndarray:
+    """Scale deblurred L by mean(L_orig)/(mean(L_deblur)+1e-6), clamp
+    [0,100] (utils.hpp:55-71). Means are full reductions — in the sharded
+    pipeline they become psums (SURVEY.md §7 hard part 4)."""
+    avg_orig = jnp.mean(lab_orig[..., 0])
+    avg_deblur = jnp.mean(lab_deblur[..., 0])
+    gain = avg_orig / (avg_deblur + 1e-6)
+    L = jnp.clip(lab_deblur[..., 0] * gain, 0.0, 100.0)
+    return jnp.concatenate([L[..., None], lab_deblur[..., 1:]], axis=-1)

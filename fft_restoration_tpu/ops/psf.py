@@ -1,0 +1,78 @@
+"""Motion-blur PSF synthesis in jnp (traceable, vmappable over angle).
+
+TPU-native counterpart of motionBlurKernel (/root/reference/utils.hpp:15-24):
+horizontal line of 1/size through (size/2, size/2), rotated by a
+getRotationMatrix2D affine with exact inverse-map bilinear sampling
+(constant-0 border), NOT re-normalized — matching the oracle
+(fft_restoration_tpu/oracle/psf.py) to float rounding.
+
+`size` is static (shapes); `angle_deg` may be a traced scalar, so the
+PSF can live inside a jit graph and be vmapped for (length, angle) grid
+sweeps (BASELINE.json config 4).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+
+def motion_blur_kernel(size: int, angle_deg) -> jnp.ndarray:
+    """(size, size) float32 PSF; angle may be traced."""
+    angle = jnp.asarray(angle_deg, jnp.float32) * jnp.float32(math.pi / 180.0)
+    alpha = jnp.cos(angle)
+    beta = jnp.sin(angle)
+    cx = jnp.float32(size // 2)
+    cy = jnp.float32(size // 2)
+
+    # Forward affine: [[a, b, (1-a)cx - b*cy], [-b, a, b*cx + (1-a)cy]].
+    # Its inverse (rotation, det=1): [[a, -b], [b, a]] with matching shift.
+    # warpAffine maps dst->src through the inverse.
+    m02 = (1.0 - alpha) * cx - beta * cy
+    m12 = beta * cx + (1.0 - alpha) * cy
+    # invert 2x3 affine (det = alpha^2 + beta^2 = 1, but keep general form)
+    det = alpha * alpha + beta * beta
+    d = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    i00 = alpha * d
+    i01 = -beta * d
+    i10 = beta * d
+    i11 = alpha * d
+    i02 = -(i00 * m02 + i01 * m12)
+    i12 = -(i10 * m02 + i11 * m12)
+
+    x = jnp.arange(size, dtype=jnp.float32)[None, :]
+    y = jnp.arange(size, dtype=jnp.float32)[:, None]
+    sx = i00 * x + i01 * y + i02
+    sy = i10 * x + i11 * y + i12
+    xi = jnp.floor(sx)
+    yi = jnp.floor(sy)
+    fx = sx - xi
+    fy = sy - yi
+    xi = xi.astype(jnp.int32)
+    yi = yi.astype(jnp.int32)
+
+    # Source is a single horizontal line: src[r, c] = 1/size iff r == size//2.
+    # Sampling reduces to row-membership tests — no gather needed at all.
+    line_row = size // 2
+    val = jnp.float32(1.0 / size)
+
+    def sample(row_idx, col_idx):
+        ok = (
+            (row_idx == line_row)
+            & (col_idx >= 0)
+            & (col_idx < size)
+            & (row_idx >= 0)
+            & (row_idx < size)
+        )
+        return jnp.where(ok, val, jnp.float32(0.0))
+
+    s00 = sample(yi, xi)
+    s01 = sample(yi, xi + 1)
+    s10 = sample(yi + 1, xi)
+    s11 = sample(yi + 1, xi + 1)
+
+    wx0 = 1.0 - fx
+    wy0 = 1.0 - fy
+    out = s00 * (wy0 * wx0) + s01 * (wy0 * fx) + s10 * (fy * wx0) + s11 * (fy * fx)
+    return out.astype(jnp.float32)

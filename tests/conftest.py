@@ -8,12 +8,19 @@ oversubscribed local ranks on one host (SURVEY.md §4,
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon TPU plugin registers itself from sitecustomize before this
+# conftest runs; force the platform list back to pure CPU.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,64 @@
+"""Single-chip jit pipeline vs the NumPy oracle, at the reference's
+verification tiers (SURVEY.md §4) — the differential-oracle pattern every
+reference driver uses (simd.cpp:66-99 et al.)."""
+
+import numpy as np
+import pytest
+
+from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+from fft_restoration_tpu.oracle.serial import restore_channels, restore_image
+from fft_restoration_tpu.ops.psf import motion_blur_kernel
+from fft_restoration_tpu.utils.verify import channels_equal
+
+
+@pytest.mark.parametrize(
+    "size,angle", [(9, 30.0), (15, 45.0), (12, -60.0), (5, 0.0)]
+)
+def test_jnp_psf_matches_oracle(size, angle):
+    ours = np.asarray(motion_blur_kernel(size, angle))
+    oracle = motion_blur_kernel_oracle(size, angle)
+    assert np.abs(ours - oracle).max() < 1e-6
+
+
+@pytest.mark.parametrize("backend", ["radix2", "matmul"])
+def test_restored_channels_match_oracle(rng, backend):
+    img = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    pipe = WienerDeblurPipeline(fft_backend=backend)
+    ours = pipe.restore_channels(img, 9, 30.0)
+
+    imgf = img.astype(np.float32) / 255.0
+    psf = motion_blur_kernel_oracle(9, 30.0)
+    oracle = restore_channels(np.moveaxis(imgf, -1, 0), psf)
+
+    for tier in ("l2", "inf", "gpu"):
+        report = channels_equal(ours, oracle, tier)
+        assert report.passed, str(report)
+
+
+def test_full_image_matches_oracle(rng):
+    img = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    ours = WienerDeblurPipeline().restore(img, 9, 30.0)
+    oracle = restore_image(img, 9, 30.0)
+    diff = np.abs(ours.astype(int) - oracle.astype(int))
+    # uint8 rounding can flip a pixel by 1 count
+    assert diff.max() <= 1
+
+
+@pytest.mark.parametrize("filter_name", ["inverse", "cls"])
+def test_other_filters_run(rng, filter_name):
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    out = WienerDeblurPipeline(filter_name=filter_name).restore(img, 7, 20.0)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_no_white_balance_mode(rng):
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    out = WienerDeblurPipeline(white_balance=False).restore(img, 7, 20.0)
+    assert out.shape == img.shape
+
+
+def test_non_square_non_pow2(rng):
+    img = (rng.random((33, 70, 3)) * 255).astype(np.uint8)
+    out = WienerDeblurPipeline().restore(img, 7, 15.0)
+    assert out.shape == img.shape
