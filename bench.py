@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark: 2048x2048 RGB Wiener restoration throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
+
+`value` is restored megapixels/second through the flagship single-chip
+pipeline (matmul/MXU FFT backend) at the BASELINE.json north-star config
+(2048^2, PSF(50, 30deg), K=0.01), steady-state.
+
+`vs_baseline` is the speedup over the serial oracle on this host — the
+same "[Speedup] x.xx vs serial" semantic every reference driver reports
+(/root/reference/simd.cpp:98, gpu.cpp:105). The reference publishes no
+absolute numbers (BASELINE.md), so speedup-vs-serial is its own metric.
+
+Timing notes: the axon tunnel's block_until_ready does not block, so we
+amortize N queued dispatches between two small host fetches.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+H = W = 2048
+PSF_LEN = 50
+PSF_ANGLE = 30.0
+K = 0.01
+ITERS = 30
+
+
+def _sync(x):
+    return np.asarray(x).ravel()[0]
+
+
+def main():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from fft_restoration_tpu.models.pipeline import _restore_core
+
+    rng = np.random.default_rng(0)
+    img = rng.random((H, W, 3)).astype(np.float32)
+
+    fn = jax.jit(
+        functools.partial(
+            _restore_core,
+            psf_length=PSF_LEN,
+            fft_backend="matmul",
+            filter_name="wiener",
+            white_balance=True,
+        )
+    )
+    x = jax.device_put(jnp.asarray(img))
+    ang = jnp.float32(PSF_ANGLE)
+    k = jnp.float32(K)
+
+    out = fn(x, ang, k)
+    _sync(out[0])  # compile + warm
+
+    # single-call round trip (includes one fetch RTT)
+    t0 = time.perf_counter()
+    out = fn(x, ang, k)
+    _sync(out[0])
+    t_single = time.perf_counter() - t0
+
+    # N queued calls, one fetch at the end
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(x, ang, k)
+    _sync(out[0])
+    t_total = time.perf_counter() - t0
+
+    ms_per_frame = max((t_total - t_single) / (ITERS - 1), 1e-9) * 1e3
+    mp_per_s = (H * W * 3 / 1e6) / (ms_per_frame / 1e3)
+
+    # serial-oracle reference (the in-binary oracle every reference
+    # driver times itself against)
+    from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+    from fft_restoration_tpu.oracle.serial import restore_channels
+
+    psf = motion_blur_kernel_oracle(PSF_LEN, PSF_ANGLE)
+    chans = np.moveaxis(img, -1, 0)
+    t0 = time.perf_counter()
+    restore_channels(chans, psf, K)
+    oracle_ms = (time.perf_counter() - t0) * 1e3
+    speedup = oracle_ms / ms_per_frame
+
+    print(
+        f"2048x2048x3 Wiener deblur: {ms_per_frame:.2f} ms/frame on "
+        f"{jax.devices()[0].device_kind}, serial oracle {oracle_ms:.0f} ms, "
+        f"speedup {speedup:.1f}x",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "wiener_deblur_2048sq_rgb_throughput",
+                "value": round(mp_per_s, 1),
+                "unit": "MP/s",
+                "vs_baseline": round(speedup, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

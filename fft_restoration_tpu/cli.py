@@ -1,0 +1,171 @@
+"""CLI drivers — the reference's L4 layer as one binary.
+
+Contract preserved: `<img-path> <psf-length> <psf-angle>` positionals
+(/root/reference/README.md:10-13, serial.cpp:12-18). Where the reference
+selects its implementation at compile time (`make MODE=...`,
+Makefile:1-60) and ships six main()s, here `--mode` selects at runtime:
+
+    oracle   ≙ serial   (NumPy oracle, the parity reference)
+    jit      ≙ gpu/simd/openmp  (single-chip fused XLA graph;
+               --fft-backend picks the compute strategy)
+    sharded  ≙ mpi/mpi_simd     (row-sharded mesh, all_to_all FFT;
+               --devices ≙ mpirun -np N)
+
+Like every non-serial reference driver (simd.cpp:66-99, mpi.cpp:79-127,
+gpu.cpp:82-121), the CLI runs the serial oracle first, verifies at a
+tolerance tier, and prints wall-clock + `[Speedup] x.xx`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from fft_restoration_tpu.utils.timing import PhaseProfiler
+from fft_restoration_tpu.utils.verify import channels_equal
+
+MODES = ("oracle", "jit", "sharded")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fft_restoration_tpu",
+        description="TPU-native frequency-domain motion-deblur (Wiener).",
+    )
+    p.add_argument("img_path", help="input image (PNG)")
+    p.add_argument("psf_length", type=int, help="motion blur length in px (>=1)")
+    p.add_argument("psf_angle", type=float, help="motion blur angle in degrees")
+    p.add_argument("-o", "--output", default=None, help="output PNG path")
+    p.add_argument("--mode", choices=MODES, default="jit")
+    p.add_argument(
+        "--fft-backend",
+        choices=("radix2", "matmul", "naive", "xla"),
+        default="matmul",
+        help="FFT compute strategy for jit/sharded modes",
+    )
+    p.add_argument(
+        "--filter", choices=("wiener", "inverse", "cls"), default="wiener"
+    )
+    p.add_argument("-K", type=float, default=0.01, help="Wiener K (default 0.01)")
+    p.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="mesh size for --mode sharded (default: all devices)",
+    )
+    p.add_argument("--no-white-balance", action="store_true")
+    p.add_argument(
+        "--no-verify",
+        action="store_true",
+        help="skip the serial-oracle differential verification",
+    )
+    p.add_argument(
+        "--tier",
+        choices=("l2", "inf", "gpu"),
+        default="gpu",
+        help="verification tolerance tier (reference: simd/mpi=l2, openmp=inf, gpu=gpu)",
+    )
+    p.add_argument("--profile", action="store_true", help="print per-phase times")
+    return p
+
+
+def _oracle_channels(img: np.ndarray, length: int, angle: float, K: float) -> np.ndarray:
+    from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+    from fft_restoration_tpu.oracle.serial import restore_channels
+
+    imgf = img.astype(np.float32) / np.float32(255.0)
+    psf = motion_blur_kernel_oracle(length, angle)
+    return restore_channels(np.moveaxis(imgf, -1, 0), psf, K)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.psf_length < 1:
+        print(f"[Error] psf-length must be >= 1, got {args.psf_length}")
+        return 2
+
+    from fft_restoration_tpu.utils.imageio import imread, imwrite
+
+    total_start = time.perf_counter()
+    try:
+        img = imread(args.img_path)
+    except (OSError, ValueError) as e:
+        print(f"[Error] Cannot read image {args.img_path!r}: {e}")
+        return 1
+
+    wb = not args.no_white_balance
+
+    if args.mode == "oracle":
+        if args.filter != "wiener":
+            print(
+                f"[INFO] oracle mode implements wiener only; ignoring "
+                f"--filter {args.filter}"
+            )
+        from fft_restoration_tpu.oracle.serial import restore_image
+
+        t0 = time.perf_counter()
+        out = restore_image(img, args.psf_length, args.psf_angle, args.K)
+        t1 = time.perf_counter()
+        print(
+            f"Deblurring 3 channels took(oracle): {(t1 - t0) * 1e3:.2f} ms"
+        )
+    else:
+        if args.mode == "jit":
+            from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+            pipe = WienerDeblurPipeline(
+                fft_backend=args.fft_backend,
+                filter_name=args.filter,
+                white_balance=wb,
+            )
+        else:
+            from fft_restoration_tpu.parallel.mesh import make_mesh
+            from fft_restoration_tpu.parallel.sharded_pipeline import (
+                ShardedWienerPipeline,
+            )
+
+            pipe = ShardedWienerPipeline(
+                mesh=make_mesh(args.devices),
+                fft_backend=args.fft_backend,
+                filter_name=args.filter,
+                white_balance=wb,
+            )
+
+        # warm-up run (compile), then timed — the gpu.cpp:96-104 pattern.
+        pipe.restore(img, args.psf_length, args.psf_angle, args.K)
+        t0 = time.perf_counter()
+        out = pipe.restore(img, args.psf_length, args.psf_angle, args.K)
+        t1 = time.perf_counter()
+        mode_ms = (t1 - t0) * 1e3
+        print(f"Deblurring 3 channels took({args.mode}): {mode_ms:.2f} ms")
+
+        if not args.no_verify and args.filter == "wiener":
+            ours = pipe.restore_channels(
+                img, args.psf_length, args.psf_angle, args.K
+            )
+            t0 = time.perf_counter()
+            oracle = _oracle_channels(img, args.psf_length, args.psf_angle, args.K)
+            t1 = time.perf_counter()
+            serial_ms = (t1 - t0) * 1e3
+            print(f"Deblurring 3 channels took(serial): {serial_ms:.2f} ms")
+            report = channels_equal(ours, oracle, args.tier)
+            print(report)
+            print(f"[Speedup] {serial_ms / mode_ms:.2f}x")
+            if not report.passed:
+                return 3
+
+    out_path = args.output or (
+        args.img_path.rsplit(".", 1)[0] + f"_restored_{args.mode}.png"
+    )
+    imwrite(out_path, out)
+    total_ms = (time.perf_counter() - total_start) * 1e3
+    print(f"Total program time: {total_ms:.2f} ms")
+    print(f"[INFO] wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""Row-sharded distributed 2D FFT with all-to-all transposes.
+
+TPU-native re-design of the reference's MPI distributed FFT
+(/root/reference/fft/fft_mpi.cpp:284-307): rows are block-sharded over
+ranks, 1D FFTs are rank-local, and the two global transposes are
+realized as collective exchanges. Where MPI packs per-destination tiles
+by hand and calls MPI_Alltoallv (fft_mpi.cpp:170-279), here a single
+`jax.lax.all_to_all` over the mesh axis does the reshard and XLA emits
+the ICI collective — the pack/unpack tiling the reference hand-writes
+(TILE_SIZE=32 blocking, fft_mpi.cpp:204-278) is the compiler's job.
+
+This is structurally Ulysses-style all-to-all sequence parallelism
+(SURVEY.md §5): shard one axis, all_to_all to re-shard the other,
+compute locally, all_to_all back.
+
+All functions run INSIDE shard_map: arrays are local blocks, the mesh
+axis name identifies the collective group.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fft_restoration_tpu.ops.fft import fft1d
+from fft_restoration_tpu.parallel.mesh import ROWS_AXIS
+
+SoA = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def _reshard_rows_to_cols(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """(..., H/D, W) row-sharded -> (..., H, W/D) column-sharded.
+
+    The distributed transpose's communication step (≙ fft_mpi.cpp:242-244
+    MPI_Alltoallv): split the local width into D chunks, exchange, stack
+    received row-blocks in device order.
+    """
+    return jax.lax.all_to_all(
+        x, axis_name, split_axis=x.ndim - 1, concat_axis=x.ndim - 2, tiled=True
+    )
+
+
+def _reshard_cols_to_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """(..., H, W/D) column-sharded -> (..., H/D, W) row-sharded."""
+    return jax.lax.all_to_all(
+        x, axis_name, split_axis=x.ndim - 2, concat_axis=x.ndim - 1, tiled=True
+    )
+
+
+def sharded_fft2d(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    inverse: bool = False,
+    backend: str = "matmul",
+    axis_name: str = ROWS_AXIS,
+) -> SoA:
+    """2D DFT of a row-sharded SoA plane, inside shard_map.
+
+    Local blocks are (..., H/D, W). Mirrors the distributed my_dft2D
+    (fft_mpi.cpp:284-307): local row FFTs -> collective reshard ->
+    local column FFTs -> collective reshard back. Unscaled inverse.
+    """
+    # 1) local row FFTs (full length W) — fft_mpi.cpp:289-292
+    re, im = fft1d(re, im, inverse, backend)
+    # 2) distributed transpose — fft_mpi.cpp:296
+    re = _reshard_rows_to_cols(re, axis_name)
+    im = _reshard_rows_to_cols(im, axis_name)
+    # 3) local column FFTs (full length H, on the last axis after swap)
+    re = jnp.swapaxes(re, -1, -2)
+    im = jnp.swapaxes(im, -1, -2)
+    re, im = fft1d(re, im, inverse, backend)
+    re = jnp.swapaxes(re, -1, -2)
+    im = jnp.swapaxes(im, -1, -2)
+    # 4) transpose back — fft_mpi.cpp:306
+    re = _reshard_cols_to_rows(re, axis_name)
+    im = _reshard_cols_to_rows(im, axis_name)
+    return re, im

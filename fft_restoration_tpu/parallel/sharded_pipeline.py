@@ -1,0 +1,238 @@
+"""Pod-sharded Wiener restoration: shard_map FFTs + GSPMD post-processing.
+
+TPU-native re-design of the reference's MPI SPMD pipeline
+(/root/reference/fft/fft_mpi.cpp:311-470). The mapping (SURVEY.md §2):
+
+  MPI_Bcast of dims          -> SPMD closure constants (static shapes)
+  MPI_Scatterv row blocks    -> NamedSharding placement / sharding
+                                constraints on the jit inputs
+  local row FFT + Alltoallv  -> parallel.sharded_fft (all_to_all on ICI)
+  local Wiener elementwise   -> local block math inside shard_map
+  rank-0 global normalize    -> pmin/pmax collectives (no gather —
+                                SURVEY.md §7 hard part 4)
+  MPI_Gatherv                -> output NamedSharding (host gathers only
+                                at np.asarray time)
+
+The FFT core runs inside shard_map (explicit collectives); crop, Lab
+white balance and uint8 conversion run as plain jnp on the global view,
+auto-partitioned by GSPMD (means become psums).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fft_restoration_tpu.models.filters import _laplacian_fft
+from fft_restoration_tpu.ops.color import apply_white_balance, bgr_to_lab, lab_to_bgr
+from fft_restoration_tpu.ops.psf import motion_blur_kernel
+from fft_restoration_tpu.ops.wiener import wiener_filter, inverse_filter, cls_filter
+from fft_restoration_tpu.parallel.mesh import ROWS_AXIS, make_mesh
+from fft_restoration_tpu.parallel.sharded_fft import sharded_fft2d
+from fft_restoration_tpu.utils.padding import next_power_of_two
+
+
+def _local_restore_planes(
+    ch_blk: jnp.ndarray,
+    psf_blk: jnp.ndarray,
+    lap_blk: jnp.ndarray,
+    K: jnp.ndarray,
+    *,
+    hp: int,
+    wp: int,
+    fft_backend: str,
+    filter_name: str,
+    axis_name: str = ROWS_AXIS,
+) -> jnp.ndarray:
+    """Per-device body (inside shard_map). Blocks: ch (C, Hp/D, Wp),
+    psf/lap (Hp/D, Wp). Returns normalized restored block (C, Hp/D, Wp)."""
+    zero_c = jnp.zeros_like(ch_blk)
+    zero_p = jnp.zeros_like(psf_blk)
+    G = sharded_fft2d(ch_blk, zero_c, False, fft_backend, axis_name)
+    H = sharded_fft2d(psf_blk, zero_p, False, fft_backend, axis_name)
+    if filter_name == "wiener":
+        F = wiener_filter(G, H, K)
+    elif filter_name == "inverse":
+        F = inverse_filter(G, H)
+    elif filter_name == "cls":
+        Pf = sharded_fft2d(lap_blk, jnp.zeros_like(lap_blk), False, fft_backend, axis_name)
+        F = cls_filter(G, H, Pf, K)
+    else:
+        raise ValueError(f"unknown filter {filter_name!r}")
+    r_re, _ = sharded_fft2d(F[0], F[1], True, fft_backend, axis_name)
+    restored = r_re * jnp.float32(1.0 / (hp * wp))
+
+    # Global min-max over the padded plane: local reduce + cross-device
+    # collectives — replaces the reference's gather-to-rank-0 normalize
+    # (fft_mpi.cpp:436-452).
+    lo = jax.lax.pmin(jnp.min(restored, axis=(-2, -1)), axis_name)
+    hi = jax.lax.pmax(jnp.max(restored, axis=(-2, -1)), axis_name)
+    lo = lo[..., None, None]
+    hi = hi[..., None, None]
+    scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+    return (restored - lo) * scale
+
+
+def _sharded_core(
+    img_f32: jnp.ndarray,
+    angle_deg: jnp.ndarray,
+    K: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    psf_length: int,
+    fft_backend: str,
+    filter_name: str,
+    white_balance: bool,
+):
+    """(H, W, 3) float32 BGR global -> (uint8 image, restored planes)."""
+    h, w = img_f32.shape[:2]
+    hp, wp = next_power_of_two(h), next_power_of_two(w)
+    n_dev = mesh.devices.size
+    if hp % n_dev != 0:
+        raise ValueError(f"padded rows {hp} not divisible by {n_dev} devices")
+
+    psf = motion_blur_kernel(psf_length, angle_deg)
+    psf_pad = jnp.pad(psf, ((0, hp - psf_length), (0, wp - psf_length)))
+    chans = jnp.moveaxis(img_f32, -1, 0)
+    chans = jnp.pad(chans, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    lap = np.zeros((hp, wp), np.float32)
+    lap[0, 0] = 4.0
+    lap[0, 1] = lap[1, 0] = lap[0, -1] = lap[-1, 0] = -1.0
+    lap = jnp.asarray(lap)
+
+    # Row-shard the planes (≙ MPI_Scatterv, fft_mpi.cpp:372-378).
+    chans = jax.lax.with_sharding_constraint(
+        chans, NamedSharding(mesh, P(None, ROWS_AXIS, None))
+    )
+    psf_pad = jax.lax.with_sharding_constraint(
+        psf_pad, NamedSharding(mesh, P(ROWS_AXIS, None))
+    )
+
+    local_fn = functools.partial(
+        _local_restore_planes,
+        hp=hp,
+        wp=wp,
+        fft_backend=fft_backend,
+        filter_name=filter_name,
+    )
+    restored = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, ROWS_AXIS, None), P(ROWS_AXIS, None), P(ROWS_AXIS, None), P()),
+        out_specs=P(None, ROWS_AXIS, None),
+    )(chans, psf_pad, lap, K)
+
+    # Post-processing on the global view; GSPMD partitions these.
+    cropped = restored[..., :h, :w]
+    merged = jnp.moveaxis(cropped, 0, -1)
+    if white_balance:
+        lab_deblur = bgr_to_lab(merged)
+        lab_orig = bgr_to_lab(img_f32)
+        merged = lab_to_bgr(apply_white_balance(lab_deblur, lab_orig))
+    out = jnp.clip(merged * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    return out, cropped
+
+
+def sharded_restore_planes(
+    channels: np.ndarray,
+    psf: np.ndarray,
+    K: float = 0.01,
+    mesh: Optional[Mesh] = None,
+    fft_backend: str = "matmul",
+    filter_name: str = "wiener",
+) -> np.ndarray:
+    """Mid-level API: restore (C, Hp, Wp) pow-2 planes with an explicit
+    (S, S) PSF on a row-sharded mesh. Returns normalized planes."""
+    mesh = mesh or make_mesh()
+    c, hp, wp = channels.shape
+    psf_pad = np.zeros((hp, wp), np.float32)
+    psf_pad[: psf.shape[0], : psf.shape[1]] = psf
+    lap = np.zeros((hp, wp), np.float32)
+    lap[0, 0] = 4.0
+    lap[0, 1] = lap[1, 0] = lap[0, -1] = lap[-1, 0] = -1.0
+
+    local_fn = functools.partial(
+        _local_restore_planes,
+        hp=hp,
+        wp=wp,
+        fft_backend=fft_backend,
+        filter_name=filter_name,
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(
+                P(None, ROWS_AXIS, None),
+                P(ROWS_AXIS, None),
+                P(ROWS_AXIS, None),
+                P(),
+            ),
+            out_specs=P(None, ROWS_AXIS, None),
+        )
+    )
+    out = fn(
+        jnp.asarray(channels, jnp.float32),
+        jnp.asarray(psf_pad),
+        jnp.asarray(lap),
+        jnp.float32(K),
+    )
+    return np.asarray(out)
+
+
+class ShardedWienerPipeline:
+    """Mesh-parallel restoration pipeline (MPI-mode parity, SURVEY.md §2).
+
+    Same API as WienerDeblurPipeline, executed over a row-sharded device
+    mesh with all_to_all distributed-transpose FFTs.
+    """
+
+    def __init__(
+        self,
+        mesh: Optional[Mesh] = None,
+        fft_backend: str = "matmul",
+        filter_name: str = "wiener",
+        white_balance: bool = True,
+    ):
+        self.mesh = mesh or make_mesh()
+        self.fft_backend = fft_backend
+        self.filter_name = filter_name
+        self.white_balance = white_balance
+        self._cache = {}
+
+    def _compiled(self, h: int, w: int, psf_length: int):
+        key = (h, w, psf_length)
+        if key not in self._cache:
+            fn = functools.partial(
+                _sharded_core,
+                mesh=self.mesh,
+                psf_length=psf_length,
+                fft_backend=self.fft_backend,
+                filter_name=self.filter_name,
+                white_balance=self.white_balance,
+            )
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key]
+
+    def restore(
+        self, img_bgr: np.ndarray, psf_length: int, psf_angle: float, K: float = 0.01
+    ) -> np.ndarray:
+        img = jnp.asarray(np.asarray(img_bgr, np.float32) / np.float32(255.0))
+        fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
+        out, _ = fn(img, jnp.float32(psf_angle), jnp.float32(K))
+        return np.asarray(out)
+
+    def restore_channels(
+        self, img_bgr: np.ndarray, psf_length: int, psf_angle: float, K: float = 0.01
+    ) -> np.ndarray:
+        img = jnp.asarray(np.asarray(img_bgr, np.float32) / np.float32(255.0))
+        fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
+        _, planes = fn(img, jnp.float32(psf_angle), jnp.float32(K))
+        return np.asarray(planes)

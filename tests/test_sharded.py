@@ -1,0 +1,98 @@
+"""Sharded (8 virtual device) pipeline vs single-chip and vs oracle —
+the MPI-mode differential verification pattern (mpi.cpp:115-127), with
+the virtual CPU mesh standing in for mpirun -np 8 (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+from fft_restoration_tpu.oracle.serial import restore_channels
+from fft_restoration_tpu.parallel import (
+    ShardedWienerPipeline,
+    make_mesh,
+    sharded_restore_planes,
+)
+from fft_restoration_tpu.parallel.mesh import ROWS_AXIS
+from fft_restoration_tpu.parallel.sharded_fft import sharded_fft2d
+from fft_restoration_tpu.utils.verify import channels_equal
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_sharded_fft2d_matches_npfft(rng, mesh, inverse):
+    h, w = 64, 32
+    x = rng.standard_normal((h, w)).astype(np.float32)
+    fn = jax.jit(
+        jax.shard_map(
+            lambda re, im: sharded_fft2d(re, im, inverse, "matmul"),
+            mesh=mesh,
+            in_specs=(P(ROWS_AXIS, None), P(ROWS_AXIS, None)),
+            out_specs=(P(ROWS_AXIS, None), P(ROWS_AXIS, None)),
+        )
+    )
+    re, im = fn(jnp.asarray(x), jnp.zeros_like(jnp.asarray(x)))
+    ours = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.fft2(x.astype(np.complex128))
+    if inverse:
+        ref = np.conj(np.fft.fft2(np.conj(x.astype(np.complex128))))  # unscaled ifft
+    assert np.abs(ours - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_sharded_planes_match_single_chip(rng, mesh):
+    chans = rng.random((3, 64, 64)).astype(np.float32)
+    psf = motion_blur_kernel_oracle(9, 30.0)
+    from fft_restoration_tpu.models.pipeline import restore_planes
+
+    single = np.asarray(
+        restore_planes(jnp.asarray(chans), jnp.asarray(psf), 0.01, fft_backend="matmul")
+    )
+    sharded = sharded_restore_planes(chans, psf, 0.01, mesh=mesh)
+    assert np.abs(single - sharded).max() < 1e-6
+
+
+def test_sharded_pipeline_matches_oracle(rng, mesh):
+    img = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    sp = ShardedWienerPipeline(mesh=mesh)
+    ours = sp.restore_channels(img, 9, 30.0)
+
+    imgf = img.astype(np.float32) / 255.0
+    oracle = restore_channels(
+        np.moveaxis(imgf, -1, 0), motion_blur_kernel_oracle(9, 30.0)
+    )
+    for tier in ("l2", "inf", "gpu"):
+        report = channels_equal(ours, oracle, tier)
+        assert report.passed, str(report)
+
+
+def test_sharded_full_image_matches_single(rng, mesh):
+    img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    out_s = ShardedWienerPipeline(mesh=mesh).restore(img, 7, 45.0)
+    out_1 = WienerDeblurPipeline(fft_backend="matmul").restore(img, 7, 45.0)
+    assert np.abs(out_s.astype(int) - out_1.astype(int)).max() <= 1
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    compiled = jax.jit(fn).lower(*args).compile()
+    assert compiled is not None
