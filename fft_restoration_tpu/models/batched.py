@@ -1,0 +1,116 @@
+"""Batched restoration: image stacks through one jit graph.
+
+TPU-native replacement for the reference's outermost sequential loops —
+the per-channel for (serial.cpp:34-39) and any multi-image invocation of
+the CLI binaries. Batch and channel become leading array axes of the
+same fused graph (BASELINE.json config 3: 64-image stack, shared PSF).
+The PSF spectrum is computed ONCE and broadcast across the whole stack,
+the optimization the CUDA mode approximates by hoisting allocations
+(fft_gpu.cu:304-322) but cannot get for the PSF FFT itself (it re-runs
+it per channel, fft_gpu.cu:356).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fft_restoration_tpu.models.pipeline import restore_planes
+from fft_restoration_tpu.ops.psf import motion_blur_kernel
+from fft_restoration_tpu.utils.padding import next_power_of_two
+
+
+def _batched_core(
+    imgs_f32: jnp.ndarray,
+    angle_deg: jnp.ndarray,
+    K: jnp.ndarray,
+    *,
+    psf_length: int,
+    fft_backend: str,
+    filter_name: str,
+):
+    """(B, H, W, 3) float32 in [0,1] -> (B, 3, H, W) restored planes."""
+    b, h, w = imgs_f32.shape[:3]
+    hp, wp = next_power_of_two(h), next_power_of_two(w)
+    psf = motion_blur_kernel(psf_length, angle_deg)
+    chans = jnp.moveaxis(imgs_f32, -1, 1)  # (B, 3, H, W)
+    chans = jnp.pad(chans, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    # restore_planes batches over all leading axes at once; one PSF FFT.
+    restored = restore_planes(
+        chans, psf, K, fft_backend=fft_backend, filter_name=filter_name
+    )
+    return restored[..., :h, :w]
+
+
+class BatchedWienerPipeline:
+    """Restore a stack of same-shape images with one shared PSF."""
+
+    def __init__(
+        self,
+        fft_backend: str = "matmul",
+        filter_name: str = "wiener",
+    ):
+        self.fft_backend = fft_backend
+        self.filter_name = filter_name
+        self._cache = {}
+
+    def _compiled(self, b: int, h: int, w: int, psf_length: int):
+        key = (b, h, w, psf_length)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                functools.partial(
+                    _batched_core,
+                    psf_length=psf_length,
+                    fft_backend=self.fft_backend,
+                    filter_name=self.filter_name,
+                )
+            )
+        return self._cache[key]
+
+    def restore_planes(
+        self,
+        imgs_bgr: np.ndarray,
+        psf_length: int,
+        psf_angle: float,
+        K: float = 0.01,
+    ) -> np.ndarray:
+        """(B, H, W, 3) uint8 -> (B, 3, H, W) float32 restored planes."""
+        imgs = jnp.asarray(np.asarray(imgs_bgr, np.float32) / np.float32(255.0))
+        fn = self._compiled(*imgs.shape[:3], int(psf_length))
+        return np.asarray(fn(imgs, jnp.float32(psf_angle), jnp.float32(K)))
+
+
+def psf_grid_sweep(
+    img_bgr: np.ndarray,
+    psf_lengths,
+    psf_angles,
+    K: float = 0.01,
+    fft_backend: str = "matmul",
+) -> np.ndarray:
+    """(length, angle) PSF grid sweep on one image (BASELINE config 4).
+
+    Angles are a traced vmap axis (one compile per distinct length, since
+    length is a shape). Returns (n_lengths, n_angles, 3, H, W) planes.
+    """
+    img = jnp.asarray(np.asarray(img_bgr, np.float32) / np.float32(255.0))
+    h, w = img.shape[:2]
+    hp, wp = next_power_of_two(h), next_power_of_two(w)
+    chans = jnp.moveaxis(img, -1, 0)
+    chans = jnp.pad(chans, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    results = []
+    angles = jnp.asarray(np.asarray(psf_angles, np.float32))
+    for length in psf_lengths:
+        def one_angle(angle, length=int(length)):
+            psf = motion_blur_kernel(length, angle)
+            return restore_planes(
+                chans, psf, K, fft_backend=fft_backend, filter_name="wiener"
+            )[..., :h, :w]
+
+        results.append(jax.jit(jax.vmap(one_angle))(angles))
+    return np.asarray(jnp.stack(results, axis=0))

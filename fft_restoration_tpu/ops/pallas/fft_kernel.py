@@ -1,0 +1,177 @@
+"""Pallas TPU row-FFT kernel: all butterfly stages in VMEM.
+
+TPU-native counterpart of fft_row_optimized_kernel
+(/root/reference/fft/fft_gpu.cu:108-148), which stages one row per CUDA
+block in shared memory and loops the butterfly stages in-kernel. The
+jnp-level radix2 backend (ops/fft.py) pays one HBM round trip per stage
+(log2 N full-array passes); this kernel loads a block of rows into VMEM
+once, runs ALL log2 N stages on-chip, and writes once — the same
+memory-locality win the CUDA kernel gets from shared memory.
+
+Design notes (the TPU way, not a CUDA translation):
+  * SoA float32 re/im planes (no complex dtype in Pallas), rows on the
+    sublane axis, the transform axis on lanes.
+  * Butterfly partner access is NOT a gather: for stage length L, the
+    partner of lane j is j +- L/2 within its block, so one lane-axis
+    `pltpu.roll` by -L/2 gives every first-half lane its partner, and a
+    roll by +L/2 gives every second-half lane its; a per-stage iota mask
+    selects which expression each lane keeps:
+        first  half: out = x + w * roll(x, -L/2)
+        second half: out = roll(x, +L/2) - w_shifted * x
+  * Twiddles are exact float64-computed tables, one (S, N) cos and sin
+    plane, laid out so lane j of stage s holds w^(j mod L/2)_L — both
+    halves read the same lane index (w_shifted == w by periodicity).
+  * Bit-reversal stays OUTSIDE the kernel as an XLA reshape-transpose
+    (ops/fft.py _bit_reverse_last_axis): one data-movement pass, the
+    in-kernel part is then purely sequential lane-local math.
+  * The grid walks row blocks; the reference's per-row CUDA blocks
+    (<=1024 threads, fft_gpu.cu:220) become (block_rows, N) VMEM tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SoA = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_planes_np(n: int, inverse: bool) -> tuple:
+    """(S, N) cos/sin planes; lane j of stage s = w_{L}^{j mod L/2},
+    L = 2^{s+1}."""
+    stages = n.bit_length() - 1
+    sign = 1.0 if inverse else -1.0
+    cos = np.empty((stages, n), np.float32)
+    sin = np.empty((stages, n), np.float32)
+    j = np.arange(n, dtype=np.float64)
+    for s in range(stages):
+        length = 2 << s
+        k = np.mod(j, length // 2)
+        ang = sign * 2.0 * math.pi * k / length
+        cos[s] = np.cos(ang).astype(np.float32)
+        sin[s] = np.sin(ang).astype(np.float32)
+    return cos, sin
+
+
+@functools.lru_cache(maxsize=None)
+def _half_masks_np(n: int) -> np.ndarray:
+    """(S, N) float32 mask: 1.0 where lane j is in the first half of its
+    stage-s butterfly block, else 0.0."""
+    stages = n.bit_length() - 1
+    j = np.arange(n)
+    out = np.empty((stages, n), np.float32)
+    for s in range(stages):
+        length = 2 << s
+        out[s] = ((j % length) < length // 2).astype(np.float32)
+    return out
+
+
+def _fft_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref):
+    x_re = re_ref[:]
+    x_im = im_ref[:]
+    n = x_re.shape[-1]
+    stages = n.bit_length() - 1
+    for s in range(stages):
+        half = 1 << s
+        wc = cos_ref[s, :][None, :]
+        ws = sin_ref[s, :][None, :]
+        m = mask_ref[s, :][None, :]
+        # partner for first-half lanes (j + half) and second-half (j - half)
+        p_re = pltpu.roll(x_re, n - half, axis=1)
+        p_im = pltpu.roll(x_im, n - half, axis=1)
+        q_re = pltpu.roll(x_re, half, axis=1)
+        q_im = pltpu.roll(x_im, half, axis=1)
+        # w * partner (first half) and w * self (second half)
+        wp_re = wc * p_re - ws * p_im
+        wp_im = wc * p_im + ws * p_re
+        wx_re = wc * x_re - ws * x_im
+        wx_im = wc * x_im + ws * x_re
+        first_re = x_re + wp_re
+        first_im = x_im + wp_im
+        second_re = q_re - wx_re
+        second_im = q_im - wx_im
+        x_re = m * first_re + (1.0 - m) * second_re
+        x_im = m * first_im + (1.0 - m) * second_im
+    ore_ref[:] = x_re
+    oim_ref[:] = x_im
+
+
+def _bit_reverse_last_axis(x: jnp.ndarray) -> jnp.ndarray:
+    n = x.shape[-1]
+    m = n.bit_length() - 1
+    lead = x.shape[:-1]
+    y = x.reshape(lead + (2,) * m)
+    axes = tuple(range(len(lead))) + tuple(len(lead) + m - 1 - i for i in range(m))
+    return y.transpose(axes).reshape(lead + (n,))
+
+
+def fft_rows_pallas(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    inverse: bool = False,
+    block_rows: int = 256,
+    interpret: bool | None = None,
+) -> SoA:
+    """1D DFT over the last axis of (..., N) SoA planes, N a power of two
+    >= 2. Unscaled inverse. Rows are tiled over the grid; each tile runs
+    every butterfly stage in VMEM."""
+    orig_shape = re.shape
+    n = orig_shape[-1]
+    if n & (n - 1):
+        raise ValueError(f"fft_rows_pallas needs power-of-two length, got {n}")
+    if n < 2:
+        return re, im
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    batch = int(np.prod(orig_shape[:-1])) if len(orig_shape) > 1 else 1
+    re2 = re.reshape(batch, n)
+    im2 = im.reshape(batch, n)
+
+    # pad the batch up to a block multiple
+    rows = min(block_rows, batch)
+    pad = (-batch) % rows
+    if pad:
+        re2 = jnp.pad(re2, ((0, pad), (0, 0)))
+        im2 = jnp.pad(im2, ((0, pad), (0, 0)))
+    total = re2.shape[0]
+
+    re2 = _bit_reverse_last_axis(re2)
+    im2 = _bit_reverse_last_axis(im2)
+
+    cos_np, sin_np = _twiddle_planes_np(n, inverse)
+    mask_np = _half_masks_np(n)
+    stages = cos_np.shape[0]
+
+    grid = (total // rows,)
+    row_spec = pl.BlockSpec(
+        (rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    const_spec = pl.BlockSpec(
+        (stages, n), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_re, out_im = pl.pallas_call(
+        _fft_kernel,
+        grid=grid,
+        in_specs=[row_spec, row_spec, const_spec, const_spec, const_spec],
+        out_specs=[row_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((total, n), jnp.float32),
+            jax.ShapeDtypeStruct((total, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(re2, im2, jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(mask_np))
+
+    if pad:
+        out_re = out_re[:batch]
+        out_im = out_im[:batch]
+    return out_re.reshape(orig_shape), out_im.reshape(orig_shape)

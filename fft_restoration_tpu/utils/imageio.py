@@ -45,6 +45,14 @@ def _load_native():
             ctypes.c_int,  # stride (bytes per scanline, no filter byte)
             ctypes.c_int,  # bpp (bytes per pixel)
         ]
+        lib.filter_scanlines_paeth.restype = ctypes.c_int
+        lib.filter_scanlines_paeth.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),  # img
+            ctypes.POINTER(ctypes.c_uint8),  # out (filtered, +1 byte/row)
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _native = lib
     except OSError:
         _native = False
@@ -190,15 +198,31 @@ def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
         raise ValueError(f"unsupported channel count {img.shape[-1]}")
     height, width = img.shape[:2]
 
-    flat = img.reshape(height, width * channels)
-    # Use filter type 2 (Up) for rows 1.. — cheap to compute vectorized and
-    # compresses well on natural images; row 0 uses filter 0.
-    filtered = np.empty((height, width * channels + 1), dtype=np.uint8)
-    filtered[:, 0] = 2
-    filtered[0, 0] = 0
-    filtered[0, 1:] = flat[0]
-    if height > 1:
-        filtered[1:, 1:] = flat[1:] - flat[:-1]
+    flat = np.ascontiguousarray(img.reshape(height, width * channels))
+    stride = width * channels
+    lib = _load_native()
+    if lib:
+        import ctypes
+
+        # Paeth predictor (filter 4) via the C++ fast path: better
+        # compression than Up on natural images.
+        filtered = np.empty((height, stride + 1), dtype=np.uint8)
+        lib.filter_scanlines_paeth(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            filtered.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            height,
+            stride,
+            channels,
+        )
+    else:
+        # Pure-Python fallback: filter type 2 (Up) for rows 1.. — cheap to
+        # compute vectorized; row 0 uses filter 0.
+        filtered = np.empty((height, stride + 1), dtype=np.uint8)
+        filtered[:, 0] = 2
+        filtered[0, 0] = 0
+        filtered[0, 1:] = flat[0]
+        if height > 1:
+            filtered[1:, 1:] = flat[1:] - flat[:-1]
     payload = zlib.compress(filtered.tobytes(), compress_level)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:

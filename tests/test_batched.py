@@ -1,0 +1,26 @@
+"""Batched stack restoration and PSF grid sweep vs per-image results."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from fft_restoration_tpu.models.batched import BatchedWienerPipeline, psf_grid_sweep
+from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+
+def test_batched_matches_per_image(rng):
+    imgs = (rng.random((4, 32, 40, 3)) * 255).astype(np.uint8)
+    batched = BatchedWienerPipeline().restore_planes(imgs, 7, 30.0)
+    single = WienerDeblurPipeline(fft_backend="matmul")
+    for b in range(4):
+        ref = single.restore_channels(imgs[b], 7, 30.0)
+        assert np.abs(batched[b] - ref).max() < 1e-6
+
+
+def test_psf_grid_sweep_matches_single(rng):
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    out = psf_grid_sweep(img, [5, 7], [0.0, 30.0, 60.0])
+    assert out.shape == (2, 3, 3, 32, 32)
+    single = WienerDeblurPipeline(fft_backend="matmul")
+    ref = single.restore_channels(img, 7, 60.0)
+    assert np.abs(out[1, 2] - ref).max() < 1e-5

@@ -1,0 +1,65 @@
+"""Pallas kernels (interpret mode on CPU) vs np.fft / jnp references."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+from fft_restoration_tpu.ops.pallas.wiener import wiener_pallas
+from fft_restoration_tpu.ops.wiener import wiener_filter
+
+
+@pytest.mark.parametrize("n", [2, 8, 128, 512])
+def test_fft_rows_pallas_matches_npfft(rng, n):
+    re = rng.standard_normal((16, n)).astype(np.float32)
+    im = rng.standard_normal((16, n)).astype(np.float32)
+    r, i = fft_rows_pallas(jnp.asarray(re), jnp.asarray(im), False)
+    ours = np.asarray(r) + 1j * np.asarray(i)
+    ref = np.fft.fft(re.astype(np.complex128) + 1j * im, axis=-1)
+    assert np.abs(ours - ref).max() / max(1.0, np.abs(ref).max()) < 1e-5
+
+
+def test_fft_rows_pallas_inverse_roundtrip(rng):
+    re = rng.standard_normal((4, 64)).astype(np.float32)
+    zero = jnp.zeros((4, 64), jnp.float32)
+    r, i = fft_rows_pallas(jnp.asarray(re), zero, False)
+    r2, _ = fft_rows_pallas(r, i, True)
+    assert np.abs(np.asarray(r2) / 64 - re).max() < 1e-5
+
+
+def test_fft_rows_pallas_3d_batch(rng):
+    re = rng.standard_normal((3, 8, 32)).astype(np.float32)
+    r, i = fft_rows_pallas(jnp.asarray(re), jnp.zeros_like(jnp.asarray(re)), False)
+    ref = np.fft.fft(re.astype(np.complex128), axis=-1)
+    ours = np.asarray(r) + 1j * np.asarray(i)
+    assert ours.shape == (3, 8, 32)
+    assert np.abs(ours - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_fft_rows_pallas_ragged_batch(rng):
+    # batch not a multiple of block_rows exercises the pad path
+    re = rng.standard_normal((7, 16)).astype(np.float32)
+    r, i = fft_rows_pallas(
+        jnp.asarray(re), jnp.zeros_like(jnp.asarray(re)), False, block_rows=4
+    )
+    ref = np.fft.fft(re.astype(np.complex128), axis=-1)
+    assert np.abs((np.asarray(r) + 1j * np.asarray(i)) - ref).max() < 1e-4
+
+
+def test_fft_rows_pallas_rejects_non_pow2(rng):
+    with pytest.raises(ValueError):
+        fft_rows_pallas(jnp.zeros((4, 12)), jnp.zeros((4, 12)))
+
+
+def test_wiener_pallas_matches_jnp(rng):
+    gr = rng.standard_normal((3, 16, 128)).astype(np.float32)
+    gi = rng.standard_normal((3, 16, 128)).astype(np.float32)
+    hr = rng.standard_normal((16, 128)).astype(np.float32)
+    hi = rng.standard_normal((16, 128)).astype(np.float32)
+    G = (jnp.asarray(gr), jnp.asarray(gi))
+    H = (jnp.asarray(hr), jnp.asarray(hi))
+    ours = wiener_pallas(G, H, 0.01)
+    ref = wiener_filter(G, H, 0.01)
+    assert np.abs(np.asarray(ours[0]) - np.asarray(ref[0])).max() < 1e-4
+    assert np.abs(np.asarray(ours[1]) - np.asarray(ref[1])).max() < 1e-4
