@@ -142,6 +142,19 @@ def main(argv=None) -> int:
         mode_ms = (t1 - t0) * 1e3
         print(f"Deblurring 3 channels took({args.mode}): {mode_ms:.2f} ms")
 
+        if args.profile and args.mode == "jit" and args.filter == "wiener":
+            from fft_restoration_tpu.models.pipeline import profile_phases
+
+            _, prof = profile_phases(
+                img,
+                args.psf_length,
+                args.psf_angle,
+                args.K,
+                fft_backend=args.fft_backend,
+                white_balance=wb,
+            )
+            print(prof.report())
+
         if not args.no_verify and args.filter == "wiener":
             ours = pipe.restore_channels(
                 img, args.psf_length, args.psf_angle, args.K

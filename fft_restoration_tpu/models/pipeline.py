@@ -175,6 +175,86 @@ class WienerDeblurPipeline:
         return np.asarray(restored)
 
 
+def profile_phases(
+    img_bgr: np.ndarray,
+    psf_length: int,
+    psf_angle: float,
+    K: float = 0.01,
+    fft_backend: str = "matmul",
+    white_balance: bool = True,
+    profiler=None,
+):
+    """Run the pipeline as six separately-dispatched device phases and
+    accumulate per-phase wall time, preserving the reference's phase
+    taxonomy (fft_serial.cpp:158-236: Pre-process / FFT Image / FFT PSF /
+    Wiener Filter / IFFT / Post-process; CUDA Profiler fft_gpu.cu:17-57).
+
+    The production path fuses all phases into one graph (XLA erases the
+    boundaries), so this instrumented mode exists purely for the
+    profiler — each phase is forced to materialize via a host sync,
+    which on a tunneled device adds per-phase RTT overhead.
+    Returns (restored uint8 image, PhaseProfiler).
+    """
+    import jax
+
+    from fft_restoration_tpu.models.filters import apply_filter
+    from fft_restoration_tpu.ops.fft import fft2d
+    from fft_restoration_tpu.ops.psf import motion_blur_kernel
+    from fft_restoration_tpu.utils.timing import PhaseProfiler
+
+    prof = profiler or PhaseProfiler(mode="jit")
+    img = jnp.asarray(np.asarray(img_bgr, np.float32) / np.float32(255.0))
+    h, w = img.shape[:2]
+    hp, wp = next_power_of_two(h), next_power_of_two(w)
+
+    def sync(tree):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            np.asarray(leaf).ravel()[:1]
+
+    @jax.jit
+    def pre(img):
+        psf = motion_blur_kernel(psf_length, jnp.float32(psf_angle))
+        chans = _pad2d(jnp.moveaxis(img, -1, 0), hp, wp)
+        psf_pad = _pad2d(psf, hp, wp)
+        return chans, psf_pad
+
+    fftf = jax.jit(lambda re: fft2d(re, jnp.zeros_like(re), False, fft_backend))
+    wien = jax.jit(
+        lambda G, H: apply_filter("wiener", G, H, jnp.float32(K), backend=fft_backend)
+    )
+    ifft = jax.jit(lambda F: fft2d(F[0], F[1], True, fft_backend))
+
+    @jax.jit
+    def post(r_re, img):
+        restored = _minmax_normalize(r_re * jnp.float32(1.0 / (hp * wp)))
+        merged = jnp.moveaxis(restored[..., :h, :w], 0, -1)
+        if white_balance:
+            lab_deblur = bgr_to_lab(merged)
+            lab_orig = bgr_to_lab(img)
+            merged = lab_to_bgr(apply_white_balance(lab_deblur, lab_orig))
+        return jnp.clip(merged * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+    with prof.phase("Pre-process"):
+        chans, psf_pad = pre(img)
+        sync((chans, psf_pad))
+    with prof.phase("FFT Image"):
+        G = fftf(chans)
+        sync(G)
+    with prof.phase("FFT PSF"):
+        H = fftf(psf_pad)
+        sync(H)
+    with prof.phase("Wiener Filter"):
+        F = wien(G, H)
+        sync(F)
+    with prof.phase("IFFT"):
+        r = ifft(F)
+        sync(r)
+    with prof.phase("Post-process"):
+        out = post(r[0], img)
+        out = np.asarray(out)
+    return out, prof
+
+
 def deblur_image(
     img_bgr: np.ndarray,
     psf_length: int,

@@ -1,0 +1,84 @@
+"""CLI driver smoke tests (subprocess, CPU-forced)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    return subprocess.run(
+        [sys.executable, "-m", "fft_restoration_tpu", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def small_png(tmp_path_factory, rng=None):
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    rng = np.random.default_rng(7)
+    p = tmp_path_factory.mktemp("cli") / "small.png"
+    imwrite(str(p), (rng.random((32, 40, 3)) * 255).astype(np.uint8))
+    return str(p)
+
+
+def test_cli_jit_mode(small_png, tmp_path):
+    out = str(tmp_path / "out.png")
+    r = _run([small_png, "5", "30", "--mode", "jit", "-o", out])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "[Success]" in r.stdout
+    assert "[Speedup]" in r.stdout
+    assert os.path.exists(out)
+
+
+def test_cli_sharded_mode(small_png, tmp_path):
+    out = str(tmp_path / "out.png")
+    r = _run(
+        [small_png, "5", "30", "--mode", "sharded", "--devices", "4", "-o", out]
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "[Success]" in r.stdout
+
+
+def test_cli_oracle_mode(small_png, tmp_path):
+    out = str(tmp_path / "out.png")
+    r = _run([small_png, "5", "30", "--mode", "oracle", "-o", out])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "took(oracle)" in r.stdout
+
+
+def test_cli_profile_prints_phase_table(small_png, tmp_path):
+    r = _run(
+        [small_png, "5", "30", "--mode", "jit", "--profile",
+         "-o", str(tmp_path / "o.png")]
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Accumulated Time" in r.stdout
+    assert "jit: FFT Image" in r.stdout
+
+
+def test_cli_bad_psf_length(small_png):
+    r = _run([small_png, "0", "30"])
+    assert r.returncode == 2
+    assert "[Error]" in r.stdout
+
+
+def test_cli_missing_file():
+    r = _run(["/nonexistent_image.png", "5", "30"])
+    assert r.returncode == 1
+    assert "Cannot read image" in r.stdout
