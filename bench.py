@@ -5,7 +5,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
 
 `value` is restored megapixels/second through the flagship single-chip
-pipeline (matmul/MXU FFT backend) at the BASELINE.json north-star config
+pipeline (pallas revorder FFT kernels) at the BASELINE.json north-star config
 (2048^2, PSF(50, 30deg), K=0.01), steady-state.
 
 `vs_baseline` is the speedup over the serial oracle on this host — the
@@ -45,21 +45,34 @@ def main():
     rng = np.random.default_rng(0)
     img = rng.random((H, W, 3)).astype(np.float32)
 
-    fn = jax.jit(
-        functools.partial(
-            _restore_core,
-            psf_length=PSF_LEN,
-            fft_backend="matmul",
-            filter_name="wiener",
-            white_balance=True,
-        )
-    )
     x = jax.device_put(jnp.asarray(img))
     ang = jnp.float32(PSF_ANGLE)
     k = jnp.float32(K)
 
-    out = fn(x, ang, k)
-    _sync(out[0])  # compile + warm
+    # Flagship backend is the pallas revorder path; the axon remote
+    # Mosaic compiler is intermittently flaky, so fall back to the
+    # matmul (MXU four-step) backend if that compile fails.
+    fn = None
+    for backend in ("pallas", "matmul"):
+        try:
+            cand = jax.jit(
+                functools.partial(
+                    _restore_core,
+                    psf_length=PSF_LEN,
+                    fft_backend=backend,
+                    filter_name="wiener",
+                    white_balance=True,
+                )
+            )
+            out = cand(x, ang, k)
+            _sync(out[0])  # compile + warm
+            fn = cand
+            print(f"backend: {backend}", file=sys.stderr)
+            break
+        except Exception as e:  # compile-service failure
+            print(f"backend {backend} failed: {str(e)[:200]}", file=sys.stderr)
+    if fn is None:
+        raise RuntimeError("no FFT backend compiled")
 
     # single-call round trip (includes one fetch RTT)
     t0 = time.perf_counter()

@@ -40,11 +40,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("psf_angle", type=float, help="motion blur angle in degrees")
     p.add_argument("-o", "--output", default=None, help="output PNG path")
     p.add_argument("--mode", choices=MODES, default="jit")
+    from fft_restoration_tpu.ops.fft import FFT_BACKENDS
+
     p.add_argument(
         "--fft-backend",
-        choices=("radix2", "matmul", "naive", "xla"),
+        choices=FFT_BACKENDS,
         default="matmul",
-        help="FFT compute strategy for jit/sharded modes",
+        help="FFT compute strategy for jit/sharded modes "
+        "(pallas = fused TPU kernels, fastest on hardware; "
+        "matmul = MXU four-step, fastest compile)",
     )
     p.add_argument(
         "--filter", choices=("wiener", "inverse", "cls"), default="wiener"
@@ -142,18 +146,33 @@ def main(argv=None) -> int:
         mode_ms = (t1 - t0) * 1e3
         print(f"Deblurring 3 channels took({args.mode}): {mode_ms:.2f} ms")
 
-        if args.profile and args.mode == "jit" and args.filter == "wiener":
-            from fft_restoration_tpu.models.pipeline import profile_phases
+        if args.profile and args.filter == "wiener":
+            if args.mode == "jit":
+                from fft_restoration_tpu.models.pipeline import profile_phases
 
-            _, prof = profile_phases(
-                img,
-                args.psf_length,
-                args.psf_angle,
-                args.K,
-                fft_backend=args.fft_backend,
-                white_balance=wb,
-            )
-            print(prof.report())
+                _, prof = profile_phases(
+                    img,
+                    args.psf_length,
+                    args.psf_angle,
+                    args.K,
+                    fft_backend=args.fft_backend,
+                    white_balance=wb,
+                )
+                print(prof.report())
+            elif args.mode == "sharded":
+                from fft_restoration_tpu.parallel.sharded_pipeline import (
+                    profile_phases_sharded,
+                )
+
+                _, prof = profile_phases_sharded(
+                    img,
+                    args.psf_length,
+                    args.psf_angle,
+                    args.K,
+                    mesh=pipe.mesh,
+                    fft_backend=args.fft_backend,
+                )
+                print(prof.report())
 
         if not args.no_verify and args.filter == "wiener":
             ours = pipe.restore_channels(

@@ -71,12 +71,47 @@ def restore_planes(
     TPU backend — see ops/fft.py).
     """
     hp, wp = channels.shape[-2:]
+    psf_pad = _pad2d(psf, hp, wp)
+    if fft_backend == "pallas" and filter_name == "wiener":
+        return _restore_planes_pallas_fused(channels, psf_pad, K)
     zero = jnp.zeros_like(channels)
     G = fft2d(channels, zero, inverse=False, backend=fft_backend)
-    psf_pad = _pad2d(psf, hp, wp)
     H = fft2d(psf_pad, jnp.zeros_like(psf_pad), inverse=False, backend=fft_backend)
     F = apply_filter(filter_name, G, H, K, backend=fft_backend)
     r_re, _ = fft2d(F[0], F[1], inverse=True, backend=fft_backend)
+    restored = r_re * jnp.float32(1.0 / (hp * wp))
+    return _minmax_normalize(restored)
+
+
+def _restore_planes_pallas_fused(channels, psf_pad, K):
+    """Pallas fast path: revorder (DIF fwd / DIT inv, zero bit-reversal
+    passes) FFT kernels + fused Wiener kernel, with the filter applied in
+    the TRANSPOSED, bit-reversed-spectrum orientation so each 2D round
+    trip needs only 2 transposes instead of 4. Elementwise filters are
+    order- and orientation-agnostic, so the restoration is numerically
+    the same transform (ops/pallas/fft_kernel.py docstring).
+    """
+    from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+    from fft_restoration_tpu.ops.pallas.wiener import wiener_pallas
+
+    hp, wp = channels.shape[-2:]
+
+    def fwd2d_t(re, im):
+        # rows pass -> transpose -> cols pass; STAY transposed.
+        re, im = fft_rows_pallas(re, im, False, ordering="revorder")
+        re = jnp.swapaxes(re, -1, -2)
+        im = jnp.swapaxes(im, -1, -2)
+        return fft_rows_pallas(re, im, False, ordering="revorder")
+
+    G = fwd2d_t(channels, jnp.zeros_like(channels))
+    H = fwd2d_t(psf_pad, jnp.zeros_like(psf_pad))
+    F = wiener_pallas(G, H, K)
+    # inverse: cols-of-original first (they are rows here), transpose
+    # back, then rows.
+    r_re, r_im = fft_rows_pallas(F[0], F[1], True, ordering="revorder")
+    r_re = jnp.swapaxes(r_re, -1, -2)
+    r_im = jnp.swapaxes(r_im, -1, -2)
+    r_re, _ = fft_rows_pallas(r_re, r_im, True, ordering="revorder")
     restored = r_re * jnp.float32(1.0 / (hp * wp))
     return _minmax_normalize(restored)
 
@@ -127,11 +162,17 @@ class WienerDeblurPipeline:
         filter_name: str = "wiener",
         white_balance: bool = True,
         device: Optional[object] = None,
+        donate_input: bool = True,
     ):
         self.fft_backend = fft_backend
         self.filter_name = filter_name
         self.white_balance = white_balance
         self.device = device
+        # Buffer donation lets XLA reuse the input image's HBM for
+        # intermediates — the allocation-reuse optimization the CUDA
+        # reference demonstrates by hoisting buffers out of the channel
+        # loop (wienerDeblur_RGB_optimized vs _naive, fft_gpu.cu:279,400).
+        self.donate_input = donate_input
 
     @functools.lru_cache(maxsize=32)
     def _compiled(self, h: int, w: int, psf_length: int):
@@ -142,7 +183,8 @@ class WienerDeblurPipeline:
             filter_name=self.filter_name,
             white_balance=self.white_balance,
         )
-        return jax.jit(fn)
+        donate = (0,) if self.donate_input else ()
+        return jax.jit(fn, donate_argnums=donate)
 
     def restore(
         self,

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 
 from fft_restoration_tpu.utils.padding import is_power_of_two
 
-FFT_BACKENDS = ("radix2", "matmul", "naive", "xla")
+FFT_BACKENDS = ("radix2", "matmul", "naive", "xla", "pallas")
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -212,11 +212,18 @@ def _fft_xla(re: jnp.ndarray, im: jnp.ndarray, inverse: bool) -> SoA:
     return jnp.real(y).astype(jnp.float32), jnp.imag(y).astype(jnp.float32)
 
 
+def _fft_pallas(re: jnp.ndarray, im: jnp.ndarray, inverse: bool) -> SoA:
+    from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+
+    return fft_rows_pallas(re, im, inverse, ordering="natural")
+
+
 _BACKEND_FNS = {
     "radix2": _fft_radix2,
     "matmul": _fft_matmul,
     "naive": _fft_naive,
     "xla": _fft_xla,
+    "pallas": _fft_pallas,
 }
 
 
@@ -233,7 +240,7 @@ def fft1d(re, im, inverse: bool = False, backend: str = "radix2") -> SoA:
     n = re.shape[-1]
     if backend not in _BACKEND_FNS:
         raise ValueError(f"unknown fft backend {backend!r}; one of {FFT_BACKENDS}")
-    if backend in ("radix2", "matmul") and not is_power_of_two(n):
+    if backend in ("radix2", "matmul", "pallas") and not is_power_of_two(n):
         return _fft_naive(re, im, inverse)
     return _BACKEND_FNS[backend](re, im, inverse)
 

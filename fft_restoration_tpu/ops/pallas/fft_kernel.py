@@ -75,32 +75,58 @@ def _half_masks_np(n: int) -> np.ndarray:
     return out
 
 
-def _fft_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref):
+def _dit_stage(x_re, x_im, wc, ws, m, half, n):
+    """One DIT butterfly stage over the lane axis (see module docstring)."""
+    # partner for first-half lanes (j + half) and second-half (j - half)
+    p_re = pltpu.roll(x_re, n - half, axis=1)
+    p_im = pltpu.roll(x_im, n - half, axis=1)
+    q_re = pltpu.roll(x_re, half, axis=1)
+    q_im = pltpu.roll(x_im, half, axis=1)
+    # w * partner (first half) and w * self (second half)
+    wp_re = wc * p_re - ws * p_im
+    wp_im = wc * p_im + ws * p_re
+    wx_re = wc * x_re - ws * x_im
+    wx_im = wc * x_im + ws * x_re
+    first_re = x_re + wp_re
+    first_im = x_im + wp_im
+    second_re = q_re - wx_re
+    second_im = q_im - wx_im
+    x_re = m * first_re + (1.0 - m) * second_re
+    x_im = m * first_im + (1.0 - m) * second_im
+    return x_re, x_im
+
+
+def _dif_stage(x_re, x_im, wc, ws, m, half, n):
+    """One DIF (Gentleman-Sande) stage: butterflies first, twiddle after.
+        first  half: out = x + x[j+half]
+        second half: out = (x[j-half] - x) * w
+    """
+    p_re = pltpu.roll(x_re, n - half, axis=1)
+    p_im = pltpu.roll(x_im, n - half, axis=1)
+    q_re = pltpu.roll(x_re, half, axis=1)
+    q_im = pltpu.roll(x_im, half, axis=1)
+    d_re = q_re - x_re
+    d_im = q_im - x_im
+    wd_re = wc * d_re - ws * d_im
+    wd_im = wc * d_im + ws * d_re
+    x_re = m * (x_re + p_re) + (1.0 - m) * wd_re
+    x_im = m * (x_im + p_im) + (1.0 - m) * wd_im
+    return x_re, x_im
+
+
+def _fft_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref, *, dif):
     x_re = re_ref[:]
     x_im = im_ref[:]
     n = x_re.shape[-1]
     stages = n.bit_length() - 1
-    for s in range(stages):
+    order = range(stages - 1, -1, -1) if dif else range(stages)
+    for s in order:
         half = 1 << s
         wc = cos_ref[s, :][None, :]
         ws = sin_ref[s, :][None, :]
         m = mask_ref[s, :][None, :]
-        # partner for first-half lanes (j + half) and second-half (j - half)
-        p_re = pltpu.roll(x_re, n - half, axis=1)
-        p_im = pltpu.roll(x_im, n - half, axis=1)
-        q_re = pltpu.roll(x_re, half, axis=1)
-        q_im = pltpu.roll(x_im, half, axis=1)
-        # w * partner (first half) and w * self (second half)
-        wp_re = wc * p_re - ws * p_im
-        wp_im = wc * p_im + ws * p_re
-        wx_re = wc * x_re - ws * x_im
-        wx_im = wc * x_im + ws * x_re
-        first_re = x_re + wp_re
-        first_im = x_im + wp_im
-        second_re = q_re - wx_re
-        second_im = q_im - wx_im
-        x_re = m * first_re + (1.0 - m) * second_re
-        x_im = m * first_im + (1.0 - m) * second_im
+        stage = _dif_stage if dif else _dit_stage
+        x_re, x_im = stage(x_re, x_im, wc, ws, m, half, n)
     ore_ref[:] = x_re
     oim_ref[:] = x_im
 
@@ -120,14 +146,29 @@ def fft_rows_pallas(
     inverse: bool = False,
     block_rows: int = 256,
     interpret: bool | None = None,
+    ordering: str = "natural",
 ) -> SoA:
     """1D DFT over the last axis of (..., N) SoA planes, N a power of two
     >= 2. Unscaled inverse. Rows are tiled over the grid; each tile runs
-    every butterfly stage in VMEM."""
+    every butterfly stage in VMEM.
+
+    ordering:
+      * 'natural'  — natural-order in AND out: DIT stages preceded by an
+        XLA bit-reversal transpose pass.
+      * 'revorder' — the fast-convolution trick: forward runs DIF
+        (natural in, bit-reversed out) and inverse runs DIT assuming
+        bit-reversed input (natural out), with NO bit-reversal pass at
+        all. Elementwise frequency-domain filters (Wiener) are
+        order-agnostic, so fwd(revorder) -> filter -> inv(revorder)
+        computes the exact same restoration while skipping 2 full-array
+        permutation passes per transform round trip.
+    """
     orig_shape = re.shape
     n = orig_shape[-1]
     if n & (n - 1):
         raise ValueError(f"fft_rows_pallas needs power-of-two length, got {n}")
+    if ordering not in ("natural", "revorder"):
+        raise ValueError(f"unknown ordering {ordering!r}")
     if n < 2:
         return re, im
     if interpret is None:
@@ -137,20 +178,31 @@ def fft_rows_pallas(
     re2 = re.reshape(batch, n)
     im2 = im.reshape(batch, n)
 
-    # pad the batch up to a block multiple
-    rows = min(block_rows, batch)
+    # Size the row block to the VMEM budget: ~10 live (rows, n) f32
+    # planes (x/p/q/w-products for re+im) + the twiddle/mask tables must
+    # fit the ~16MB scoped VMEM; leave headroom.
+    vmem_budget = 10 << 20
+    max_rows = max(8, (vmem_budget // (n * 4 * 10)) // 8 * 8)
+    rows = min(block_rows, max_rows, max(batch, 1))
     pad = (-batch) % rows
     if pad:
         re2 = jnp.pad(re2, ((0, pad), (0, 0)))
         im2 = jnp.pad(im2, ((0, pad), (0, 0)))
     total = re2.shape[0]
 
-    re2 = _bit_reverse_last_axis(re2)
-    im2 = _bit_reverse_last_axis(im2)
+    # 'natural': permute input to bit-reversed order, then DIT.
+    # 'revorder' forward: DIF, no permutation (output bit-reversed).
+    # 'revorder' inverse: DIT, no permutation (input bit-reversed).
+    dif = ordering == "revorder" and not inverse
+    if ordering == "natural":
+        re2 = _bit_reverse_last_axis(re2)
+        im2 = _bit_reverse_last_axis(im2)
 
     cos_np, sin_np = _twiddle_planes_np(n, inverse)
     mask_np = _half_masks_np(n)
     stages = cos_np.shape[0]
+
+    import functools as _ft
 
     grid = (total // rows,)
     row_spec = pl.BlockSpec(
@@ -160,7 +212,7 @@ def fft_rows_pallas(
         (stages, n), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     out_re, out_im = pl.pallas_call(
-        _fft_kernel,
+        _ft.partial(_fft_kernel, dif=dif),
         grid=grid,
         in_specs=[row_spec, row_spec, const_spec, const_spec, const_spec],
         out_specs=[row_spec, row_spec],

@@ -54,7 +54,10 @@ def wiener_pallas(
     gr2 = gr.reshape(-1, n)
     gi2 = gi.reshape(-1, n)
     batch = gr2.shape[0]
-    rows = min(block_rows, batch)
+    # ~8 live (rows, n) f32 planes (4 in + 2 out + temporaries) must fit
+    # the ~16MB scoped VMEM.
+    max_rows = max(8, ((10 << 20) // (n * 4 * 8)) // 8 * 8)
+    rows = min(block_rows, max_rows, max(batch, 1))
     pad = (-batch) % rows
     if pad:
         gr2, gi2, hr_b, hi_b = (

@@ -187,6 +187,104 @@ def sharded_restore_planes(
     return np.asarray(out)
 
 
+def profile_phases_sharded(
+    img_bgr: np.ndarray,
+    psf_length: int,
+    psf_angle: float,
+    K: float = 0.01,
+    mesh: Optional[Mesh] = None,
+    fft_backend: str = "matmul",
+    profiler=None,
+):
+    """Per-phase timing of the sharded pipeline, preserving the MPI
+    mode's phase breakdown (fft_mpi.cpp:380-467: scatter/FFT img/FFT psf/
+    wiener/IFFT/gather+post). Each phase is a separate shard_map dispatch
+    with a host sync. Returns (restored planes (3,H,W), PhaseProfiler)."""
+    import jax as _jax
+
+    from fft_restoration_tpu.ops.psf import motion_blur_kernel
+    from fft_restoration_tpu.utils.timing import PhaseProfiler
+
+    mesh = mesh or make_mesh()
+    prof = profiler or PhaseProfiler(mode="sharded")
+    img = jnp.asarray(np.asarray(img_bgr, np.float32) / np.float32(255.0))
+    h, w = img.shape[:2]
+    hp, wp = next_power_of_two(h), next_power_of_two(w)
+
+    def sync(tree):
+        for leaf in _jax.tree_util.tree_leaves(tree):
+            np.asarray(leaf).ravel()[:1]
+
+    row_sharding3 = NamedSharding(mesh, P(None, ROWS_AXIS, None))
+    row_sharding2 = NamedSharding(mesh, P(ROWS_AXIS, None))
+
+    @_jax.jit
+    def pre(img):
+        psf = motion_blur_kernel(psf_length, jnp.float32(psf_angle))
+        chans = jnp.pad(jnp.moveaxis(img, -1, 0), ((0, 0), (0, hp - h), (0, wp - w)))
+        psf_pad = jnp.pad(psf, ((0, hp - psf_length), (0, wp - psf_length)))
+        return (
+            _jax.lax.with_sharding_constraint(chans, row_sharding3),
+            _jax.lax.with_sharding_constraint(psf_pad, row_sharding2),
+        )
+
+    def smap(fn, in_specs, out_specs):
+        return _jax.jit(
+            _jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        )
+
+    p3 = P(None, ROWS_AXIS, None)
+    p2 = P(ROWS_AXIS, None)
+    fft3 = smap(
+        lambda r: sharded_fft2d(r, jnp.zeros_like(r), False, fft_backend),
+        (p3,),
+        (p3, p3),
+    )
+    fft2 = smap(
+        lambda r: sharded_fft2d(r, jnp.zeros_like(r), False, fft_backend),
+        (p2,),
+        (p2, p2),
+    )
+    wien = smap(
+        lambda gr, gi, hr, hi: wiener_filter((gr, gi), (hr, hi), jnp.float32(K)),
+        (p3, p3, p2, p2),
+        (p3, p3),
+    )
+    ifft = smap(
+        lambda fr, fi: sharded_fft2d(fr, fi, True, fft_backend),
+        (p3, p3),
+        (p3, p3),
+    )
+
+    def _post_local(r_re):
+        restored = r_re * jnp.float32(1.0 / (hp * wp))
+        lo = _jax.lax.pmin(jnp.min(restored, axis=(-2, -1)), ROWS_AXIS)[..., None, None]
+        hi = _jax.lax.pmax(jnp.max(restored, axis=(-2, -1)), ROWS_AXIS)[..., None, None]
+        scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+        return (restored - lo) * scale
+
+    post = smap(_post_local, (p3,), p3)
+
+    with prof.phase("Pre-process"):
+        chans, psf_pad = pre(img)
+        sync((chans, psf_pad))
+    with prof.phase("FFT Image"):
+        G = fft3(chans)
+        sync(G)
+    with prof.phase("FFT PSF"):
+        H = fft2(psf_pad)
+        sync(H)
+    with prof.phase("Wiener Filter"):
+        F = wien(G[0], G[1], H[0], H[1])
+        sync(F)
+    with prof.phase("IFFT"):
+        r = ifft(F[0], F[1])
+        sync(r)
+    with prof.phase("Post-process"):
+        planes = np.asarray(post(r[0]))[..., :h, :w]
+    return planes, prof
+
+
 class ShardedWienerPipeline:
     """Mesh-parallel restoration pipeline (MPI-mode parity, SURVEY.md §2).
 
