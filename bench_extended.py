@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Extended benchmark: all BASELINE.json configs on the current device.
+
+Prints one JSON line per config (bench.py stays the single-line headline
+harness for the driver). Configs (BASELINE.json):
+  1. cat_blurred.png PSF(50, 30)      — real fixture, 1920x782
+  2. car_blurred.png PSF(40, 45)      — real fixture, 640x330
+  3. 64-image 256^2 batch, shared PSF — vmap/batch-axes config
+  4. 4K non-square 3840x2160 + PSF grid sweep
+  5. sharded correctness is covered in tests (single real chip here)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    return np.asarray(x).ravel()[0]
+
+
+def bench_call(fn, args, iters=10):
+    out = fn(*args)
+    _sync(jax_leaves(out)[0])
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _sync(jax_leaves(out)[0])
+    t_single = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(jax_leaves(out)[0])
+    total = time.perf_counter() - t0
+    return max((total - t_single) / (iters - 1), 1e-9) * 1e3
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+def main(backend="matmul"):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from fft_restoration_tpu.models.batched import _batched_core
+    from fft_restoration_tpu.models.pipeline import _restore_core
+    from fft_restoration_tpu.utils.imageio import imread
+
+    results = []
+
+    def run_single(name, img, length, angle):
+        fn = jax.jit(
+            functools.partial(
+                _restore_core,
+                psf_length=length,
+                fft_backend=backend,
+                filter_name="wiener",
+                white_balance=True,
+            )
+        )
+        x = jax.device_put(jnp.asarray(img.astype(np.float32) / 255.0))
+        ms = bench_call(fn, (x, jnp.float32(angle), jnp.float32(0.01)))
+        mp = img.shape[0] * img.shape[1] * 3 / 1e6
+        results.append(
+            {"metric": name, "value": round(ms, 2), "unit": "ms/frame",
+             "mp_per_s": round(mp / ms * 1e3, 1)}
+        )
+
+    cat = imread("/root/reference/input/cat_blurred.png")
+    run_single("cat_1920x782_psf50_30", cat, 50, 30.0)
+    car = imread("/root/reference/input/car_blurred.png")
+    run_single("car_640x330_psf40_45", car, 40, 45.0)
+
+    # config 3: 64-image 256^2 stack, shared PSF
+    rng = np.random.default_rng(0)
+    stack = (rng.random((64, 256, 256, 3)) * 255).astype(np.uint8)
+    bfn = jax.jit(
+        functools.partial(
+            _batched_core,
+            psf_length=25,
+            fft_backend=backend,
+            filter_name="wiener",
+        )
+    )
+    xs = jax.device_put(jnp.asarray(stack.astype(np.float32) / 255.0))
+    ms = bench_call(bfn, (xs, jnp.float32(30.0), jnp.float32(0.01)), iters=5)
+    mp = 64 * 256 * 256 * 3 / 1e6
+    results.append(
+        {"metric": "batch64_256sq_shared_psf", "value": round(ms, 2),
+         "unit": "ms/batch", "mp_per_s": round(mp / ms * 1e3, 1)}
+    )
+
+    # config 4: 4K non-square (pads to 4096x4096)
+    uhd = (rng.random((2160, 3840, 3)) * 255).astype(np.uint8)
+    run_single("uhd_3840x2160_psf50_30", uhd, 50, 30.0)
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "matmul")

@@ -85,11 +85,34 @@ def _oracle_channels(img: np.ndarray, length: int, angle: float, K: float) -> np
     return restore_channels(np.moveaxis(imgf, -1, 0), psf, K)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: first compile of each pipeline
+    shape is seconds-to-minutes (Mosaic kernels especially), so cache
+    executables across CLI invocations. Override the location with
+    FFT_RESTORATION_CACHE; set it empty to disable."""
+    import os
+
+    cache = os.environ.get(
+        "FFT_RESTORATION_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "fft_restoration_tpu"),
+    )
+    if not cache:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs — harmless
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.psf_length < 1:
         print(f"[Error] psf-length must be >= 1, got {args.psf_length}")
         return 2
+    _enable_compile_cache()
 
     from fft_restoration_tpu.utils.imageio import imread, imwrite
 

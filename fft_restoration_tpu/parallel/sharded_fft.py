@@ -49,6 +49,49 @@ def _reshard_cols_to_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     )
 
 
+def sharded_fft2d_conv_fwd(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    backend: str = "matmul",
+    axis_name: str = ROWS_AXIS,
+) -> SoA:
+    """Forward 2D DFT that STOPS in the transposed, column-sharded
+    layout: local block (..., H/D, W) -> spectrum block (..., W/D, H).
+
+    The reference's distributed my_dft2D does two Alltoallv per
+    transform to return data row-sharded (fft_mpi.cpp:296,306). For
+    convolution-style use the second exchange is pure waste — the
+    elementwise filter doesn't care about layout, and the inverse
+    transform can consume the transposed layout directly
+    (sharded_fft2d_conv_inv). One all_to_all per transform instead of
+    two: the full Wiener restore does 3 collective exchanges instead of
+    the reference's 6 (the 'transpose-free FFT' formulation, cf.
+    PAPERS.md arXiv:1406.5597).
+    """
+    re, im = fft1d(re, im, False, backend)
+    re = _reshard_rows_to_cols(re, axis_name)
+    im = _reshard_rows_to_cols(im, axis_name)
+    re = jnp.swapaxes(re, -1, -2)
+    im = jnp.swapaxes(im, -1, -2)
+    return fft1d(re, im, False, backend)
+
+
+def sharded_fft2d_conv_inv(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    backend: str = "matmul",
+    axis_name: str = ROWS_AXIS,
+) -> SoA:
+    """Inverse of sharded_fft2d_conv_fwd: spectrum block (..., W/D, H)
+    -> spatial block (..., H/D, W), unscaled. One all_to_all."""
+    re, im = fft1d(re, im, True, backend)
+    re = jnp.swapaxes(re, -1, -2)
+    im = jnp.swapaxes(im, -1, -2)
+    re = _reshard_cols_to_rows(re, axis_name)
+    im = _reshard_cols_to_rows(im, axis_name)
+    return fft1d(re, im, True, backend)
+
+
 def sharded_fft2d(
     re: jnp.ndarray,
     im: jnp.ndarray,

@@ -34,7 +34,11 @@ from fft_restoration_tpu.ops.color import apply_white_balance, bgr_to_lab, lab_t
 from fft_restoration_tpu.ops.psf import motion_blur_kernel
 from fft_restoration_tpu.ops.wiener import wiener_filter, inverse_filter, cls_filter
 from fft_restoration_tpu.parallel.mesh import ROWS_AXIS, make_mesh
-from fft_restoration_tpu.parallel.sharded_fft import sharded_fft2d
+from fft_restoration_tpu.parallel.sharded_fft import (
+    sharded_fft2d,
+    sharded_fft2d_conv_fwd,
+    sharded_fft2d_conv_inv,
+)
 from fft_restoration_tpu.utils.padding import next_power_of_two
 
 
@@ -51,21 +55,28 @@ def _local_restore_planes(
     axis_name: str = ROWS_AXIS,
 ) -> jnp.ndarray:
     """Per-device body (inside shard_map). Blocks: ch (C, Hp/D, Wp),
-    psf/lap (Hp/D, Wp). Returns normalized restored block (C, Hp/D, Wp)."""
+    psf/lap (Hp/D, Wp). Returns normalized restored block (C, Hp/D, Wp).
+
+    Uses the transpose-free convolution layout (sharded_fft2d_conv_fwd/
+    _inv): spectra live column-sharded+transposed, the elementwise
+    filter runs there, and only 3 all_to_all exchanges happen per
+    restore vs the reference's 6 (SURVEY.md §3.2)."""
     zero_c = jnp.zeros_like(ch_blk)
     zero_p = jnp.zeros_like(psf_blk)
-    G = sharded_fft2d(ch_blk, zero_c, False, fft_backend, axis_name)
-    H = sharded_fft2d(psf_blk, zero_p, False, fft_backend, axis_name)
+    G = sharded_fft2d_conv_fwd(ch_blk, zero_c, fft_backend, axis_name)
+    H = sharded_fft2d_conv_fwd(psf_blk, zero_p, fft_backend, axis_name)
     if filter_name == "wiener":
         F = wiener_filter(G, H, K)
     elif filter_name == "inverse":
         F = inverse_filter(G, H)
     elif filter_name == "cls":
-        Pf = sharded_fft2d(lap_blk, jnp.zeros_like(lap_blk), False, fft_backend, axis_name)
+        Pf = sharded_fft2d_conv_fwd(
+            lap_blk, jnp.zeros_like(lap_blk), fft_backend, axis_name
+        )
         F = cls_filter(G, H, Pf, K)
     else:
         raise ValueError(f"unknown filter {filter_name!r}")
-    r_re, _ = sharded_fft2d(F[0], F[1], True, fft_backend, axis_name)
+    r_re, _ = sharded_fft2d_conv_inv(F[0], F[1], fft_backend, axis_name)
     restored = r_re * jnp.float32(1.0 / (hp * wp))
 
     # Global min-max over the padded plane: local reduce + cross-device

@@ -31,7 +31,19 @@ def _load_native():
         return _native
     import ctypes
 
-    lib_path = Path(__file__).resolve().parent.parent / "native" / "libpngfilt.so"
+    native_dir = Path(__file__).resolve().parent.parent / "native"
+    lib_path = native_dir / "libpngfilt.so"
+    if not lib_path.exists() and (native_dir / "png_codec.cpp").exists():
+        # best-effort one-time build of the fast path
+        import shutil
+        import subprocess
+
+        if shutil.which("make") and shutil.which("g++"):
+            subprocess.run(
+                ["make", "-C", str(native_dir)],
+                capture_output=True,
+                check=False,
+            )
     if not lib_path.exists():
         _native = False
         return _native
