@@ -105,8 +105,17 @@ def _sharded_core(
     h, w = img_f32.shape[:2]
     hp, wp = next_power_of_two(h), next_power_of_two(w)
     n_dev = mesh.devices.size
-    if hp % n_dev != 0:
-        raise ValueError(f"padded rows {hp} not divisible by {n_dev} devices")
+    if hp % n_dev != 0 or wp % n_dev != 0:
+        # Non-power-of-two meshes can't evenly split pow2 dims (rows for
+        # the shard, cols for the all_to_all split axis); pad both up to
+        # the next device-count multiple. The FFT then takes the
+        # naive-DFT fallback (ops/fft.py) for the non-pow2 lengths — the
+        # same degradation path as transform_row_inplace
+        # (fft_serial.cpp:100-101). Power-of-two meshes (every real TPU
+        # topology) hit the fast path with dims unchanged, preserving
+        # exact single-chip parity.
+        hp = -(-hp // n_dev) * n_dev
+        wp = -(-wp // n_dev) * n_dev
 
     psf = motion_blur_kernel(psf_length, angle_deg)
     psf_pad = jnp.pad(psf, ((0, hp - psf_length), (0, wp - psf_length)))
