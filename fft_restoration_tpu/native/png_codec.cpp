@@ -17,6 +17,12 @@
 #include <cstdlib>
 #include <cstring>
 
+#include <atomic>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
 namespace {
 
 inline uint8_t paeth(int a, int b, int c) {
@@ -104,6 +110,148 @@ int filter_scanlines_paeth(const uint8_t* img, uint8_t* out, int height,
         prev = src;
     }
     return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Full in-memory PNG decode (8-bit, non-interlaced RGB/RGBA/gray) and a
+// threaded batch front-end — the framework's native data-loader for the
+// batched pipeline (models/batched.py). The reference's loader is
+// cv::imread called serially per image (serial.cpp:22); here N images
+// decode on a std::thread pool into one preallocated host buffer.
+
+namespace {
+
+struct PngInfo {
+    uint32_t width = 0, height = 0;
+    uint8_t bit_depth = 0, color_type = 0, interlace = 0;
+};
+
+inline uint32_t be32(const uint8_t* p) {
+    return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+           (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+const uint8_t kSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+
+// Decode one PNG buffer to tightly-packed RGB8 (out = w*h*3).
+// Returns 0 ok; -1 bad signature/structure; -2 unsupported format;
+// -3 zlib error; -4 bad filter; -5 output size mismatch.
+int decode_rgb8_one(const uint8_t* data, int64_t len, uint8_t* out,
+                    int expect_w, int expect_h) {
+    if (len < 8 || std::memcmp(data, kSig, 8) != 0) return -1;
+    PngInfo info;
+    std::vector<uint8_t> idat;
+    std::vector<uint8_t> palette;  // 3 bytes per entry
+    int64_t pos = 8;
+    while (pos + 12 <= len) {
+        const uint32_t clen = be32(data + pos);
+        const uint8_t* ctype = data + pos + 4;
+        const uint8_t* body = data + pos + 8;
+        if (pos + 12 + clen > len) return -1;
+        if (!std::memcmp(ctype, "IHDR", 4)) {
+            if (clen < 13) return -1;
+            info.width = be32(body);
+            info.height = be32(body + 4);
+            info.bit_depth = body[8];
+            info.color_type = body[9];
+            info.interlace = body[12];
+        } else if (!std::memcmp(ctype, "PLTE", 4)) {
+            palette.assign(body, body + clen);
+        } else if (!std::memcmp(ctype, "IDAT", 4)) {
+            idat.insert(idat.end(), body, body + clen);
+        } else if (!std::memcmp(ctype, "IEND", 4)) {
+            break;
+        }
+        pos += 12 + clen;
+    }
+    if (info.width == 0 || info.interlace != 0 || info.bit_depth != 8)
+        return -2;
+    if (expect_w > 0 && (int)info.width != expect_w) return -5;
+    if (expect_h > 0 && (int)info.height != expect_h) return -5;
+    int channels;
+    switch (info.color_type) {
+        case 0: channels = 1; break;
+        case 2: channels = 3; break;
+        case 3: channels = 1; break;
+        case 4: channels = 2; break;
+        case 6: channels = 4; break;
+        default: return -2;
+    }
+    const int w = info.width, h = info.height;
+    const int stride = w * channels;
+    std::vector<uint8_t> raw((int64_t)h * (stride + 1));
+    {
+        uLongf dst_len = raw.size();
+        if (uncompress(raw.data(), &dst_len, idat.data(), idat.size()) != Z_OK ||
+            dst_len != raw.size())
+            return -3;
+    }
+    std::vector<uint8_t> recon((int64_t)h * stride);
+    if (unfilter_scanlines(raw.data(), recon.data(), h, stride, channels) != 0)
+        return -4;
+    // expand to RGB8
+    for (int64_t i = 0; i < (int64_t)w * h; ++i) {
+        const uint8_t* px = recon.data() + i * channels;
+        uint8_t r, g, b;
+        switch (info.color_type) {
+            case 0: case 4: r = g = b = px[0]; break;
+            case 3: {
+                const int idx = px[0] * 3;
+                if (idx + 2 >= (int)palette.size()) return -2;
+                r = palette[idx]; g = palette[idx + 1]; b = palette[idx + 2];
+                break;
+            }
+            default: r = px[0]; g = px[1]; b = px[2]; break;
+        }
+        out[i * 3] = r;
+        out[i * 3 + 1] = g;
+        out[i * 3 + 2] = b;
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Probe dimensions. Returns 0 and fills w/h, or <0.
+int png_get_size(const uint8_t* data, int64_t len, int* w, int* h) {
+    if (len < 33 || std::memcmp(data, kSig, 8) != 0) return -1;
+    if (std::memcmp(data + 12, "IHDR", 4) != 0) return -1;
+    *w = (int)be32(data + 16);
+    *h = (int)be32(data + 20);
+    return 0;
+}
+
+int decode_png_rgb8(const uint8_t* data, int64_t len, uint8_t* out, int w,
+                    int h) {
+    return decode_rgb8_one(data, len, out, w, h);
+}
+
+// Batch decode: n same-sized PNG buffers into out[n, h, w, 3] using up
+// to `threads` worker threads. Returns 0, or the first nonzero error.
+int decode_png_batch_rgb8(const uint8_t** datas, const int64_t* lens, int n,
+                          uint8_t* out, int w, int h, int threads) {
+    if (threads < 1) threads = 1;
+    if (threads > n) threads = n;
+    std::atomic<int> next(0);
+    std::atomic<int> err(0);
+    const int64_t frame = (int64_t)w * h * 3;
+    auto worker = [&]() {
+        for (;;) {
+            const int i = next.fetch_add(1);
+            if (i >= n) return;
+            const int rc = decode_rgb8_one(datas[i], lens[i], out + i * frame, w, h);
+            if (rc != 0) {
+                int expected = 0;
+                err.compare_exchange_strong(expected, rc);
+            }
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+    return err.load();
 }
 
 }  // extern "C"

@@ -65,6 +65,23 @@ def _load_native():
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.png_get_size.restype = ctypes.c_int
+        lib.png_get_size.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.decode_png_batch_rgb8.restype = ctypes.c_int
+        lib.decode_png_batch_rgb8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _native = lib
     except OSError:
         _native = False
@@ -259,6 +276,47 @@ def imread(path: str) -> np.ndarray:
     if img.shape[-1] == 4:
         img = img[..., :3]
     return img[..., ::-1].copy()  # RGB -> BGR
+
+
+def imread_batch(paths, threads: int = 8) -> np.ndarray:
+    """Decode N same-sized PNGs into one (N, H, W, 3) BGR uint8 array.
+
+    The batch data-loader for models/batched.py: decodes on a C++
+    std::thread pool (native/png_codec.cpp decode_png_batch_rgb8) when
+    the fast path is built, else serial Python. The reference has no
+    batch loader — its drivers call cv::imread once per run
+    (serial.cpp:22); this is the production-ingest counterpart.
+    """
+    paths = list(paths)
+    if not paths:
+        return np.empty((0, 0, 0, 3), np.uint8)
+    blobs = [Path(p).read_bytes() for p in paths]
+    lib = _load_native()
+    if lib:
+        import ctypes
+
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        if lib.png_get_size(blobs[0], len(blobs[0]), ctypes.byref(w), ctypes.byref(h)) == 0:
+            n = len(blobs)
+            out = np.empty((n, h.value, w.value, 3), np.uint8)
+            arr_t = ctypes.c_char_p * n
+            len_t = ctypes.c_int64 * n
+            datas = arr_t(*blobs)
+            lens = len_t(*[len(b) for b in blobs])
+            rc = lib.decode_png_batch_rgb8(
+                datas,
+                lens,
+                n,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                w.value,
+                h.value,
+                threads,
+            )
+            if rc == 0:
+                return out[..., ::-1].copy()  # RGB -> BGR
+        # fall through on unsupported formats
+    return np.stack([imread(p) for p in paths], axis=0)
 
 
 def imwrite(path: str, img_bgr: np.ndarray) -> None:
