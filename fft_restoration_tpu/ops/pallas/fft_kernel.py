@@ -131,6 +131,141 @@ def _fft_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref, *,
     oim_ref[:] = x_im
 
 
+def _dit_stage_sub(x_re, x_im, wc, ws, m, half, n):
+    """DIT butterfly along the SUBLANE axis (axis 0): same math as
+    _dit_stage with rolls on rows and (H, 1) column twiddles/masks."""
+    p_re = pltpu.roll(x_re, n - half, axis=0)
+    p_im = pltpu.roll(x_im, n - half, axis=0)
+    q_re = pltpu.roll(x_re, half, axis=0)
+    q_im = pltpu.roll(x_im, half, axis=0)
+    wp_re = wc * p_re - ws * p_im
+    wp_im = wc * p_im + ws * p_re
+    wx_re = wc * x_re - ws * x_im
+    wx_im = wc * x_im + ws * x_re
+    x_re = m * (x_re + wp_re) + (1.0 - m) * (q_re - wx_re)
+    x_im = m * (x_im + wp_im) + (1.0 - m) * (q_im - wx_im)
+    return x_re, x_im
+
+
+def _dif_stage_sub(x_re, x_im, wc, ws, m, half, n):
+    """DIF stage along the sublane axis."""
+    p_re = pltpu.roll(x_re, n - half, axis=0)
+    p_im = pltpu.roll(x_im, n - half, axis=0)
+    q_re = pltpu.roll(x_re, half, axis=0)
+    q_im = pltpu.roll(x_im, half, axis=0)
+    d_re = q_re - x_re
+    d_im = q_im - x_im
+    wd_re = wc * d_re - ws * d_im
+    wd_im = wc * d_im + ws * d_re
+    x_re = m * (x_re + p_re) + (1.0 - m) * wd_re
+    x_im = m * (x_im + p_im) + (1.0 - m) * wd_im
+    return x_re, x_im
+
+
+def _fft_cols_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref, *, dif):
+    """Column FFT: transform along the sublane axis of an (H, C) block.
+    Tables are stored TRANSPOSED — (H, S) with the stage index on lanes —
+    so per-stage slices are (H, 1) columns in their natural layout (a
+    (1, H) row slice would force a relayout)."""
+    x_re = re_ref[:]
+    x_im = im_ref[:]
+    n = x_re.shape[0]
+    stages = n.bit_length() - 1
+    order = range(stages - 1, -1, -1) if dif else range(stages)
+    stage_fn = _dif_stage_sub if dif else _dit_stage_sub
+    for s in order:
+        half = 1 << s
+        wc = cos_ref[:, s : s + 1]
+        ws = sin_ref[:, s : s + 1]
+        m = mask_ref[:, s : s + 1]
+        x_re, x_im = stage_fn(x_re, x_im, wc, ws, m, half, n)
+    ore_ref[:] = x_re
+    oim_ref[:] = x_im
+
+
+def fft_cols_pallas(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    inverse: bool = False,
+    block_cols: int = 256,
+    interpret: bool | None = None,
+    ordering: str = "natural",
+) -> SoA:
+    """1D DFT along axis -2 (the column axis) of (..., H, W) SoA planes,
+    H a power of two. The transform axis sits on SUBLANES — combined
+    with fft_rows_pallas this gives a fully transpose-free 2D FFT.
+    Unscaled inverse; same ordering semantics as fft_rows_pallas."""
+    orig_shape = re.shape
+    h = orig_shape[-2]
+    w = orig_shape[-1]
+    if h & (h - 1):
+        raise ValueError(f"fft_cols_pallas needs power-of-two height, got {h}")
+    if ordering not in ("natural", "revorder"):
+        raise ValueError(f"unknown ordering {ordering!r}")
+    if h < 2:
+        return re, im
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    lead = int(np.prod(orig_shape[:-2])) if len(orig_shape) > 2 else 1
+    re3 = re.reshape(lead, h, w)
+    im3 = im.reshape(lead, h, w)
+
+    vmem_budget = 24 << 20
+    # floor to a 64-lane multiple; 64 lanes (half a vreg) is the escape
+    # hatch for very tall columns (e.g. H=4096).
+    max_cols = max(64, (vmem_budget // (h * 4 * 10)) // 64 * 64)
+    cols = min(block_cols, max_cols, max(w, 1))
+    pad = (-w) % cols
+    if pad:
+        re3 = jnp.pad(re3, ((0, 0), (0, 0), (0, pad)))
+        im3 = jnp.pad(im3, ((0, 0), (0, 0), (0, pad)))
+    wt = re3.shape[-1]
+
+    dif = ordering == "revorder" and not inverse
+    if ordering == "natural":
+        re3 = jnp.swapaxes(_bit_reverse_last_axis(jnp.swapaxes(re3, -1, -2)), -1, -2)
+        im3 = jnp.swapaxes(_bit_reverse_last_axis(jnp.swapaxes(im3, -1, -2)), -1, -2)
+
+    cos_np, sin_np = _twiddle_planes_np(h, inverse)
+    mask_np = _half_masks_np(h)
+    # transpose tables to (H, S): stage index on lanes
+    cos_t = np.ascontiguousarray(cos_np.T)
+    sin_t = np.ascontiguousarray(sin_np.T)
+    mask_t = np.ascontiguousarray(mask_np.T)
+    stages = cos_np.shape[0]
+
+    import functools as _ft
+
+    grid = (lead, wt // cols)
+    blk = pl.BlockSpec((1, h, cols), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM)
+    tbl = pl.BlockSpec((h, stages), lambda b, j: (0, 0), memory_space=pltpu.VMEM)
+
+    def kernel(re_ref, im_ref, c_ref, s_ref, m_ref, ore_ref, oim_ref):
+        _fft_cols_kernel(
+            re_ref.at[0], im_ref.at[0], c_ref, s_ref, m_ref,
+            ore_ref.at[0], oim_ref.at[0], dif=dif,
+        )
+
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk, blk, tbl, tbl, tbl],
+        out_specs=[blk, blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((lead, h, wt), jnp.float32),
+            jax.ShapeDtypeStruct((lead, h, wt), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(re3, im3, jnp.asarray(cos_t), jnp.asarray(sin_t), jnp.asarray(mask_t))
+
+    if pad:
+        out_re = out_re[..., :w]
+        out_im = out_im[..., :w]
+    return out_re.reshape(orig_shape), out_im.reshape(orig_shape)
+
+
 def _bit_reverse_last_axis(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[-1]
     m = n.bit_length() - 1
@@ -181,7 +316,9 @@ def fft_rows_pallas(
     # Size the row block to the VMEM budget: ~10 live (rows, n) f32
     # planes (x/p/q/w-products for re+im) + the twiddle/mask tables must
     # fit the ~16MB scoped VMEM; leave headroom.
-    vmem_budget = 10 << 20
+    # The default 16MB scoped-VMEM limit is raised via CompilerParams
+    # below (v5e has headroom); size blocks against a 24MB working set.
+    vmem_budget = 24 << 20
     max_rows = max(8, (vmem_budget // (n * 4 * 10)) // 8 * 8)
     rows = min(block_rows, max_rows, max(batch, 1))
     pad = (-batch) % rows
@@ -220,6 +357,7 @@ def fft_rows_pallas(
             jax.ShapeDtypeStruct((total, n), jnp.float32),
             jax.ShapeDtypeStruct((total, n), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(re2, im2, jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(mask_np))
 

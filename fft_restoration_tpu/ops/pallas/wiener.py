@@ -56,7 +56,7 @@ def wiener_pallas(
     batch = gr2.shape[0]
     # ~8 live (rows, n) f32 planes (4 in + 2 out + temporaries) must fit
     # the ~16MB scoped VMEM.
-    max_rows = max(8, ((10 << 20) // (n * 4 * 8)) // 8 * 8)
+    max_rows = max(8, ((24 << 20) // (n * 4 * 8)) // 8 * 8)
     rows = min(block_rows, max_rows, max(batch, 1))
     pad = (-batch) % rows
     if pad:
@@ -75,6 +75,7 @@ def wiener_pallas(
             jax.ShapeDtypeStruct((total, n), jnp.float32),
             jax.ShapeDtypeStruct((total, n), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(
         jnp.asarray([K], jnp.float32),
