@@ -84,36 +84,37 @@ def restore_planes(
 
 
 def _restore_planes_pallas_fused(channels, psf_pad, K):
-    """Pallas fast path — transpose-free AND bit-reversal-free:
+    """Pallas fast path: revorder (DIF fwd / DIT inv, zero bit-reversal
+    passes) row-FFT kernels + fused Wiener kernel, with the filter
+    applied in the TRANSPOSED, bit-reversed-spectrum orientation so each
+    2D round trip needs only 2 XLA transposes instead of 4. Elementwise
+    filters are order- and orientation-agnostic, so the restoration is
+    numerically the same transform (ops/pallas/fft_kernel.py docstring).
 
-      * revorder ordering (DIF forward / DIT inverse) keeps the whole
-        frequency domain in bit-reversed order, where the elementwise
-        Wiener filter is oblivious — zero permutation passes;
-      * the column pass runs on the SUBLANE axis (fft_cols_pallas), so
-        no transpose is ever materialized either.
-
-    Each 2D transform is exactly two VMEM-resident kernel passes over
-    the data — the minimum HBM traffic for a 2-pass separable transform.
-    Compare the CUDA reference: per 2D transform it launches 2 FFT
-    kernels + 2 transpose kernels and bit-reverses in-kernel per row
-    (fft_gpu.cu:214-240).
+    Measured note (v5e): a fully transpose-free variant exists
+    (fft_cols_pallas transforms along sublanes), but sublane rolls cost
+    ~3x lane rolls on this hardware, making it 9.1 ms vs 3.1 ms here —
+    XLA's transposes + lane-axis kernels win. Kept as an op for
+    workloads where the transpose dominates.
     """
-    from fft_restoration_tpu.ops.pallas.fft_kernel import (
-        fft_cols_pallas,
-        fft_rows_pallas,
-    )
+    from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
     from fft_restoration_tpu.ops.pallas.wiener import wiener_pallas
 
     hp, wp = channels.shape[-2:]
 
-    def fwd2d(re, im):
+    def fwd2d_t(re, im):
+        # rows pass -> transpose -> cols-as-rows pass; STAY transposed.
         re, im = fft_rows_pallas(re, im, False, ordering="revorder")
-        return fft_cols_pallas(re, im, False, ordering="revorder")
+        re = jnp.swapaxes(re, -1, -2)
+        im = jnp.swapaxes(im, -1, -2)
+        return fft_rows_pallas(re, im, False, ordering="revorder")
 
-    G = fwd2d(channels, jnp.zeros_like(channels))
-    H = fwd2d(psf_pad, jnp.zeros_like(psf_pad))
+    G = fwd2d_t(channels, jnp.zeros_like(channels))
+    H = fwd2d_t(psf_pad, jnp.zeros_like(psf_pad))
     F = wiener_pallas(G, H, K)
-    r_re, r_im = fft_cols_pallas(F[0], F[1], True, ordering="revorder")
+    r_re, r_im = fft_rows_pallas(F[0], F[1], True, ordering="revorder")
+    r_re = jnp.swapaxes(r_re, -1, -2)
+    r_im = jnp.swapaxes(r_im, -1, -2)
     r_re, _ = fft_rows_pallas(r_re, r_im, True, ordering="revorder")
     restored = r_re * jnp.float32(1.0 / (hp * wp))
     return _minmax_normalize(restored)
