@@ -1,0 +1,176 @@
+"""Spectral megakernel: column-FFT -> Wiener -> column-IFFT in one pass.
+
+In the transposed orientation the middle of the 2D Wiener restore —
+second forward FFT pass, elementwise filter, first inverse FFT pass —
+operates independently on each (transposed) row block. This kernel fuses
+all three, so the full 2D spectrum is NEVER materialized in HBM: per
+block it runs the log2(N) DIF forward stages, the Wiener filter against
+the PSF spectrum block, and the log2(N) DIT inverse stages, all in VMEM.
+
+Replaces three kernels + two full spectrum round trips of the unfused
+pallas path; the CUDA reference materializes every intermediate
+(fft_gpu.cu:356-364: my_dft2D, wiener_kernel, my_dft2D).
+
+Orderings: input blocks arrive row-FFT'd in revorder (bit-reversed
+spectrum), the PSF spectrum must be produced by the same revorder
+forward path, and the output leaves in spatial-domain transposed
+orientation ready for the final row IFFT. Elementwise filtering is
+order-agnostic so the bit-reversed order is free (fft_kernel.py).
+
+Measured note (v5e, 2048sq x3): the fused pipeline ran 11.96 ms vs
+3.13 ms for the unfused three-kernel sequence — the 22 unrolled stages
+plus filter in one body exceed the VMEM working set Mosaic can keep
+resident, and spills eat the saved HBM passes. Kept as an op (correct,
+parity 5e-7 vs the matmul backend); models/pipeline.py uses the unfused
+sequence. Revisit with scratch-buffer staging if a future round wants
+the last ~25% of HBM traffic back.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fft_restoration_tpu.ops.pallas.fft_kernel import (
+    _dif_stage,
+    _dit_stage,
+    _half_masks_np,
+    _twiddle_planes_np,
+)
+
+SoA = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def _kernel(
+    k_ref,
+    are_ref,
+    aim_ref,
+    hre_ref,
+    him_ref,
+    cf_ref,
+    sf_ref,
+    ci_ref,
+    si_ref,
+    m_ref,
+    ore_ref,
+    oim_ref,
+):
+    x_re = are_ref[:]
+    x_im = aim_ref[:]
+    n = x_re.shape[-1]
+    stages = n.bit_length() - 1
+    # forward column pass: DIF, stages from long to short
+    for s in range(stages - 1, -1, -1):
+        half = 1 << s
+        x_re, x_im = _dif_stage(
+            x_re,
+            x_im,
+            cf_ref[s, :][None, :],
+            sf_ref[s, :][None, :],
+            m_ref[s, :][None, :],
+            half,
+            n,
+        )
+    # Wiener: F = G * conj(H) / (|H|^2 + K)
+    hr = hre_ref[:]
+    hi = him_ref[:]
+    k = k_ref[0]
+    inv = 1.0 / (hr * hr + hi * hi + k)
+    f_re = (x_re * hr + x_im * hi) * inv
+    f_im = (x_im * hr - x_re * hi) * inv
+    # inverse column pass: DIT, stages from short to long
+    x_re, x_im = f_re, f_im
+    for s in range(stages):
+        half = 1 << s
+        x_re, x_im = _dit_stage(
+            x_re,
+            x_im,
+            ci_ref[s, :][None, :],
+            si_ref[s, :][None, :],
+            m_ref[s, :][None, :],
+            half,
+            n,
+        )
+    ore_ref[:] = x_re
+    oim_ref[:] = x_im
+
+
+def wiener_spectral_rows_pallas(
+    A: SoA,
+    H: SoA,
+    K,
+    block_rows: int = 256,
+    interpret: bool | None = None,
+) -> SoA:
+    """rowIFFT(wiener(rowFFT(A), H)) over the last axis, unscaled.
+
+    A: (..., M, N) row-FFT'd image planes in transposed orientation,
+       revorder (bit-reversed) spectrum along the last axis pending.
+    H: (M, N) PSF spectrum in the same orientation/ordering (produced by
+       the revorder forward 2D path); broadcasts over A's leading axes.
+    """
+    a_re, a_im = A
+    h_re, h_im = H
+    lead = a_re.shape
+    n = lead[-1]
+    if n & (n - 1):
+        raise ValueError(f"power-of-two length required, got {n}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    ar = a_re.reshape(-1, n)
+    ai = a_im.reshape(-1, n)
+    hr = jnp.broadcast_to(h_re, lead).reshape(-1, n)
+    hi = jnp.broadcast_to(h_im, lead).reshape(-1, n)
+    batch = ar.shape[0]
+    # ~14 live (rows, n) planes through the fused body.
+    max_rows = max(8, ((24 << 20) // (n * 4 * 14)) // 8 * 8)
+    rows = min(block_rows, max_rows, max(batch, 1))
+    pad = (-batch) % rows
+    if pad:
+        ar, ai, hr, hi = (jnp.pad(v, ((0, pad), (0, 0))) for v in (ar, ai, hr, hi))
+    total = ar.shape[0]
+
+    cf, sf = _twiddle_planes_np(n, False)
+    ci, si = _twiddle_planes_np(n, True)
+    mask = _half_masks_np(n)
+    stages = cf.shape[0]
+
+    spec = pl.BlockSpec((rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tbl = pl.BlockSpec((stages, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    out_re, out_im = pl.pallas_call(
+        _kernel,
+        grid=(total // rows,),
+        in_specs=[k_spec, spec, spec, spec, spec, tbl, tbl, tbl, tbl, tbl],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((total, n), jnp.float32),
+            jax.ShapeDtypeStruct((total, n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(
+        jnp.asarray([K], jnp.float32),
+        ar,
+        ai,
+        hr,
+        hi,
+        jnp.asarray(cf),
+        jnp.asarray(sf),
+        jnp.asarray(ci),
+        jnp.asarray(si),
+        jnp.asarray(mask),
+    )
+    if pad:
+        out_re = out_re[:batch]
+        out_im = out_im[:batch]
+    return out_re.reshape(lead), out_im.reshape(lead)
