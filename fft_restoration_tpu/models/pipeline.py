@@ -102,15 +102,16 @@ def _restore_planes_pallas_fused(channels, psf_pad, K):
 
     hp, wp = channels.shape[-2:]
 
-    def fwd2d_t(re, im):
-        # rows pass -> transpose -> cols-as-rows pass; STAY transposed.
-        re, im = fft_rows_pallas(re, im, False, ordering="revorder")
+    def fwd2d_t(re):
+        # rows pass (real input: imag synthesized in-register) ->
+        # transpose -> cols-as-rows pass; STAY transposed.
+        re, im = fft_rows_pallas(re, None, False, ordering="revorder")
         re = jnp.swapaxes(re, -1, -2)
         im = jnp.swapaxes(im, -1, -2)
         return fft_rows_pallas(re, im, False, ordering="revorder")
 
-    G = fwd2d_t(channels, jnp.zeros_like(channels))
-    H = fwd2d_t(psf_pad, jnp.zeros_like(psf_pad))
+    G = fwd2d_t(channels)
+    H = fwd2d_t(psf_pad)
     F = wiener_pallas(G, H, K)
     r_re, r_im = fft_rows_pallas(F[0], F[1], True, ordering="revorder")
     r_re = jnp.swapaxes(r_re, -1, -2)

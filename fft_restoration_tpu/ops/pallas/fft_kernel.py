@@ -116,7 +116,9 @@ def _dif_stage(x_re, x_im, wc, ws, m, half, n):
 
 def _fft_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref, *, dif):
     x_re = re_ref[:]
-    x_im = im_ref[:]
+    # real_input mode passes im_ref=None: the zero imaginary plane is
+    # synthesized in-register instead of being written to / read from HBM.
+    x_im = jnp.zeros_like(x_re) if im_ref is None else im_ref[:]
     n = x_re.shape[-1]
     stages = n.bit_length() - 1
     order = range(stages - 1, -1, -1) if dif else range(stages)
@@ -287,6 +289,9 @@ def fft_rows_pallas(
     >= 2. Unscaled inverse. Rows are tiled over the grid; each tile runs
     every butterfly stage in VMEM.
 
+    im may be None (real input): the zero imaginary plane is synthesized
+    in-register, saving its HBM write + read entirely.
+
     ordering:
       * 'natural'  — natural-order in AND out: DIT stages preceded by an
         XLA bit-reversal transpose pass.
@@ -305,17 +310,17 @@ def fft_rows_pallas(
     if ordering not in ("natural", "revorder"):
         raise ValueError(f"unknown ordering {ordering!r}")
     if n < 2:
-        return re, im
+        return re, (jnp.zeros_like(re) if im is None else im)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
+    real_input = im is None
     batch = int(np.prod(orig_shape[:-1])) if len(orig_shape) > 1 else 1
     re2 = re.reshape(batch, n)
-    im2 = im.reshape(batch, n)
+    im2 = None if real_input else im.reshape(batch, n)
 
     # Size the row block to the VMEM budget: ~10 live (rows, n) f32
-    # planes (x/p/q/w-products for re+im) + the twiddle/mask tables must
-    # fit the ~16MB scoped VMEM; leave headroom.
+    # planes (x/p/q/w-products for re+im) + the twiddle/mask tables.
     # The default 16MB scoped-VMEM limit is raised via CompilerParams
     # below (v5e has headroom); size blocks against a 24MB working set.
     vmem_budget = 24 << 20
@@ -324,7 +329,8 @@ def fft_rows_pallas(
     pad = (-batch) % rows
     if pad:
         re2 = jnp.pad(re2, ((0, pad), (0, 0)))
-        im2 = jnp.pad(im2, ((0, pad), (0, 0)))
+        if im2 is not None:
+            im2 = jnp.pad(im2, ((0, pad), (0, 0)))
     total = re2.shape[0]
 
     # 'natural': permute input to bit-reversed order, then DIT.
@@ -333,7 +339,8 @@ def fft_rows_pallas(
     dif = ordering == "revorder" and not inverse
     if ordering == "natural":
         re2 = _bit_reverse_last_axis(re2)
-        im2 = _bit_reverse_last_axis(im2)
+        if im2 is not None:
+            im2 = _bit_reverse_last_axis(im2)
 
     cos_np, sin_np = _twiddle_planes_np(n, inverse)
     mask_np = _half_masks_np(n)
@@ -348,10 +355,23 @@ def fft_rows_pallas(
     const_spec = pl.BlockSpec(
         (stages, n), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    if real_input:
+        kernel = _ft.partial(_fft_kernel, dif=dif)
+
+        def kernel_real(re_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref):
+            kernel(re_ref, None, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref)
+
+        in_specs = [row_spec, const_spec, const_spec, const_spec]
+        operands = (re2,)
+        body = kernel_real
+    else:
+        body = _ft.partial(_fft_kernel, dif=dif)
+        in_specs = [row_spec, row_spec, const_spec, const_spec, const_spec]
+        operands = (re2, im2)
     out_re, out_im = pl.pallas_call(
-        _ft.partial(_fft_kernel, dif=dif),
+        body,
         grid=grid,
-        in_specs=[row_spec, row_spec, const_spec, const_spec, const_spec],
+        in_specs=in_specs,
         out_specs=[row_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct((total, n), jnp.float32),
@@ -359,7 +379,7 @@ def fft_rows_pallas(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
-    )(re2, im2, jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(mask_np))
+    )(*operands, jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(mask_np))
 
     if pad:
         out_re = out_re[:batch]

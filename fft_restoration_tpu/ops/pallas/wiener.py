@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -48,43 +50,60 @@ def wiener_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     lead = gr.shape
-    n = lead[-1]
-    hr_b = jnp.broadcast_to(hr, lead).reshape(-1, n)
-    hi_b = jnp.broadcast_to(hi, lead).reshape(-1, n)
-    gr2 = gr.reshape(-1, n)
-    gi2 = gi.reshape(-1, n)
-    batch = gr2.shape[0]
-    # ~8 live (rows, n) f32 planes (4 in + 2 out + temporaries) must fit
-    # the ~16MB scoped VMEM.
+    m, n = lead[-2], lead[-1]
+    if hr.shape[-2:] != (m, n):
+        raise ValueError(f"H plane {hr.shape} doesn't match G {lead}")
+
+    # G keeps its leading (channel/batch) axes as a grid dimension; H is
+    # indexed by the row-block position ONLY, so the shared PSF spectrum
+    # is never broadcast/materialized per channel in HBM.
+    chans = int(np.prod(lead[:-2])) if len(lead) > 2 else 1
+    gr3 = gr.reshape(chans, m, n)
+    gi3 = gi.reshape(chans, m, n)
+    hr2 = hr.reshape(m, n)
+    hi2 = hi.reshape(m, n)
+
     max_rows = max(8, ((24 << 20) // (n * 4 * 8)) // 8 * 8)
-    rows = min(block_rows, max_rows, max(batch, 1))
-    pad = (-batch) % rows
+    rows = min(block_rows, max_rows, max(m, 1))
+    pad = (-m) % rows
     if pad:
-        gr2, gi2, hr_b, hi_b = (
-            jnp.pad(a, ((0, pad), (0, 0))) for a in (gr2, gi2, hr_b, hi_b)
-        )
-    total = gr2.shape[0]
-    spec = pl.BlockSpec((rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        gr3 = jnp.pad(gr3, ((0, 0), (0, pad), (0, 0)))
+        gi3 = jnp.pad(gi3, ((0, 0), (0, pad), (0, 0)))
+        hr2 = jnp.pad(hr2, ((0, pad), (0, 0)))
+        hi2 = jnp.pad(hi2, ((0, pad), (0, 0)))
+    mt = gr3.shape[1]
+
+    g_spec = pl.BlockSpec(
+        (1, rows, n), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+    )
+    h_spec = pl.BlockSpec((rows, n), lambda c, i: (i, 0), memory_space=pltpu.VMEM)
     k_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def kernel(k_ref, gr_ref, gi_ref, hr_ref, hi_ref, fr_ref, fi_ref):
+        _wiener_kernel(
+            k_ref, gr_ref.at[0], gi_ref.at[0], hr_ref, hi_ref,
+            fr_ref.at[0], fi_ref.at[0],
+        )
+
     fr, fi = pl.pallas_call(
-        _wiener_kernel,
-        grid=(total // rows,),
-        in_specs=[k_spec, spec, spec, spec, spec],
-        out_specs=[spec, spec],
+        kernel,
+        grid=(chans, mt // rows),
+        in_specs=[k_spec, g_spec, g_spec, h_spec, h_spec],
+        out_specs=[g_spec, g_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((total, n), jnp.float32),
-            jax.ShapeDtypeStruct((total, n), jnp.float32),
+            jax.ShapeDtypeStruct((chans, mt, n), jnp.float32),
+            jax.ShapeDtypeStruct((chans, mt, n), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(
         jnp.asarray([K], jnp.float32),
-        gr2,
-        gi2,
-        hr_b,
-        hi_b,
+        gr3,
+        gi3,
+        hr2,
+        hi2,
     )
     if pad:
-        fr = fr[:batch]
-        fi = fi[:batch]
+        fr = fr[:, :m]
+        fi = fi[:, :m]
     return fr.reshape(lead), fi.reshape(lead)
