@@ -50,10 +50,19 @@ def main():
     k = jnp.float32(K)
 
     # Flagship backend is the pallas revorder path; the axon remote
-    # Mosaic compiler is intermittently flaky, so fall back to the
-    # matmul (MXU four-step) backend if that compile fails.
+    # Mosaic compiler is intermittently flaky (HTTP 500s, multi-minute
+    # hangs), so guard each compile with an alarm and fall back to the
+    # matmul (MXU four-step) backend.
+    import signal
+
+    class _CompileTimeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _CompileTimeout()
+
     fn = None
-    for backend in ("pallas", "matmul"):
+    for backend, budget_s in (("pallas", 600), ("matmul", 300)):
         try:
             cand = jax.jit(
                 functools.partial(
@@ -64,11 +73,19 @@ def main():
                     white_balance=True,
                 )
             )
-            out = cand(x, ang, k)
-            _sync(out[0])  # compile + warm
+            old = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(budget_s)
+            try:
+                out = cand(x, ang, k)
+                _sync(out[0])  # compile + warm
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
             fn = cand
             print(f"backend: {backend}", file=sys.stderr)
             break
+        except _CompileTimeout:
+            print(f"backend {backend}: compile timed out", file=sys.stderr)
         except Exception as e:  # compile-service failure
             print(f"backend {backend} failed: {str(e)[:200]}", file=sys.stderr)
     if fn is None:

@@ -339,10 +339,19 @@ class ShardedWienerPipeline:
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 
+    def _put(self, img_bgr: np.ndarray):
+        # Explicit replicated placement on the mesh: required when the
+        # mesh platform differs from the process default (virtual CPU
+        # mesh under an axon-TPU default).
+        img = np.asarray(img_bgr, np.float32) / np.float32(255.0)
+        return jax.device_put(
+            img, NamedSharding(self.mesh, P(None, None, None))
+        )
+
     def restore(
         self, img_bgr: np.ndarray, psf_length: int, psf_angle: float, K: float = 0.01
     ) -> np.ndarray:
-        img = jnp.asarray(np.asarray(img_bgr, np.float32) / np.float32(255.0))
+        img = self._put(img_bgr)
         fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
         out, _ = fn(img, jnp.float32(psf_angle), jnp.float32(K))
         return np.asarray(out)
@@ -350,7 +359,7 @@ class ShardedWienerPipeline:
     def restore_channels(
         self, img_bgr: np.ndarray, psf_length: int, psf_angle: float, K: float = 0.01
     ) -> np.ndarray:
-        img = jnp.asarray(np.asarray(img_bgr, np.float32) / np.float32(255.0))
+        img = self._put(img_bgr)
         fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
         _, planes = fn(img, jnp.float32(psf_angle), jnp.float32(K))
         return np.asarray(planes)
