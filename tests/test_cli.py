@@ -82,3 +82,29 @@ def test_cli_missing_file():
     r = _run(["/nonexistent_image.png", "5", "30"])
     assert r.returncode == 1
     assert "Cannot read image" in r.stdout
+
+
+def test_cli_batch_directory(tmp_path, small_png):
+    import shutil
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    for i in range(3):
+        shutil.copy(small_png, src / f"f{i}.png")
+    out = tmp_path / "out"
+    r = _run([str(src), "5", "30", "-o", str(out)])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Restored 3 frames" in r.stdout
+    assert sorted(p.name for p in out.iterdir()) == [
+        "f0_restored.png",
+        "f1_restored.png",
+        "f2_restored.png",
+    ]
+
+
+def test_cli_empty_directory(tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    r = _run([str(d), "5", "30"])
+    assert r.returncode == 1
+    assert "no PNG files" in r.stdout
