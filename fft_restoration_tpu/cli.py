@@ -24,7 +24,6 @@ import time
 
 import numpy as np
 
-from fft_restoration_tpu.utils.timing import PhaseProfiler
 from fft_restoration_tpu.utils.verify import channels_equal
 
 MODES = ("oracle", "jit", "sharded")
@@ -73,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="verification tolerance tier (reference: simd/mpi=l2, openmp=inf, gpu=gpu)",
     )
     p.add_argument("--profile", action="store_true", help="print per-phase times")
+    p.add_argument(
+        "--reference",
+        default=None,
+        help="sharp ground-truth PNG; prints PSNR of the restoration "
+        "against it (the prototype's compute_PSNR metric, "
+        "others/fft_image_restoration.py:95-99)",
+    )
     return p
 
 
@@ -136,8 +142,6 @@ def _run_batch(args) -> int:
 
     # group by frame size
     from collections import defaultdict
-
-    from fft_restoration_tpu.utils.imageio import decode_png
 
     groups = defaultdict(list)
     for p in paths:
@@ -316,6 +320,18 @@ def main(argv=None) -> int:
             print(f"[Speedup] {serial_ms / mode_ms:.2f}x")
             if not report.passed:
                 return 3
+
+    if args.reference:
+        from fft_restoration_tpu.utils.verify import psnr
+
+        try:
+            ref_img = imread(args.reference)
+            print(
+                f"PSNR vs reference: "
+                f"{psnr(ref_img.astype(float), out.astype(float), peak=255.0):.2f} dB"
+            )
+        except (OSError, ValueError) as e:
+            print(f"[Error] Cannot read reference {args.reference!r}: {e}")
 
     out_path = args.output or (
         args.img_path.rsplit(".", 1)[0] + f"_restored_{args.mode}.png"

@@ -13,7 +13,6 @@ it per channel, fft_gpu.cu:356).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 

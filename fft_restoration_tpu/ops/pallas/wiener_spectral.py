@@ -28,7 +28,6 @@ the last ~25% of HBM traffic back.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import numpy as np

@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fft_restoration_tpu.models.filters import _laplacian_fft
 from fft_restoration_tpu.ops.color import apply_white_balance, bgr_to_lab, lab_to_bgr
 from fft_restoration_tpu.ops.psf import motion_blur_kernel
 from fft_restoration_tpu.ops.wiener import wiener_filter, inverse_filter, cls_filter

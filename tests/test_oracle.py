@@ -119,9 +119,13 @@ def test_pipeline_matches_float64_prototype(rng):
     assert 10 * np.log10(1.0 / mse) > 60.0
 
 
-def test_wiener_deblur_output_range(rng):
-    img = rng.random((32, 32)).astype(np.float32)
+def test_wiener_deblur_output_range():
+    # own RNG: the shared session fixture makes inputs order-dependent,
+    # and float32 (x - lo) * (1 / (hi - lo)) can land 1 ULP off 1.0
+    local = np.random.default_rng(123)
+    img = local.random((32, 32)).astype(np.float32)
     psf = motion_blur_kernel_oracle(5, 10.0)
     out = wiener_deblur(img, psf)
     assert out.shape == (32, 32)
-    assert out.min() == 0.0 and out.max() == 1.0
+    assert out.min() == 0.0
+    assert abs(out.max() - 1.0) < 1e-5
