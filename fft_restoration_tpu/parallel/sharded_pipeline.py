@@ -144,6 +144,7 @@ def _sharded_core(
     restored = jax.shard_map(
         local_fn,
         mesh=mesh,
+        check_vma=False,
         in_specs=(P(None, ROWS_AXIS, None), P(ROWS_AXIS, None), P(ROWS_AXIS, None), P()),
         out_specs=P(None, ROWS_AXIS, None),
     )(chans, psf_pad, lap, K)
@@ -188,6 +189,7 @@ def sharded_restore_planes(
         jax.shard_map(
             local_fn,
             mesh=mesh,
+            check_vma=False,
             in_specs=(
                 P(None, ROWS_AXIS, None),
                 P(ROWS_AXIS, None),
@@ -249,7 +251,7 @@ def profile_phases_sharded(
 
     def smap(fn, in_specs, out_specs):
         return _jax.jit(
-            _jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+            _jax.shard_map(fn, mesh=mesh, check_vma=False, in_specs=in_specs, out_specs=out_specs)
         )
 
     p3 = P(None, ROWS_AXIS, None)

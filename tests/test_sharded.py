@@ -39,6 +39,7 @@ def test_sharded_fft2d_matches_npfft(rng, mesh, inverse):
         jax.shard_map(
             lambda re, im: sharded_fft2d(re, im, inverse, "matmul"),
             mesh=mesh,
+            check_vma=False,
             in_specs=(P(ROWS_AXIS, None), P(ROWS_AXIS, None)),
             out_specs=(P(ROWS_AXIS, None), P(ROWS_AXIS, None)),
         )
