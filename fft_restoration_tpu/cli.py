@@ -123,11 +123,13 @@ def _run_batch(args) -> int:
     import os
     import time
 
-    import numpy as np
-
-    from fft_restoration_tpu.models.batched import BatchedWienerPipeline
     from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
-    from fft_restoration_tpu.utils.imageio import imread_batch, imwrite
+
+    if args.mode != "jit" or args.profile or args.reference:
+        print(
+            "[INFO] directory input always runs the batched jit pipeline; "
+            "--mode/--profile/--reference are ignored"
+        )
 
     paths = sorted(
         os.path.join(args.img_path, f)
@@ -140,74 +142,97 @@ def _run_batch(args) -> int:
     out_dir = args.output or args.img_path
     os.makedirs(out_dir, exist_ok=True)
 
-    # group by frame size
+    # group by frame size, skipping unreadable files
+    import struct
     from collections import defaultdict
 
     groups = defaultdict(list)
+    skipped = 0
     for p in paths:
-        with open(p, "rb") as f:
-            head = f.read(64)
-        import struct
-
-        w, h = struct.unpack(">II", head[16:24])
+        try:
+            with open(p, "rb") as f:
+                head = f.read(64)
+            if len(head) < 24 or head[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG file")
+            w, h = struct.unpack(">II", head[16:24])
+        except (OSError, ValueError, struct.error) as e:
+            print(f"[Error] skipping {p!r}: {e}")
+            skipped += 1
+            continue
         groups[(h, w)].append(p)
+    if not groups:
+        print(f"[Error] no readable PNG files in {args.img_path!r}")
+        return 1
 
     t0 = time.perf_counter()
     n_done = 0
     single = WienerDeblurPipeline(
-        fft_backend=args.fft_backend, filter_name=args.filter
+        fft_backend=args.fft_backend,
+        filter_name=args.filter,
+        white_balance=not args.no_white_balance,
     )
     for (h, w), group in groups.items():
-        if len(group) > 1:
-            stack = imread_batch(group)
-            planes = BatchedWienerPipeline(
-                fft_backend=args.fft_backend, filter_name=args.filter
-            ).restore_planes(stack, args.psf_length, args.psf_angle, args.K)
-            merged = np.moveaxis(planes, 1, -1)  # (B, H, W, 3) in [0,1]
-            if not args.no_white_balance:
-                from fft_restoration_tpu.oracle.color import (
-                    apply_white_balance,
-                    bgr_to_lab,
-                    lab_to_bgr,
-                )
-
-                orig = stack.astype(np.float32) / np.float32(255.0)
-                merged = np.stack(
-                    [
-                        lab_to_bgr(
-                            apply_white_balance(
-                                bgr_to_lab(merged[i]), bgr_to_lab(orig[i])
-                            )
-                        )
-                        for i in range(merged.shape[0])
-                    ]
-                )
-            outs = np.clip(merged * 255.0, 0, 255).astype(np.uint8)
-            for p, o in zip(group, outs):
-                dst = os.path.join(
-                    out_dir,
-                    os.path.basename(p).rsplit(".", 1)[0] + "_restored.png",
-                )
-                imwrite(dst, o)
-                n_done += 1
-        else:
-            from fft_restoration_tpu.utils.imageio import imread
-
-            out = single.restore(
-                imread(group[0]), args.psf_length, args.psf_angle, args.K
-            )
-            dst = os.path.join(
-                out_dir,
-                os.path.basename(group[0]).rsplit(".", 1)[0] + "_restored.png",
-            )
-            imwrite(dst, out)
-            n_done += 1
+        try:
+            _restore_group(args, group, out_dir, single)
+            n_done += len(group)
+        except (OSError, ValueError, struct.error) as e:
+            print(f"[Error] skipping {len(group)} frame(s) of size {w}x{h}: {e}")
+            skipped += len(group)
     ms = (time.perf_counter() - t0) * 1e3
     print(
         f"Restored {n_done} frames in {ms:.1f} ms "
         f"({ms / max(n_done, 1):.1f} ms/frame) -> {out_dir}"
+        + (f" [{skipped} skipped]" if skipped else "")
     )
     return 0
+
+
+def _restore_group(args, group, out_dir, single) -> None:
+    """Restore one same-size group of frames (len>1 batched, else single)."""
+    import os
+
+    import numpy as np
+
+    from fft_restoration_tpu.models.batched import BatchedWienerPipeline
+    from fft_restoration_tpu.utils.imageio import imread, imread_batch, imwrite
+
+    def _dst(p):
+        return os.path.join(
+            out_dir, os.path.basename(p).rsplit(".", 1)[0] + "_restored.png"
+        )
+
+    if len(group) > 1:
+        stack = imread_batch(group)
+        planes = BatchedWienerPipeline(
+            fft_backend=args.fft_backend, filter_name=args.filter
+        ).restore_planes(stack, args.psf_length, args.psf_angle, args.K)
+        merged = np.moveaxis(planes, 1, -1)  # (B, H, W, 3) in [0,1]
+        if not args.no_white_balance:
+            from fft_restoration_tpu.oracle.color import (
+                apply_white_balance,
+                bgr_to_lab,
+                lab_to_bgr,
+            )
+
+            orig = stack.astype(np.float32) / np.float32(255.0)
+            merged = np.stack(
+                [
+                    lab_to_bgr(
+                        apply_white_balance(
+                            bgr_to_lab(merged[i]), bgr_to_lab(orig[i])
+                        )
+                    )
+                    for i in range(merged.shape[0])
+                ]
+            )
+        outs = np.clip(merged * 255.0, 0, 255).astype(np.uint8)
+        for p, o in zip(group, outs):
+            imwrite(_dst(p), o)
+    else:
+        out = single.restore(
+            imread(group[0]), args.psf_length, args.psf_angle, args.K
+        )
+        imwrite(_dst(group[0]), out)
 
 
 def main(argv=None) -> int:
@@ -231,6 +256,17 @@ def main(argv=None) -> int:
     except (OSError, ValueError) as e:
         print(f"[Error] Cannot read image {args.img_path!r}: {e}")
         return 1
+
+    from fft_restoration_tpu.utils.padding import next_power_of_two
+
+    hp = next_power_of_two(img.shape[0])
+    wp = next_power_of_two(img.shape[1])
+    if args.psf_length > min(hp, wp):
+        print(
+            f"[Error] psf-length {args.psf_length} exceeds the power-of-two "
+            f"padded image ({hp}x{wp})"
+        )
+        return 2
 
     wb = not args.no_white_balance
 
@@ -271,9 +307,17 @@ def main(argv=None) -> int:
             )
 
         # warm-up run (compile), then timed — the gpu.cpp:96-104 pattern.
-        pipe.restore(img, args.psf_length, args.psf_angle, args.K)
+        # restore_with_planes returns the verification planes from the
+        # SAME device execution, so verifying costs no extra run.
+        try:
+            pipe.restore(img, args.psf_length, args.psf_angle, args.K)
+        except ValueError as e:
+            print(f"[Error] {e}")
+            return 2
         t0 = time.perf_counter()
-        out = pipe.restore(img, args.psf_length, args.psf_angle, args.K)
+        out, ours = pipe.restore_with_planes(
+            img, args.psf_length, args.psf_angle, args.K
+        )
         t1 = time.perf_counter()
         mode_ms = (t1 - t0) * 1e3
         print(f"Deblurring 3 channels took({args.mode}): {mode_ms:.2f} ms")
@@ -307,9 +351,6 @@ def main(argv=None) -> int:
                 print(prof.report())
 
         if not args.no_verify and args.filter == "wiener":
-            ours = pipe.restore_channels(
-                img, args.psf_length, args.psf_angle, args.K
-            )
             t0 = time.perf_counter()
             oracle = _oracle_channels(img, args.psf_length, args.psf_angle, args.K)
             t1 = time.perf_counter()

@@ -178,18 +178,29 @@ class WienerDeblurPipeline:
         # reference demonstrates by hoisting buffers out of the channel
         # loop (wienerDeblur_RGB_optimized vs _naive, fft_gpu.cu:279,400).
         self.donate_input = donate_input
+        self._cache = {}
 
-    @functools.lru_cache(maxsize=32)
     def _compiled(self, h: int, w: int, psf_length: int):
-        fn = functools.partial(
-            _restore_core,
-            psf_length=psf_length,
-            fft_backend=self.fft_backend,
-            filter_name=self.filter_name,
-            white_balance=self.white_balance,
-        )
-        donate = (0,) if self.donate_input else ()
-        return jax.jit(fn, donate_argnums=donate)
+        key = (h, w, psf_length)
+        if key not in self._cache:
+            fn = functools.partial(
+                _restore_core,
+                psf_length=psf_length,
+                fft_backend=self.fft_backend,
+                filter_name=self.filter_name,
+                white_balance=self.white_balance,
+            )
+            donate = (0,) if self.donate_input else ()
+            self._cache[key] = jax.jit(fn, donate_argnums=donate)
+        return self._cache[key]
+
+    def _check_psf_fits(self, h: int, w: int, psf_length: int) -> None:
+        hp, wp = next_power_of_two(h), next_power_of_two(w)
+        if psf_length > hp or psf_length > wp:
+            raise ValueError(
+                f"PSF length {psf_length} exceeds the power-of-two padded "
+                f"image ({hp}x{wp}); use a smaller PSF or a larger image"
+            )
 
     def restore(
         self,
@@ -199,12 +210,26 @@ class WienerDeblurPipeline:
         K: float = 0.01,
     ) -> np.ndarray:
         """uint8 BGR (H, W, 3) -> restored uint8 BGR (H, W, 3)."""
+        out, _ = self.restore_with_planes(img_bgr, psf_length, psf_angle, K)
+        return out
+
+    def restore_with_planes(
+        self,
+        img_bgr: np.ndarray,
+        psf_length: int,
+        psf_angle: float,
+        K: float = 0.01,
+    ):
+        """One device execution returning BOTH the final uint8 image and
+        the restored float planes (3, H, W) — so callers that verify
+        against the oracle don't re-run the whole graph."""
         img = jnp.asarray(np.asarray(img_bgr, np.float32) / np.float32(255.0))
+        self._check_psf_fits(img.shape[0], img.shape[1], int(psf_length))
         if self.device is not None:
             img = jax.device_put(img, self.device)
         fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
-        out, _ = fn(img, jnp.float32(psf_angle), jnp.float32(K))
-        return np.asarray(out)
+        out, restored = fn(img, jnp.float32(psf_angle), jnp.float32(K))
+        return np.asarray(out), np.asarray(restored)
 
     def restore_channels(
         self,
@@ -216,10 +241,8 @@ class WienerDeblurPipeline:
         """Restored float32 planes (3, H, W) before color post-processing —
         the quantity the reference drivers verify against serial
         (simd.cpp:66-99 et al.)."""
-        img = jnp.asarray(np.asarray(img_bgr, np.float32) / np.float32(255.0))
-        fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
-        _, restored = fn(img, jnp.float32(psf_angle), jnp.float32(K))
-        return np.asarray(restored)
+        _, restored = self.restore_with_planes(img_bgr, psf_length, psf_angle, K)
+        return restored
 
 
 def profile_phases(

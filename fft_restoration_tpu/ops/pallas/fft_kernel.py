@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fft_restoration_tpu.ops.fft import _bit_reverse_last_axis
+
 SoA = Tuple[jnp.ndarray, jnp.ndarray]
 
 
@@ -237,8 +239,6 @@ def fft_cols_pallas(
     mask_t = np.ascontiguousarray(mask_np.T)
     stages = cos_np.shape[0]
 
-    import functools as _ft
-
     grid = (lead, wt // cols)
     blk = pl.BlockSpec((1, h, cols), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM)
     tbl = pl.BlockSpec((h, stages), lambda b, j: (0, 0), memory_space=pltpu.VMEM)
@@ -266,15 +266,6 @@ def fft_cols_pallas(
         out_re = out_re[..., :w]
         out_im = out_im[..., :w]
     return out_re.reshape(orig_shape), out_im.reshape(orig_shape)
-
-
-def _bit_reverse_last_axis(x: jnp.ndarray) -> jnp.ndarray:
-    n = x.shape[-1]
-    m = n.bit_length() - 1
-    lead = x.shape[:-1]
-    y = x.reshape(lead + (2,) * m)
-    axes = tuple(range(len(lead))) + tuple(len(lead) + m - 1 - i for i in range(m))
-    return y.transpose(axes).reshape(lead + (n,))
 
 
 def fft_rows_pallas(

@@ -349,18 +349,21 @@ class ShardedWienerPipeline:
             img, NamedSharding(self.mesh, P(None, None, None))
         )
 
+    def restore_with_planes(
+        self, img_bgr: np.ndarray, psf_length: int, psf_angle: float, K: float = 0.01
+    ):
+        """One device execution returning (uint8 image, float planes)."""
+        img = self._put(img_bgr)
+        fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
+        out, planes = fn(img, jnp.float32(psf_angle), jnp.float32(K))
+        return np.asarray(out), np.asarray(planes)
+
     def restore(
         self, img_bgr: np.ndarray, psf_length: int, psf_angle: float, K: float = 0.01
     ) -> np.ndarray:
-        img = self._put(img_bgr)
-        fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
-        out, _ = fn(img, jnp.float32(psf_angle), jnp.float32(K))
-        return np.asarray(out)
+        return self.restore_with_planes(img_bgr, psf_length, psf_angle, K)[0]
 
     def restore_channels(
         self, img_bgr: np.ndarray, psf_length: int, psf_angle: float, K: float = 0.01
     ) -> np.ndarray:
-        img = self._put(img_bgr)
-        fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
-        _, planes = fn(img, jnp.float32(psf_angle), jnp.float32(K))
-        return np.asarray(planes)
+        return self.restore_with_planes(img_bgr, psf_length, psf_angle, K)[1]

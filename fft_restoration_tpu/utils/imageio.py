@@ -88,18 +88,13 @@ def _load_native():
     return _native
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
-    pa = np.abs(p - a)
-    pb = np.abs(p - b)
-    pc = np.abs(p - c)
-    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
-        np.uint8
-    )
-
-
 def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters. Returns (height, stride) uint8."""
+    expected = height * (stride + 1)
+    if len(raw) != expected:
+        raise ValueError(
+            f"corrupt PNG: decompressed {len(raw)} bytes, expected {expected}"
+        )
     lib = _load_native()
     if lib:
         import ctypes
@@ -273,7 +268,9 @@ def imread(path: str) -> np.ndarray:
     img = decode_png(data)
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
-    if img.shape[-1] == 4:
+    elif img.shape[-1] == 2:  # grayscale + alpha (color type 4)
+        img = np.repeat(img[..., :1], 3, axis=-1)
+    elif img.shape[-1] == 4:
         img = img[..., :3]
     return img[..., ::-1].copy()  # RGB -> BGR
 
