@@ -98,7 +98,9 @@ def _restore_planes_pallas_fused(channels, psf_pad, K):
     workloads where the transpose dominates.
     """
     from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
-    from fft_restoration_tpu.ops.pallas.wiener import wiener_pallas
+    from fft_restoration_tpu.ops.pallas.wiener_spectral import (
+        fwd_wiener_rows_pallas,
+    )
 
     hp, wp = channels.shape[-2:]
 
@@ -110,9 +112,17 @@ def _restore_planes_pallas_fused(channels, psf_pad, K):
         im = jnp.swapaxes(im, -1, -2)
         return fft_rows_pallas(re, im, False, ordering="revorder")
 
-    G = fwd2d_t(channels)
+    # PSF spectrum: plain two-pass forward (1 plane).
     H = fwd2d_t(psf_pad)
-    F = wiener_pallas(G, H, K)
+    # Image: first row pass, transpose, then the HALF-FUSED kernel —
+    # second forward pass + Wiener filter in one VMEM residency, so the
+    # image's unfiltered 2D spectrum never round-trips HBM. (The FULLY
+    # fused fwd+filter+inv megakernel spills VMEM and loses — measured
+    # notes in ops/pallas/wiener_spectral.py.)
+    a_re, a_im = fft_rows_pallas(channels, None, False, ordering="revorder")
+    a_re = jnp.swapaxes(a_re, -1, -2)
+    a_im = jnp.swapaxes(a_im, -1, -2)
+    F = fwd_wiener_rows_pallas((a_re, a_im), H, K)
     r_re, r_im = fft_rows_pallas(F[0], F[1], True, ordering="revorder")
     r_re = jnp.swapaxes(r_re, -1, -2)
     r_im = jnp.swapaxes(r_im, -1, -2)

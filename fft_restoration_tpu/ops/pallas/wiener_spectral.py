@@ -101,6 +101,90 @@ def _kernel(
     oim_ref[:] = x_im
 
 
+def fwd_wiener_rows_pallas(
+    A: SoA,
+    H: SoA,
+    K,
+    block_rows: int = 256,
+    interpret: bool | None = None,
+) -> SoA:
+    """wiener(rowFFT_revorder(A), H): the second forward pass fused with
+    the elementwise filter, skipping one HBM round trip of the image
+    spectrum. A: (..., M, N) row-FFT'd planes (transposed orientation);
+    H: (M, N) PSF spectrum in matching revorder layout."""
+    a_re, a_im = A
+    h_re, h_im = H
+    lead = a_re.shape
+    n = lead[-1]
+    if n & (n - 1):
+        raise ValueError(f"power-of-two length required, got {n}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    chans = int(np.prod(lead[:-2])) if len(lead) > 2 else 1
+    m = lead[-2]
+    ar = a_re.reshape(chans, m, n)
+    ai = a_im.reshape(chans, m, n)
+    hr = h_re.reshape(m, n)
+    hi = h_im.reshape(m, n)
+
+    max_rows = max(8, ((24 << 20) // (n * 4 * 12)) // 8 * 8)
+    rows = min(block_rows, max_rows, max(m, 1))
+    pad = (-m) % rows
+    if pad:
+        ar = jnp.pad(ar, ((0, 0), (0, pad), (0, 0)))
+        ai = jnp.pad(ai, ((0, 0), (0, pad), (0, 0)))
+        hr = jnp.pad(hr, ((0, pad), (0, 0)))
+        hi = jnp.pad(hi, ((0, pad), (0, 0)))
+    mt = ar.shape[1]
+
+    cf, sf = _twiddle_planes_np(n, False)
+    mask = _half_masks_np(n)
+    stages = cf.shape[0]
+
+    a_spec = pl.BlockSpec((1, rows, n), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((rows, n), lambda c, i: (i, 0), memory_space=pltpu.VMEM)
+    tbl = pl.BlockSpec((stages, n), lambda c, i: (0, 0), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def kernel(k_ref, are, aim, hre, him, cfr, sfr, mr, fre, fim):
+        x_re = are.at[0][:]
+        x_im = aim.at[0][:]
+        for s in range(stages - 1, -1, -1):
+            half = 1 << s
+            x_re, x_im = _dif_stage(
+                x_re, x_im,
+                cfr[s, :][None, :], sfr[s, :][None, :], mr[s, :][None, :],
+                half, n,
+            )
+        hrb = hre[:]
+        hib = him[:]
+        inv = 1.0 / (hrb * hrb + hib * hib + k_ref[0])
+        fre.at[0][:] = (x_re * hrb + x_im * hib) * inv
+        fim.at[0][:] = (x_im * hrb - x_re * hib) * inv
+
+    f_re, f_im = pl.pallas_call(
+        kernel,
+        grid=(chans, mt // rows),
+        in_specs=[k_spec, a_spec, a_spec, h_spec, h_spec, tbl, tbl, tbl],
+        out_specs=[a_spec, a_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((chans, mt, n), jnp.float32),
+            jax.ShapeDtypeStruct((chans, mt, n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(
+        jnp.asarray([K], jnp.float32),
+        ar, ai, hr, hi,
+        jnp.asarray(cf), jnp.asarray(sf), jnp.asarray(mask),
+    )
+    if pad:
+        f_re = f_re[:, :m]
+        f_im = f_im[:, :m]
+    return f_re.reshape(lead), f_im.reshape(lead)
+
+
 def wiener_spectral_rows_pallas(
     A: SoA,
     H: SoA,
