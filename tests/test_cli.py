@@ -102,6 +102,20 @@ def test_cli_batch_directory(tmp_path, small_png):
     ]
 
 
+def test_cli_batch_skips_corrupt_files(tmp_path, small_png):
+    import shutil
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    shutil.copy(small_png, src / "good.png")
+    (src / "bad.png").write_text("not a png at all")
+    r = _run([str(src), "5", "30", "-o", str(tmp_path / "out")])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "skipping" in r.stdout
+    assert "Restored 1 frames" in r.stdout
+    assert "[1 skipped]" in r.stdout
+
+
 def test_cli_empty_directory(tmp_path):
     d = tmp_path / "empty"
     d.mkdir()
