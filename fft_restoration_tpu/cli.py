@@ -285,6 +285,12 @@ def main(argv=None) -> int:
             f"Deblurring 3 channels took(oracle): {(t1 - t0) * 1e3:.2f} ms"
         )
     else:
+        if args.fft_backend == "pallas" and args.filter != "wiener":
+            print(
+                f"[INFO] --filter {args.filter} has no fused pallas fast "
+                f"path; using the generic natural-ordering pallas kernels "
+                f"(slower than --filter wiener's revorder path)"
+            )
         if args.mode == "jit":
             from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
 

@@ -72,6 +72,12 @@ def restore_planes(
     """
     hp, wp = channels.shape[-2:]
     psf_pad = _pad2d(psf, hp, wp)
+    # NOTE perf cliff: the revorder fast path (no bit-reversal passes,
+    # half-fused fwd+filter kernel) exists only for the Wiener filter.
+    # `--fft-backend pallas` with --filter cls/inverse takes the generic
+    # natural-ordering pallas path below — correct, but with 2 extra
+    # permutation passes per transform round trip (the CLI prints an
+    # [INFO] notice for this combination).
     if fft_backend == "pallas" and filter_name == "wiener":
         return _restore_planes_pallas_fused(channels, psf_pad, K)
     zero = jnp.zeros_like(channels)

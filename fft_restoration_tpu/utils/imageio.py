@@ -13,6 +13,7 @@ API parity: `imread` returns BGR uint8 (H, W, 3) like cv::imread(IMREAD_COLOR);
 from __future__ import annotations
 
 import struct
+import warnings
 import zlib
 from pathlib import Path
 
@@ -114,6 +115,14 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     data = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = data[:, 0]
     rows = data[:, 1:]
+    if np.any((filters == 3) | (filters == 4)):
+        warnings.warn(
+            "decoding PNG with Average/Paeth filters on the pure-Python "
+            "fallback (native libpngfilt.so unavailable) — this is a "
+            "per-pixel loop and can take minutes on large images",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     out = np.zeros((height, stride), dtype=np.uint8)
     for y in range(height):
         f = filters[y]
@@ -121,9 +130,11 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
         prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
         if f == 0:
             out[y] = row
-        elif f == 1:  # Sub
-            for x in range(bpp, stride):
-                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif f == 1:  # Sub: out[x] = raw[x] + out[x-bpp] == cumsum mod 256
+            # over each of the bpp byte lanes (vectorized; uint8 wraps).
+            tail = stride - stride % bpp
+            lanes = row[:tail].reshape(-1, bpp)
+            np.cumsum(lanes, axis=0, dtype=np.uint8, out=lanes)
             out[y] = row
         elif f == 2:  # Up
             out[y] = (row.astype(np.int32) + prev).astype(np.uint8)
@@ -157,14 +168,20 @@ def decode_png(data: bytes) -> np.ndarray:
     palette = None
     trns = None
     while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        try:
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+        except struct.error as e:
+            raise ValueError(f"corrupt PNG: truncated chunk header: {e}") from e
         ctype = data[pos + 4 : pos + 8]
         chunk = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", chunk
-            )
+            try:
+                width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", chunk
+                )
+            except struct.error as e:
+                raise ValueError(f"corrupt PNG: bad IHDR: {e}") from e
         elif ctype == b"PLTE":
             palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
@@ -184,13 +201,19 @@ def decode_png(data: bytes) -> np.ndarray:
     sample_bytes = bit_depth // 8
     bpp = channels * sample_bytes
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG: IDAT inflate failed: {e}") from e
     arr = _unfilter(raw, height, stride, bpp)
 
     if bit_depth == 16:
+        # 16-bit -> 8-bit with rounding: v8 = round(v16 * 255 / 65535),
+        # which equals round(v16 / 257) (not a high-byte truncate).
         arr16 = arr.reshape(height, width, channels, 2)
-        arr = arr16[..., 0]  # take high byte -> 8-bit
-        img = arr.reshape(height, width, channels)
+        v16 = arr16[..., 0].astype(np.uint32) << 8 | arr16[..., 1]
+        img = ((v16 * 255 + 32767) // 65535).astype(np.uint8)
+        img = img.reshape(height, width, channels)
     else:
         img = arr.reshape(height, width, channels)
 
@@ -231,14 +254,15 @@ def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
         # Paeth predictor (filter 4) via the C++ fast path: better
         # compression than Up on natural images.
         filtered = np.empty((height, stride + 1), dtype=np.uint8)
-        lib.filter_scanlines_paeth(
+        rc = lib.filter_scanlines_paeth(
             flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             filtered.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             height,
             stride,
             channels,
         )
-    else:
+        lib = lib if rc == 0 else None
+    if not lib:
         # Pure-Python fallback: filter type 2 (Up) for rows 1.. — cheap to
         # compute vectorized; row 0 uses filter 0.
         filtered = np.empty((height, stride + 1), dtype=np.uint8)

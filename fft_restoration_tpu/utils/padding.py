@@ -3,7 +3,7 @@
 TPU-native counterpart of the reference's header-only utilities
 (/root/reference/utils.hpp:27-52 — nextPowerOfTwo, autoPadToPowerOfTwo,
 isPowerOfTwo). Pure shape logic runs on the host; the actual zero-pad is
-done inside the jit graph (see ops/prepost.py) so XLA can fuse it.
+done inside the jit graph (models/pipeline.py:_pad2d) so XLA can fuse it.
 """
 
 from __future__ import annotations

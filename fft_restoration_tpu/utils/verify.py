@@ -76,15 +76,41 @@ def channels_equal(
             l2=float("inf"), inf=float("inf"), psnr_db=0.0, tier=tier,
             passed=False, details={"shape_ours": ours.shape, "shape_oracle": oracle.shape},
         )
-    l2 = l2_diff(ours, oracle)
-    inf = inf_diff(ours, oracle)
-    p = psnr(ours, oracle)
-    if tier == "l2":
-        ok = l2 <= L2_TOL
-    elif tier == "inf":
-        ok = inf <= INF_TOL
-    elif tier == "gpu":
-        ok = (inf <= INF_TOL) or (p >= PSNR_TOL_DB)
-    else:
-        raise ValueError(f"unknown tier {tier!r}")
+
+    def _check(a, b):
+        l2 = l2_diff(a, b)
+        inf = inf_diff(a, b)
+        p = psnr(a, b)
+        if tier == "l2":
+            ok = l2 <= L2_TOL
+        elif tier == "inf":
+            ok = inf <= INF_TOL
+        elif tier == "gpu":
+            ok = (inf <= INF_TOL) or (p >= PSNR_TOL_DB)
+        else:
+            raise ValueError(f"unknown tier {tier!r}")
+        return l2, inf, p, ok
+
+    # The reference verifiers loop channels and require EVERY one to pass
+    # (simd.cpp:66-79, gpu.cpp:28-55 compare channel Mats one at a time);
+    # a joint-PSNR check could average a single bad channel away. Treat
+    # leading axes as channels and report the worst one.
+    if ours.ndim >= 3:
+        chans = ours.reshape(-1, *ours.shape[-2:])
+        ochans = oracle.reshape(-1, *oracle.shape[-2:])
+        per = [_check(a, b) for a, b in zip(chans, ochans)]
+        worst = min(range(len(per)), key=lambda i: per[i][2])  # lowest PSNR
+        l2, inf, p, _ = _check(ours, oracle)
+        ok = all(r[3] for r in per)
+        details = {
+            "per_channel": [
+                {"l2": r[0], "inf": r[1], "psnr_db": r[2], "passed": r[3]}
+                for r in per
+            ],
+            "worst_channel": worst,
+        }
+        return VerifyReport(
+            l2=l2, inf=inf, psnr_db=p, tier=tier, passed=ok, details=details
+        )
+    l2, inf, p, ok = _check(ours, oracle)
     return VerifyReport(l2=l2, inf=inf, psnr_db=p, tier=tier, passed=ok)

@@ -7,9 +7,12 @@ frame geometries into the persistent compilation cache
 (FFT_RESTORATION_CACHE, see cli._enable_compile_cache), so subsequent
 CLI/server processes start warm.
 
+Shapes are HEIGHTxWIDTH (matching numpy/jnp array order). The cat
+fixture (1920 wide, 782 tall) is warmed as `782x1920`.
+
 Usage:
-    python -m fft_restoration_tpu.warmup 2048x2048 1920x782 --psf-length 50
-    python -m fft_restoration_tpu.warmup 640x330 --backend pallas --sharded 8
+    python -m fft_restoration_tpu.warmup 2048x2048 782x1920 --psf-length 50
+    python -m fft_restoration_tpu.warmup 330x640 --backend pallas --sharded 8
 """
 
 from __future__ import annotations
@@ -24,8 +27,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "shapes",
         nargs="+",
-        help="frame geometries HxW (e.g. 2048x2048) or WIDTHxHEIGHT of "
-        "the images to be served",
+        help="frame geometries to warm, HEIGHTxWIDTH (e.g. 2048x2048, "
+        "782x1920 for a 1920-wide 782-tall frame)",
     )
     p.add_argument("--psf-length", type=int, default=50)
     p.add_argument(
@@ -70,13 +73,16 @@ def main(argv=None) -> int:
         try:
             h, w = (int(v) for v in spec.lower().split("x"))
         except ValueError:
-            print(f"[Error] bad shape {spec!r}; expected HxW like 2048x2048")
+            print(
+                f"[Error] bad shape {spec!r}; expected HEIGHTxWIDTH "
+                f"like 2048x2048"
+            )
             return 2
         img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
         t0 = time.perf_counter()
         pipe.restore(img, args.psf_length, 30.0)
         print(
-            f"warmed {h}x{w} ({args.backend}) in "
+            f"warmed H={h} W={w} ({args.backend}) in "
             f"{time.perf_counter() - t0:.1f}s"
         )
         if sharded is not None:

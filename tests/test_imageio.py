@@ -26,3 +26,126 @@ def test_roundtrip(tmp_path, rng):
 def test_gray_roundtrip(rng):
     img = (rng.random((16, 24)) * 255).astype(np.uint8)
     assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+# ---------------------------------------------------------------------------
+# corrupt-file handling (advisor finding: zlib/struct errors must surface
+# as ValueError so the CLI's [Error]-and-skip paths catch them)
+
+
+def _corrupt_idat_png(rng):
+    """Valid signature/IHDR, garbage IDAT payload."""
+    img = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+    good = bytearray(encode_png(img))
+    idat = good.find(b"IDAT")
+    assert idat > 0
+    # stomp the deflate stream (keep length/crc fields structurally there)
+    good[idat + 4 : idat + 12] = b"\xde\xad\xbe\xef\xfe\xed\xfa\xce"
+    return bytes(good)
+
+
+def test_corrupt_idat_raises_valueerror(rng):
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        decode_png(_corrupt_idat_png(rng))
+
+
+def test_truncated_chunk_raises_valueerror(rng):
+    img = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+    data = encode_png(img)
+    with pytest.raises(ValueError):
+        decode_png(data[: len(data) * 2 // 3])  # cut mid-IDAT
+
+
+def test_cli_corrupt_idat_exits_1(tmp_path, rng, capsys):
+    from fft_restoration_tpu.cli import main
+
+    p = tmp_path / "bad.png"
+    p.write_bytes(_corrupt_idat_png(rng))
+    rc = main([str(p), "5", "30"])
+    assert rc == 1
+    assert "[Error]" in capsys.readouterr().out
+
+
+def test_cli_batch_skips_corrupt_idat(tmp_path, rng, capsys):
+    """A corrupt-IDAT file (valid header, bad payload) must be skipped,
+    not crash the batch run."""
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.utils.imageio import imwrite as _imwrite
+
+    good = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    _imwrite(str(tmp_path / "good.png"), good)
+    (tmp_path / "bad.png").write_bytes(_corrupt_idat_png(rng))
+    rc = main([str(tmp_path), "3", "30", "--no-verify"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "skipped" in out and "Restored 1 frames" in out
+
+
+# ---------------------------------------------------------------------------
+# 16-bit conversion + scanline filters
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def _make_png(width, height, bit_depth, color_type, scanlines: bytes) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scanlines))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_16bit_decode_rounds_not_truncates():
+    # gray16 pixels: 0x00FF (=255/65535 -> 0.992 -> rounds to 1; a
+    # high-byte truncate would give 0) and 0xFF00 (-> 253.996 -> 254).
+    row = b"\x00" + b"\x00\xff" + b"\xff\x00"
+    img = decode_png(_make_png(2, 1, 16, 0, row))
+    assert img.tolist() == [[1, 254]]
+
+
+def test_sub_filter_decode_python_fallback(monkeypatch, rng):
+    """Filter-1 (Sub) rows through the vectorized cumsum fallback."""
+    import fft_restoration_tpu.utils.imageio as iio
+
+    monkeypatch.setattr(iio, "_load_native", lambda: False)
+    truth = (rng.random((5, 7, 3)) * 255).astype(np.uint8)
+    lines = bytearray()
+    for y in range(5):
+        raw = truth[y].reshape(-1).astype(np.int16)
+        filt = raw.copy()
+        filt[3:] = (raw[3:] - raw[:-3]) & 0xFF
+        lines += b"\x01" + filt.astype(np.uint8).tobytes()
+    img = iio.decode_png(_make_png(7, 5, 8, 2, bytes(lines)))
+    assert np.array_equal(img, truth)
+
+
+def test_paeth_decode_python_fallback_warns(monkeypatch, rng):
+    import fft_restoration_tpu.utils.imageio as iio
+
+    monkeypatch.setattr(iio, "_load_native", lambda: False)
+    # encode with cv2 (which uses adaptive filters incl. Paeth/Average on
+    # natural gradients) and decode through the pure-Python path
+    truth = np.add.outer(np.arange(32), np.arange(48)).astype(np.uint8)
+    truth = np.stack([truth, truth[::-1], (truth * 3 + 17)], axis=-1)
+    ok, buf = cv2.imencode(".png", truth)
+    assert ok
+    data = bytes(buf.tobytes())
+    import warnings as _w
+
+    with _w.catch_warnings(record=True):
+        _w.simplefilter("always")
+        img = iio.decode_png(data)
+    # cv2.imencode takes BGR and writes RGB into the PNG; decode_png
+    # returns the stored RGB order
+    assert np.array_equal(img, truth[..., ::-1])

@@ -36,6 +36,24 @@ def test_channels_equal_tiers(rng):
     assert not channels_equal(c, a, tier="gpu").passed
 
 
+def test_channels_equal_per_channel(rng):
+    """One bad channel must fail the check even when the joint PSNR over
+    all channels would pass (the reference verifiers loop channels,
+    simd.cpp:66-79) — advisor finding."""
+    oracle = rng.random((3, 64, 64)).astype(np.float32)
+    ours = oracle.copy()
+    # corrupt one channel in a small region: channel-1 PSNR ~26.9 dB
+    # (fails) while the joint PSNR ~31.7 dB would pass
+    ours[1, :8, :8] += 0.36
+    rep_joint_psnr = psnr(ours, oracle)
+    assert rep_joint_psnr >= 30.0  # joint metric alone would pass 'gpu'
+    rep = channels_equal(ours, oracle, tier="gpu")
+    assert not rep.passed
+    assert rep.details["worst_channel"] == 1
+    per = rep.details["per_channel"]
+    assert per[0]["passed"] and per[2]["passed"] and not per[1]["passed"]
+
+
 def test_psnr_known_value():
     a = np.zeros((10, 10))
     b = np.full((10, 10), 0.1)

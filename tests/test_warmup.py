@@ -13,7 +13,7 @@ def test_warmup_tool(tmp_path):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["FFT_RESTORATION_CACHE"] = str(tmp_path / "cache")
     r = subprocess.run(
-        [sys.executable, "-m", "fft_restoration_tpu.warmup", "32x32",
+        [sys.executable, "-m", "fft_restoration_tpu.warmup", "16x32",
          "--psf-length", "5"],
         capture_output=True,
         text=True,
@@ -22,7 +22,8 @@ def test_warmup_tool(tmp_path):
         timeout=600,
     )
     assert r.returncode == 0, r.stdout + r.stderr
-    assert "warmed 32x32" in r.stdout
+    # shapes are HEIGHTxWIDTH; the parsed geometry is echoed back
+    assert "warmed H=16 W=32" in r.stdout
     assert (tmp_path / "cache").exists()
 
 
