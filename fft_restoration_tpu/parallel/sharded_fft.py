@@ -49,11 +49,30 @@ def _reshard_cols_to_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     )
 
 
+def _fft_true(re, im, inverse: bool, backend: str, true_n: int | None) -> SoA:
+    """1D DFT over the last axis at its TRUE length.
+
+    Non-power-of-two meshes pad the global dims to device-count
+    multiples so shard_map/all_to_all get even splits — but the DFT must
+    still run at the pow2 extent to preserve oracle parity. The trailing
+    layout padding is sliced off before the transform and zero-refilled
+    after (zeros in = zeros out for the padded rows, so the pad region
+    stays zero through the whole restore)."""
+    n_pad = re.shape[-1]
+    if true_n is None or true_n == n_pad:
+        return fft1d(re, im, inverse, backend)
+    re_t, im_t = fft1d(re[..., :true_n], im[..., :true_n], inverse, backend)
+    pad = [(0, 0)] * (re.ndim - 1) + [(0, n_pad - true_n)]
+    return jnp.pad(re_t, pad), jnp.pad(im_t, pad)
+
+
 def sharded_fft2d_conv_fwd(
     re: jnp.ndarray,
     im: jnp.ndarray,
     backend: str = "matmul",
     axis_name: str = ROWS_AXIS,
+    true_w: int | None = None,
+    true_h: int | None = None,
 ) -> SoA:
     """Forward 2D DFT that STOPS in the transposed, column-sharded
     layout: local block (..., H/D, W) -> spectrum block (..., W/D, H).
@@ -67,13 +86,16 @@ def sharded_fft2d_conv_fwd(
     two: the full Wiener restore does 3 collective exchanges instead of
     the reference's 6 (the 'transpose-free FFT' formulation, cf.
     PAPERS.md arXiv:1406.5597).
+
+    true_w/true_h: logical (pow2) extents when the global layout is
+    padded for a non-power-of-two mesh (see _fft_true).
     """
-    re, im = fft1d(re, im, False, backend)
+    re, im = _fft_true(re, im, False, backend, true_w)
     re = _reshard_rows_to_cols(re, axis_name)
     im = _reshard_rows_to_cols(im, axis_name)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
-    return fft1d(re, im, False, backend)
+    return _fft_true(re, im, False, backend, true_h)
 
 
 def sharded_fft2d_conv_inv(
@@ -81,15 +103,17 @@ def sharded_fft2d_conv_inv(
     im: jnp.ndarray,
     backend: str = "matmul",
     axis_name: str = ROWS_AXIS,
+    true_w: int | None = None,
+    true_h: int | None = None,
 ) -> SoA:
     """Inverse of sharded_fft2d_conv_fwd: spectrum block (..., W/D, H)
     -> spatial block (..., H/D, W), unscaled. One all_to_all."""
-    re, im = fft1d(re, im, True, backend)
+    re, im = _fft_true(re, im, True, backend, true_h)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
     re = _reshard_cols_to_rows(re, axis_name)
     im = _reshard_cols_to_rows(im, axis_name)
-    return fft1d(re, im, True, backend)
+    return _fft_true(re, im, True, backend, true_w)
 
 
 def sharded_fft2d(

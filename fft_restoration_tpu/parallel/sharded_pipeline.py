@@ -53,8 +53,13 @@ def _local_restore_planes(
     filter_name: str,
     axis_name: str = ROWS_AXIS,
 ) -> jnp.ndarray:
-    """Per-device body (inside shard_map). Blocks: ch (C, Hp/D, Wp),
-    psf/lap (Hp/D, Wp). Returns normalized restored block (C, Hp/D, Wp).
+    """Per-device body (inside shard_map). Blocks: ch (C, Hpad/D, Wpad),
+    psf/lap (Hpad/D, Wpad). Returns normalized restored block.
+
+    hp/wp are the TRUE pow2 DFT extents; Hpad/Wpad may exceed them on a
+    non-power-of-two mesh, where the layout is padded to even
+    device-count splits but every transform still runs at hp/wp
+    (sharded_fft._fft_true), preserving exact oracle parity.
 
     Uses the transpose-free convolution layout (sharded_fft2d_conv_fwd/
     _inv): spectra live column-sharded+transposed, the elementwise
@@ -62,27 +67,40 @@ def _local_restore_planes(
     restore vs the reference's 6 (SURVEY.md §3.2)."""
     zero_c = jnp.zeros_like(ch_blk)
     zero_p = jnp.zeros_like(psf_blk)
-    G = sharded_fft2d_conv_fwd(ch_blk, zero_c, fft_backend, axis_name)
-    H = sharded_fft2d_conv_fwd(psf_blk, zero_p, fft_backend, axis_name)
+    tw, th = {"true_w": wp, "true_h": hp}, None
+    G = sharded_fft2d_conv_fwd(ch_blk, zero_c, fft_backend, axis_name, **tw)
+    H = sharded_fft2d_conv_fwd(psf_blk, zero_p, fft_backend, axis_name, **tw)
     if filter_name == "wiener":
         F = wiener_filter(G, H, K)
     elif filter_name == "inverse":
         F = inverse_filter(G, H)
     elif filter_name == "cls":
         Pf = sharded_fft2d_conv_fwd(
-            lap_blk, jnp.zeros_like(lap_blk), fft_backend, axis_name
+            lap_blk, jnp.zeros_like(lap_blk), fft_backend, axis_name, **tw
         )
         F = cls_filter(G, H, Pf, K)
     else:
         raise ValueError(f"unknown filter {filter_name!r}")
-    r_re, _ = sharded_fft2d_conv_inv(F[0], F[1], fft_backend, axis_name)
+    r_re, _ = sharded_fft2d_conv_inv(F[0], F[1], fft_backend, axis_name, **tw)
     restored = r_re * jnp.float32(1.0 / (hp * wp))
 
-    # Global min-max over the padded plane: local reduce + cross-device
-    # collectives — replaces the reference's gather-to-rank-0 normalize
-    # (fft_mpi.cpp:436-452).
-    lo = jax.lax.pmin(jnp.min(restored, axis=(-2, -1)), axis_name)
-    hi = jax.lax.pmax(jnp.max(restored, axis=(-2, -1)), axis_name)
+    # Global min-max over the TRUE padded plane (hp x wp): local reduce +
+    # cross-device collectives — replaces the reference's
+    # gather-to-rank-0 normalize (fft_mpi.cpp:436-452). On a non-pow2
+    # mesh the layout-pad region (zeros) must not join the reduction.
+    blk_h, blk_w = restored.shape[-2], restored.shape[-1]
+    padded = blk_w != wp or blk_h * jax.lax.axis_size(axis_name) != hp
+    if padded:
+        row0 = jax.lax.axis_index(axis_name) * blk_h
+        gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 0)
+        gc = jax.lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 1)
+        valid = (gr < hp) & (gc < wp)
+        neg = jnp.where(valid, restored, jnp.inf)
+        pos = jnp.where(valid, restored, -jnp.inf)
+    else:
+        neg = pos = restored
+    lo = jax.lax.pmin(jnp.min(neg, axis=(-2, -1)), axis_name)
+    hi = jax.lax.pmax(jnp.max(pos, axis=(-2, -1)), axis_name)
     lo = lo[..., None, None]
     hi = hi[..., None, None]
     scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
@@ -104,26 +122,26 @@ def _sharded_core(
     h, w = img_f32.shape[:2]
     hp, wp = next_power_of_two(h), next_power_of_two(w)
     n_dev = mesh.devices.size
-    if hp % n_dev != 0 or wp % n_dev != 0:
-        # Non-power-of-two meshes can't evenly split pow2 dims (rows for
-        # the shard, cols for the all_to_all split axis); pad both up to
-        # the next device-count multiple. The FFT then takes the
-        # naive-DFT fallback (ops/fft.py) for the non-pow2 lengths — the
-        # same degradation path as transform_row_inplace
-        # (fft_serial.cpp:100-101). Power-of-two meshes (every real TPU
-        # topology) hit the fast path with dims unchanged, preserving
-        # exact single-chip parity.
-        hp = -(-hp // n_dev) * n_dev
-        wp = -(-wp // n_dev) * n_dev
+    # Non-power-of-two meshes can't evenly split pow2 dims (rows for the
+    # shard, cols for the all_to_all split axis). Pad the LAYOUT only —
+    # up to the next device-count multiple — while every DFT still runs
+    # at the true (hp, wp) extent (sharded_fft._fft_true) and the
+    # min-max normalize masks the pad region, so any mesh size is
+    # bit-compatible with the single-chip restore. Power-of-two meshes
+    # (every real TPU topology) have hpad==hp, wpad==wp.
+    hpad = -(-hp // n_dev) * n_dev
+    wpad = -(-wp // n_dev) * n_dev
 
     psf = motion_blur_kernel(psf_length, angle_deg)
-    psf_pad = jnp.pad(psf, ((0, hp - psf_length), (0, wp - psf_length)))
+    psf_pad = jnp.pad(psf, ((0, hpad - psf_length), (0, wpad - psf_length)))
     chans = jnp.moveaxis(img_f32, -1, 0)
-    chans = jnp.pad(chans, ((0, 0), (0, hp - h), (0, wp - w)))
+    chans = jnp.pad(chans, ((0, 0), (0, hpad - h), (0, wpad - w)))
 
-    lap = np.zeros((hp, wp), np.float32)
+    # periodic Laplacian at the TRUE (hp, wp) extent (its wrap-around
+    # entries sit at hp-1/wp-1, not at the layout-pad edges)
+    lap = np.zeros((hpad, wpad), np.float32)
     lap[0, 0] = 4.0
-    lap[0, 1] = lap[1, 0] = lap[0, -1] = lap[-1, 0] = -1.0
+    lap[0, 1] = lap[1, 0] = lap[0, wp - 1] = lap[hp - 1, 0] = -1.0
     lap = jnp.asarray(lap)
 
     # Row-shard the planes (≙ MPI_Scatterv, fft_mpi.cpp:372-378).
@@ -169,14 +187,24 @@ def sharded_restore_planes(
     filter_name: str = "wiener",
 ) -> np.ndarray:
     """Mid-level API: restore (C, Hp, Wp) pow-2 planes with an explicit
-    (S, S) PSF on a row-sharded mesh. Returns normalized planes."""
+    (S, S) PSF on a row-sharded mesh. Returns normalized planes.
+
+    On a non-power-of-two mesh the planes are layout-padded to
+    device-count multiples; the transforms still run at (Hp, Wp) and the
+    padding is cropped from the result."""
     mesh = mesh or make_mesh()
     c, hp, wp = channels.shape
-    psf_pad = np.zeros((hp, wp), np.float32)
+    n_dev = mesh.devices.size
+    hpad = -(-hp // n_dev) * n_dev
+    wpad = -(-wp // n_dev) * n_dev
+    chan_pad = np.zeros((c, hpad, wpad), np.float32)
+    chan_pad[:, :hp, :wp] = channels
+    channels = chan_pad
+    psf_pad = np.zeros((hpad, wpad), np.float32)
     psf_pad[: psf.shape[0], : psf.shape[1]] = psf
-    lap = np.zeros((hp, wp), np.float32)
+    lap = np.zeros((hpad, wpad), np.float32)
     lap[0, 0] = 4.0
-    lap[0, 1] = lap[1, 0] = lap[0, -1] = lap[-1, 0] = -1.0
+    lap[0, 1] = lap[1, 0] = lap[0, wp - 1] = lap[hp - 1, 0] = -1.0
 
     local_fn = functools.partial(
         _local_restore_planes,
@@ -205,7 +233,7 @@ def sharded_restore_planes(
         jnp.asarray(lap),
         jnp.float32(K),
     )
-    return np.asarray(out)
+    return np.asarray(out)[:, :hp, :wp]
 
 
 def profile_phases_sharded(

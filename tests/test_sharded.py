@@ -31,13 +31,21 @@ def test_mesh_has_8_devices(mesh):
     assert mesh.devices.size == 8
 
 
+# The hybrid (MPI+SIMD-class, fft_mpi_simd.cpp:471-629) mode is
+# "pallas": vector kernels INSIDE shard_map. On the virtual CPU mesh the
+# pallas kernels run in interpret mode — same graph structure, same
+# collective layout as the TPU compiled path.
+BACKENDS = ("matmul", "radix2", "pallas")
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("inverse", [False, True])
-def test_sharded_fft2d_matches_npfft(rng, mesh, inverse):
+def test_sharded_fft2d_matches_npfft(rng, mesh, inverse, backend):
     h, w = 64, 32
     x = rng.standard_normal((h, w)).astype(np.float32)
     fn = jax.jit(
         jax.shard_map(
-            lambda re, im: sharded_fft2d(re, im, inverse, "matmul"),
+            lambda re, im: sharded_fft2d(re, im, inverse, backend),
             mesh=mesh,
             check_vma=False,
             in_specs=(P(ROWS_AXIS, None), P(ROWS_AXIS, None)),
@@ -52,21 +60,30 @@ def test_sharded_fft2d_matches_npfft(rng, mesh, inverse):
     assert np.abs(ours - ref).max() / np.abs(ref).max() < 1e-5
 
 
-def test_sharded_planes_match_single_chip(rng, mesh):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_sharded_planes_match_single_chip(rng, mesh, backend):
+    """Sharded output is bit-identical to the same backend single-chip
+    (the mesh changes the schedule, not the math)."""
     chans = rng.random((3, 64, 64)).astype(np.float32)
     psf = motion_blur_kernel_oracle(9, 30.0)
     from fft_restoration_tpu.models.pipeline import restore_planes
 
     single = np.asarray(
-        restore_planes(jnp.asarray(chans), jnp.asarray(psf), 0.01, fft_backend="matmul")
+        restore_planes(jnp.asarray(chans), jnp.asarray(psf), 0.01, fft_backend=backend)
     )
-    sharded = sharded_restore_planes(chans, psf, 0.01, mesh=mesh)
-    assert np.abs(single - sharded).max() < 1e-6
+    sharded = sharded_restore_planes(chans, psf, 0.01, mesh=mesh, fft_backend=backend)
+    # matmul/radix2: the mesh runs the IDENTICAL graph -> bit-level match.
+    # pallas: the single-chip wiener path is the fused revorder (DIF/DIT)
+    # formulation while the sharded path runs natural-ordering kernels —
+    # same transform, different float association -> openmp INF tier.
+    tol = 1e-3 if backend == "pallas" else 1e-6
+    assert np.abs(single - sharded).max() < tol
 
 
-def test_sharded_pipeline_matches_oracle(rng, mesh):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_sharded_pipeline_matches_oracle(rng, mesh, backend):
     img = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
-    sp = ShardedWienerPipeline(mesh=mesh)
+    sp = ShardedWienerPipeline(mesh=mesh, fft_backend=backend)
     ours = sp.restore_channels(img, 9, 30.0)
 
     imgf = img.astype(np.float32) / 255.0
@@ -83,6 +100,58 @@ def test_sharded_full_image_matches_single(rng, mesh):
     out_s = ShardedWienerPipeline(mesh=mesh).restore(img, 7, 45.0)
     out_1 = WienerDeblurPipeline(fft_backend="matmul").restore(img, 7, 45.0)
     assert np.abs(out_s.astype(int) - out_1.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("n_dev", [3, 5, 6])
+def test_nonpow2_mesh_matches_single_chip(rng, n_dev):
+    """Non-power-of-two meshes pad the LAYOUT only; the DFT extent and
+    the normalize reduction stay at the true pow2 size, so parity with
+    the single-chip restore is exact (advisor finding: the old
+    extent-padding path changed the transform and failed all tiers)."""
+    from fft_restoration_tpu.models.pipeline import restore_planes
+    import jax.numpy as jnp
+
+    chans = rng.random((3, 64, 64)).astype(np.float32)
+    psf = motion_blur_kernel_oracle(9, 30.0)
+    single = np.asarray(
+        restore_planes(jnp.asarray(chans), jnp.asarray(psf), 0.01, fft_backend="matmul")
+    )
+    sharded = sharded_restore_planes(chans, psf, 0.01, mesh=make_mesh(n_dev))
+    assert sharded.shape == single.shape
+    assert np.abs(single - sharded).max() < 1e-6
+
+
+def test_nonpow2_mesh_pipeline_matches_oracle(rng):
+    img = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    sp = ShardedWienerPipeline(mesh=make_mesh(3))
+    ours = sp.restore_channels(img, 9, 30.0)
+    imgf = img.astype(np.float32) / 255.0
+    oracle = restore_channels(
+        np.moveaxis(imgf, -1, 0), motion_blur_kernel_oracle(9, 30.0)
+    )
+    for tier in ("l2", "inf", "gpu"):
+        report = channels_equal(ours, oracle, tier)
+        assert report.passed, str(report)
+
+
+def test_nonpow2_mesh_cls_filter(rng):
+    """CLS on a non-pow2 mesh: the periodic Laplacian must wrap at the
+    TRUE extent, not the layout-pad edge."""
+    chans = rng.random((1, 32, 32)).astype(np.float32)
+    psf = motion_blur_kernel_oracle(7, 45.0)
+    from fft_restoration_tpu.models.pipeline import restore_planes
+    import jax.numpy as jnp
+
+    single = np.asarray(
+        restore_planes(
+            jnp.asarray(chans), jnp.asarray(psf), 0.01,
+            fft_backend="matmul", filter_name="cls",
+        )
+    )
+    sharded = sharded_restore_planes(
+        chans, psf, 0.01, mesh=make_mesh(3), filter_name="cls"
+    )
+    assert np.abs(single - sharded).max() < 1e-6
 
 
 def test_graft_entry_dryrun():
