@@ -2,22 +2,41 @@
 """Benchmark: 2048x2048 RGB Wiener restoration throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N,
+   "backend": ..., "rtt_ms": N, "rounds_ms": [...], "spread": N,
+   "contended": bool, "oracle_ms": N}
 
 `value` is restored megapixels/second through the flagship single-chip
-pipeline (pallas revorder FFT kernels) at the BASELINE.json north-star config
-(2048^2, PSF(50, 30deg), K=0.01), steady-state.
+pipeline (pallas revorder FFT kernels) at the BASELINE.json north-star
+config (2048^2, PSF(50, 30deg), K=0.01), steady-state.
 
 `vs_baseline` is the speedup over the serial oracle on this host — the
 same "[Speedup] x.xx vs serial" semantic every reference driver reports
 (/root/reference/simd.cpp:98, gpu.cpp:105). The reference publishes no
 absolute numbers (BASELINE.md), so speedup-vs-serial is its own metric.
 
-Timing notes: the axon tunnel's block_until_ready does not block, so we
+Measurement integrity on a POOL-SHARED tunneled chip (the round-1
+failure mode — a contended window recorded 28 ms for a 2.4 ms pipeline):
+  * the fixed host-fetch RTT is estimated from interleaved noop probes
+    and subtracted; per-round RTT drift marks contention,
+  * rounds run in several batches spread over time, best-of wins
+    (steady-state capability, not instantaneous pool luck),
+  * if the round spread stays > 2x, more batches are run (up to a time
+    budget) and the result is flagged "contended": true,
+  * a known-FLOPs probe (4096^3 f32 matmul) measures device health
+    independently of our pipeline: a quiet v5e sustains tens of f32
+    TFLOP/s on it, a saturated pool reads ~1-2. probe_tflops below
+    PROBE_TFLOPS_QUIET also sets "contended" (sustained pool load has
+    LOW spread — spread alone cannot detect it, measured 2026-08-16),
+  * the chosen backend is recorded — a pallas-compile failure falls back
+    to matmul VISIBLY in the JSON, never silently.
+
+Timing note: the axon tunnel's block_until_ready does not block, so we
 amortize N queued dispatches between two small host fetches.
 """
 
 import json
+import signal
 import sys
 import time
 
@@ -28,40 +47,38 @@ PSF_LEN = 50
 PSF_ANGLE = 30.0
 K = 0.01
 ITERS = 30
+ROUNDS_PER_BATCH = 5
+MAX_BATCHES = 5
+BATCH_GAP_S = 15.0
+SPREAD_OK = 2.0
+MEASURE_BUDGET_S = 420.0
+PROBE_TFLOPS_QUIET = 5.0
 
 
 def _sync(x):
     return np.asarray(x).ravel()[0]
 
 
-def main():
+class _CompileTimeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _CompileTimeout()
+
+
+def _compile_pipeline(x, ang, k):
+    """Compile the flagship pipeline; pallas first, matmul fallback.
+
+    The axon remote Mosaic compiler is intermittently flaky (HTTP 500s,
+    multi-minute hangs), so each compile is alarm-guarded. The fallback
+    is RECORDED in the output JSON via the returned backend name."""
     import functools
 
     import jax
-    import jax.numpy as jnp
 
     from fft_restoration_tpu.models.pipeline import _restore_core
 
-    rng = np.random.default_rng(0)
-    img = rng.random((H, W, 3)).astype(np.float32)
-
-    x = jax.device_put(jnp.asarray(img))
-    ang = jnp.float32(PSF_ANGLE)
-    k = jnp.float32(K)
-
-    # Flagship backend is the pallas revorder path; the axon remote
-    # Mosaic compiler is intermittently flaky (HTTP 500s, multi-minute
-    # hangs), so guard each compile with an alarm and fall back to the
-    # matmul (MXU four-step) backend.
-    import signal
-
-    class _CompileTimeout(Exception):
-        pass
-
-    def _alarm(signum, frame):
-        raise _CompileTimeout()
-
-    fn = None
     for backend, budget_s in (("pallas", 420), ("matmul", 240)):
         try:
             cand = jax.jit(
@@ -81,30 +98,61 @@ def main():
             finally:
                 signal.alarm(0)
                 signal.signal(signal.SIGALRM, old)
-            fn = cand
             print(f"backend: {backend}", file=sys.stderr)
-            break
+            return cand, backend
         except _CompileTimeout:
             print(f"backend {backend}: compile timed out", file=sys.stderr)
         except Exception as e:  # compile-service failure
             print(f"backend {backend} failed: {str(e)[:200]}", file=sys.stderr)
-    if fn is None:
-        raise RuntimeError("no FFT backend compiled")
+    raise RuntimeError("no FFT backend compiled")
 
-    # The tunneled chip is pool-shared, so single measurements are noisy;
-    # estimate the fixed fetch RTT separately (median of trivial
-    # round-trips) and take the best of 3 amortized rounds.
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent executable cache: repeated bench runs skip the
+    # minutes-long Mosaic compile (and its flaky remote helper)
+    from fft_restoration_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    rng = np.random.default_rng(0)
+    img = rng.random((H, W, 3)).astype(np.float32)
+
+    x = jax.device_put(jnp.asarray(img))
+    ang = jnp.float32(PSF_ANGLE)
+    k = jnp.float32(K)
+
+    fn, backend = _compile_pipeline(x, ang, k)
+
     noop = jax.jit(lambda a: a * 1.0)
     small = jax.device_put(jnp.ones((8, 8)))
     _sync(noop(small))
-    rtts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _sync(noop(small))
-        rtts.append(time.perf_counter() - t0)
-    rtt = sorted(rtts)[len(rtts) // 2]
 
-    def one_round():
+    def probe_rtt(n=5):
+        rtts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _sync(noop(small))
+            rtts.append(time.perf_counter() - t0)
+        return sorted(rtts)[len(rtts) // 2]
+
+    # Device-health probe: known-FLOPs workload, best of 3 amortized.
+    pa = jax.device_put(jnp.asarray(rng.random((4096, 4096), np.float32)))
+    pmm = jax.jit(lambda a: a @ a)
+    _sync(pmm(pa))
+    probe_ms = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            o = pmm(pa)
+        _sync(o)
+        probe_ms = min(probe_ms, (time.perf_counter() - t0) / 10 * 1e3)
+    probe_tflops = 2 * 4096**3 / (probe_ms / 1e3) / 1e12
+    print(f"device-health probe: {probe_tflops:.2f} f32 TFLOP/s", file=sys.stderr)
+
+    def one_round(rtt):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = fn(x, ang, k)
@@ -112,25 +160,55 @@ def main():
         t_total = time.perf_counter() - t0
         return max((t_total - rtt) / ITERS, 1e-9) * 1e3
 
-    ms_per_frame = min(one_round() for _ in range(5))
+    # Batches of rounds with interleaved RTT probes, spread over time.
+    t_begin = time.perf_counter()
+    rounds = []
+    rtts = []
+    for batch in range(MAX_BATCHES):
+        rtt = probe_rtt()
+        rtts.append(rtt)
+        batch_rounds = [one_round(rtt) for _ in range(ROUNDS_PER_BATCH)]
+        rounds.extend(batch_rounds)
+        spread = max(rounds) / min(rounds)
+        print(
+            f"batch {batch}: rtt {rtt * 1e3:.1f} ms, rounds "
+            f"{[round(r, 2) for r in batch_rounds]} ms, spread {spread:.2f}x",
+            file=sys.stderr,
+        )
+        elapsed = time.perf_counter() - t_begin
+        # Enough batches AND a stable spread -> done; otherwise keep
+        # sampling (pool contention comes in windows) within the budget.
+        if batch >= 1 and spread <= SPREAD_OK:
+            break
+        if elapsed + BATCH_GAP_S + 10.0 > MEASURE_BUDGET_S:
+            break
+        time.sleep(BATCH_GAP_S)
+
+    ms_per_frame = min(rounds)
+    spread = max(rounds) / min(rounds)
+    contended = spread > SPREAD_OK or probe_tflops < PROBE_TFLOPS_QUIET
     mp_per_s = (H * W * 3 / 1e6) / (ms_per_frame / 1e3)
 
     # serial-oracle reference (the in-binary oracle every reference
-    # driver times itself against)
+    # driver times itself against). Host load skews this too: take the
+    # faster of two runs.
     from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
     from fft_restoration_tpu.oracle.serial import restore_channels
 
     psf = motion_blur_kernel_oracle(PSF_LEN, PSF_ANGLE)
     chans = np.moveaxis(img, -1, 0)
-    t0 = time.perf_counter()
-    restore_channels(chans, psf, K)
-    oracle_ms = (time.perf_counter() - t0) * 1e3
+    oracle_ms = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        restore_channels(chans, psf, K)
+        oracle_ms = min(oracle_ms, (time.perf_counter() - t0) * 1e3)
     speedup = oracle_ms / ms_per_frame
 
     print(
         f"2048x2048x3 Wiener deblur: {ms_per_frame:.2f} ms/frame on "
         f"{jax.devices()[0].device_kind}, serial oracle {oracle_ms:.0f} ms, "
-        f"speedup {speedup:.1f}x",
+        f"speedup {speedup:.1f}x"
+        + (" [CONTENDED POOL — value is best-of]" if contended else ""),
         file=sys.stderr,
     )
     print(
@@ -140,6 +218,13 @@ def main():
                 "value": round(mp_per_s, 1),
                 "unit": "MP/s",
                 "vs_baseline": round(speedup, 2),
+                "backend": backend,
+                "rtt_ms": round(min(rtts) * 1e3, 2),
+                "rounds_ms": [round(r, 2) for r in rounds],
+                "spread": round(spread, 2),
+                "probe_tflops": round(probe_tflops, 2),
+                "contended": contended,
+                "oracle_ms": round(oracle_ms, 1),
             }
         )
     )

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Device-health probe for the pool-shared TPU: one JSON line to stdout.
+
+{"ts": ..., "rtt_ms": ..., "probe_tflops": ..., "quiet": bool}
+
+A known-FLOPs f32 matmul measures what the pool currently delivers; the
+pipeline's own numbers are only comparable across sessions when this
+probe reads quiet (docs/PERF.md methodology). Used by the round-2
+quiet-window watcher and available for deployment health checks.
+"""
+
+import json
+import time
+
+import numpy as np
+
+QUIET_TFLOPS = 5.0
+
+
+def probe() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    def sync(x):
+        return np.asarray(x).ravel()[0]
+
+    noop = jax.jit(lambda a: a * 1.0)
+    small = jax.device_put(jnp.ones((8, 8)))
+    sync(noop(small))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sync(noop(small))
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = sorted(rtts)[2] * 1e3
+
+    a = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).random((4096, 4096), np.float32))
+    )
+    mm = jax.jit(lambda a: a @ a)
+    sync(mm(a))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            o = mm(a)
+        sync(o)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    tflops = 2 * 4096**3 / best / 1e12
+    return {
+        "ts": round(time.time(), 1),
+        "rtt_ms": round(rtt_ms, 1),
+        "probe_tflops": round(tflops, 2),
+        "quiet": tflops >= QUIET_TFLOPS,
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(probe()))
