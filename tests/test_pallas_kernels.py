@@ -5,7 +5,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+from fft_restoration_tpu.ops.pallas.fft_kernel import fft_cols_pallas, fft_rows_pallas
 from fft_restoration_tpu.ops.pallas.wiener import wiener_pallas
 from fft_restoration_tpu.ops.wiener import wiener_filter
 
@@ -50,6 +50,70 @@ def test_fft_rows_pallas_ragged_batch(rng):
 def test_fft_rows_pallas_rejects_non_pow2(rng):
     with pytest.raises(ValueError):
         fft_rows_pallas(jnp.zeros((4, 12)), jnp.zeros((4, 12)))
+
+
+# ---------------------------------------------------------------------------
+# fft_cols_pallas: the sublane-axis column kernel. Not on the production
+# path (sublane rolls cost ~3x lane rolls on v5e — measured negative
+# result, docs/PERF.md), kept as an op for transpose-dominated workloads;
+# these parity tests mirror the row-kernel suite so it cannot rot.
+
+
+@pytest.mark.parametrize("h", [2, 8, 128])
+def test_fft_cols_pallas_matches_npfft(rng, h):
+    re = rng.standard_normal((h, 16)).astype(np.float32)
+    im = rng.standard_normal((h, 16)).astype(np.float32)
+    r, i = fft_cols_pallas(jnp.asarray(re), jnp.asarray(im), False)
+    ours = np.asarray(r) + 1j * np.asarray(i)
+    ref = np.fft.fft(re.astype(np.complex128) + 1j * im, axis=0)
+    assert np.abs(ours - ref).max() / max(1.0, np.abs(ref).max()) < 1e-5
+
+
+def test_fft_cols_pallas_inverse_roundtrip(rng):
+    re = rng.standard_normal((64, 8)).astype(np.float32)
+    zero = jnp.zeros((64, 8), jnp.float32)
+    r, i = fft_cols_pallas(jnp.asarray(re), zero, False)
+    r2, _ = fft_cols_pallas(r, i, True)
+    assert np.abs(np.asarray(r2) / 64 - re).max() < 1e-5
+
+
+def test_fft_cols_pallas_revorder_roundtrip(rng):
+    """fwd(DIF, bit-reversed out) -> inv(DIT, bit-reversed in) with no
+    permutation pass recovers the input x H."""
+    re = rng.standard_normal((32, 8)).astype(np.float32)
+    zero = jnp.zeros((32, 8), jnp.float32)
+    r, i = fft_cols_pallas(jnp.asarray(re), zero, False, ordering="revorder")
+    r2, _ = fft_cols_pallas(r, i, True, ordering="revorder")
+    assert np.abs(np.asarray(r2) / 32 - re).max() < 1e-5
+
+
+def test_fft_cols_pallas_3d_batch_and_ragged_cols(rng):
+    # leading batch axis + a width that is not a block_cols multiple
+    # exercises the lane-pad path
+    re = rng.standard_normal((2, 16, 7)).astype(np.float32)
+    r, i = fft_cols_pallas(
+        jnp.asarray(re), jnp.zeros_like(jnp.asarray(re)), False, block_cols=4
+    )
+    ref = np.fft.fft(re.astype(np.complex128), axis=-2)
+    ours = np.asarray(r) + 1j * np.asarray(i)
+    assert ours.shape == (2, 16, 7)
+    assert np.abs(ours - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_fft_cols_pallas_rejects_non_pow2():
+    with pytest.raises(ValueError):
+        fft_cols_pallas(jnp.zeros((12, 4)), jnp.zeros((12, 4)))
+
+
+def test_transpose_free_2d_matches_fft2(rng):
+    """rows kernel + cols kernel = full 2D FFT with zero transposes."""
+    x = rng.standard_normal((32, 16)).astype(np.float32)
+    zero = jnp.zeros_like(jnp.asarray(x))
+    r, i = fft_rows_pallas(jnp.asarray(x), zero, False)
+    r, i = fft_cols_pallas(r, i, False)
+    ours = np.asarray(r) + 1j * np.asarray(i)
+    ref = np.fft.fft2(x.astype(np.complex128))
+    assert np.abs(ours - ref).max() / np.abs(ref).max() < 1e-5
 
 
 def test_wiener_pallas_matches_jnp(rng):
