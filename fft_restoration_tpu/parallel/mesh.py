@@ -21,6 +21,7 @@ import jax
 from jax.sharding import Mesh
 
 ROWS_AXIS = "rows"
+BATCH_AXIS = "batch"
 
 
 def make_mesh(n_devices: Optional[int] = None, platform: Optional[str] = None) -> Mesh:
@@ -49,3 +50,33 @@ def make_mesh(n_devices: Optional[int] = None, platform: Optional[str] = None) -
             )
         devices = devices[:n_devices]
     return Mesh(devices, (ROWS_AXIS,))
+
+
+def make_mesh2d(
+    n_batch: int, n_rows: int, platform: Optional[str] = None
+) -> Mesh:
+    """2D (batch, rows) mesh: images data-parallel over 'batch', each
+    image's rows sharded over 'rows'.
+
+    The FFT collectives (all_to_all transposes, pmin/pmax normalize) run
+    only over the 'rows' axis; 'batch' needs no communication at all —
+    the TPU counterpart of running several independent mpirun groups
+    (fft_mpi.cpp:89-100 distributes rows within ONE communicator; the
+    reference has no batch axis). On hardware, lay 'rows' on the faster
+    ICI dimension and 'batch' across the slower one/DCN.
+    """
+    import numpy as np
+
+    n = n_batch * n_rows
+    devices = jax.devices(platform) if platform else jax.devices()
+    if len(devices) < n:
+        try:
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            cpus = []
+        if len(cpus) >= n:
+            devices = cpus
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(n_batch, n_rows)
+    return Mesh(grid, (BATCH_AXIS, ROWS_AXIS))

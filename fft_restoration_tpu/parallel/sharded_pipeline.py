@@ -236,6 +236,70 @@ def sharded_restore_planes(
     return np.asarray(out)[:, :hp, :wp]
 
 
+def sharded_batched_restore_planes(
+    imgs: np.ndarray,
+    psf: np.ndarray,
+    K: float = 0.01,
+    mesh: Optional[Mesh] = None,
+    fft_backend: str = "matmul",
+    filter_name: str = "wiener",
+) -> np.ndarray:
+    """Batch-AND-row-sharded restoration over a 2D (batch, rows) mesh.
+
+    imgs: (B, C, Hp, Wp) pow-2 planes, shared (S, S) PSF. Images are
+    data-parallel over the 'batch' mesh axis (zero communication); each
+    image's FFT is row-sharded over 'rows' exactly like the 1D path
+    (all_to_all transposes + pmin/pmax normalize, axis_name='rows').
+    The batch is layout-padded to a batch-axis multiple and cropped back.
+    Returns (B, C, Hp, Wp) normalized planes.
+    """
+    from fft_restoration_tpu.parallel.mesh import BATCH_AXIS, make_mesh2d
+
+    mesh = mesh or make_mesh2d(1, len(jax.devices()))
+    b, c, hp, wp = imgs.shape
+    n_b = mesh.shape[BATCH_AXIS]
+    n_r = mesh.shape[ROWS_AXIS]
+    bpad = -(-b // n_b) * n_b
+    hpad = -(-hp // n_r) * n_r
+    wpad = -(-wp // n_r) * n_r
+    stack = np.zeros((bpad, c, hpad, wpad), np.float32)
+    stack[:b, :, :hp, :wp] = imgs
+    psf_pad = np.zeros((hpad, wpad), np.float32)
+    psf_pad[: psf.shape[0], : psf.shape[1]] = psf
+    lap = np.zeros((hpad, wpad), np.float32)
+    lap[0, 0] = 4.0
+    lap[0, 1] = lap[1, 0] = lap[0, wp - 1] = lap[hp - 1, 0] = -1.0
+
+    local_fn = functools.partial(
+        _local_restore_planes,
+        hp=hp,
+        wp=wp,
+        fft_backend=fft_backend,
+        filter_name=filter_name,
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(
+                P(BATCH_AXIS, None, ROWS_AXIS, None),
+                P(ROWS_AXIS, None),
+                P(ROWS_AXIS, None),
+                P(),
+            ),
+            out_specs=P(BATCH_AXIS, None, ROWS_AXIS, None),
+        )
+    )
+    out = fn(
+        jnp.asarray(stack),
+        jnp.asarray(psf_pad),
+        jnp.asarray(lap),
+        jnp.float32(K),
+    )
+    return np.asarray(out)[:b, :, :hp, :wp]
+
+
 def profile_phases_sharded(
     img_bgr: np.ndarray,
     psf_length: int,
