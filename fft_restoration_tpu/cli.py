@@ -134,10 +134,10 @@ def _run_batch(args) -> int:
     paths = sorted(
         os.path.join(args.img_path, f)
         for f in os.listdir(args.img_path)
-        if f.lower().endswith(".png") and "_restored" not in f
+        if f.lower().endswith((".png", ".jpg", ".jpeg")) and "_restored" not in f
     )
     if not paths:
-        print(f"[Error] no PNG files in {args.img_path!r}")
+        print(f"[Error] no PNG/JPEG files in {args.img_path!r}")
         return 1
     out_dir = args.output or args.img_path
     os.makedirs(out_dir, exist_ok=True)
@@ -146,22 +146,20 @@ def _run_batch(args) -> int:
     import struct
     from collections import defaultdict
 
+    from fft_restoration_tpu.utils.imageio import probe_size
+
     groups = defaultdict(list)
     skipped = 0
     for p in paths:
         try:
-            with open(p, "rb") as f:
-                head = f.read(64)
-            if len(head) < 24 or head[:8] != b"\x89PNG\r\n\x1a\n":
-                raise ValueError("not a PNG file")
-            w, h = struct.unpack(">II", head[16:24])
+            h, w = probe_size(p)
         except (OSError, ValueError, struct.error) as e:
             print(f"[Error] skipping {p!r}: {e}")
             skipped += 1
             continue
         groups[(h, w)].append(p)
     if not groups:
-        print(f"[Error] no readable PNG files in {args.img_path!r}")
+        print(f"[Error] no readable image files in {args.img_path!r}")
         return 1
 
     t0 = time.perf_counter()

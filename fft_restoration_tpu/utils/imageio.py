@@ -286,10 +286,48 @@ def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
     )
 
 
-def imread(path: str) -> np.ndarray:
-    """Read an image file as BGR uint8 (H, W, 3), like cv::imread(IMREAD_COLOR)."""
+def probe_size(path: str) -> tuple:
+    """(height, width) of a PNG or baseline JPEG without decoding pixels.
+
+    Raises ValueError on unknown/corrupt headers — callers (the CLI
+    batch loader) use this to group frames and skip unreadable files."""
     data = Path(path).read_bytes()
-    img = decode_png(data)
+    if data[:8] == _PNG_SIG:
+        if len(data) < 24:
+            raise ValueError("corrupt PNG: truncated IHDR")
+        w, h = struct.unpack(">II", data[16:24])
+        return h, w
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("corrupt JPEG: expected marker")
+            marker = data[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # any SOF with dims
+                _, h, w = struct.unpack(">BHH", data[pos + 2 : pos + 7])
+                return h, w
+            pos += seglen
+        raise ValueError("corrupt JPEG: no SOF marker")
+    raise ValueError("not a PNG or JPEG file")
+
+
+def imread(path: str) -> np.ndarray:
+    """Read an image file as BGR uint8 (H, W, 3), like cv::imread(IMREAD_COLOR).
+
+    Formats: PNG (this codec) and baseline JPEG (utils/jpeg.py),
+    dispatched on magic bytes — the two formats the reference's fixtures
+    and cv::imread-based drivers actually exercise."""
+    data = Path(path).read_bytes()
+    if data[:2] == b"\xff\xd8":
+        from fft_restoration_tpu.utils.jpeg import decode_jpeg
+
+        img = decode_jpeg(data)
+    else:
+        img = decode_png(data)
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
     elif img.shape[-1] == 2:  # grayscale + alpha (color type 4)

@@ -121,4 +121,4 @@ def test_cli_empty_directory(tmp_path):
     d.mkdir()
     r = _run([str(d), "5", "30"])
     assert r.returncode == 1
-    assert "no PNG files" in r.stdout
+    assert "no PNG/JPEG files" in r.stdout

@@ -1,0 +1,111 @@
+"""Baseline JPEG decoder vs OpenCV's decode of the SAME byte stream.
+
+Decoding is deterministic up to IDCT rounding, so our decoder must match
+cv2.imdecode within a couple of counts per pixel on bytes cv2 encoded.
+"""
+
+import numpy as np
+import pytest
+
+from fft_restoration_tpu.utils.jpeg import decode_jpeg
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _encode(img_bgr, quality=90, **params):
+    flags = [cv2.IMWRITE_JPEG_QUALITY, quality]
+    for k, v in params.items():
+        flags += [getattr(cv2, k), v]
+    ok, buf = cv2.imencode(".jpg", img_bgr, flags)
+    assert ok
+    return bytes(buf.tobytes())
+
+
+def _roundtrip_diff(img_bgr, **params):
+    data = _encode(img_bgr, **params)
+    ours_rgb = decode_jpeg(data)
+    theirs_bgr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    ours_bgr = ours_rgb[..., ::-1]
+    return np.abs(ours_bgr.astype(int) - theirs_bgr.astype(int))
+
+
+@pytest.fixture(scope="module")
+def photo(rng):
+    # smooth gradients + texture: exercises DC prediction and AC runs
+    y, x = np.mgrid[:96, :120]
+    base = (
+        128
+        + 60 * np.sin(x / 9.0)
+        + 50 * np.cos(y / 7.0)
+        + (rng.random((96, 120)) * 30)
+    )
+    img = np.stack([base, np.roll(base, 7, 0), 255 - base], axis=-1)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_420_matches_cv2(photo):
+    # default cv2 encoding is 4:2:0. libjpeg's fancy upsampler is an
+    # integer (9:3:3:1)/16 filter with asymmetric biases; ours is the
+    # equivalent separable float filter -> max 1 extra count of rounding
+    # skew on top of IDCT rounding.
+    assert _roundtrip_diff(photo).max() <= 3
+
+
+def test_jpeg_444_matches_cv2(photo):
+    d = _roundtrip_diff(photo, IMWRITE_JPEG_SAMPLING_FACTOR=0x111111)
+    assert d.max() <= 2
+
+
+def test_jpeg_gray_matches_cv2(photo):
+    gray = cv2.cvtColor(photo, cv2.COLOR_BGR2GRAY)
+    ok, buf = cv2.imencode(".jpg", gray, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    assert ok
+    data = bytes(buf.tobytes())
+    ours = decode_jpeg(data)
+    theirs = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_GRAYSCALE)
+    assert ours.ndim == 2
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+
+def test_jpeg_restart_markers(photo):
+    d = _roundtrip_diff(photo, IMWRITE_JPEG_RST_INTERVAL=2)
+    assert d.max() <= 3
+
+
+def test_jpeg_odd_size_matches_cv2(rng):
+    img = (rng.random((41, 53, 3)) * 255).astype(np.uint8)
+    assert _roundtrip_diff(img, quality=95).max() <= 2
+
+
+def test_progressive_rejected(photo):
+    data = _encode(photo, IMWRITE_JPEG_PROGRESSIVE=1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(data)
+
+
+def test_truncated_jpeg_raises(photo):
+    data = _encode(photo)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])
+
+
+def test_imread_dispatches_jpeg(tmp_path, photo):
+    from fft_restoration_tpu.utils.imageio import imread, probe_size
+
+    p = tmp_path / "x.jpg"
+    p.write_bytes(_encode(photo))
+    img = imread(str(p))  # BGR like cv::imread
+    theirs = cv2.imread(str(p), cv2.IMREAD_COLOR)
+    assert np.abs(img.astype(int) - theirs.astype(int)).max() <= 3
+    assert probe_size(str(p)) == photo.shape[:2]
+
+
+def test_cli_batch_accepts_jpeg(tmp_path, photo, capsys):
+    from fft_restoration_tpu.cli import main
+
+    p = tmp_path / "x.jpg"
+    p.write_bytes(_encode(photo))
+    rc = main([str(tmp_path), "5", "30", "--no-verify"])
+    assert rc == 0
+    assert "Restored 1 frames" in capsys.readouterr().out
+    assert (tmp_path / "x_restored.png").exists()
