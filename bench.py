@@ -189,6 +189,26 @@ def main():
     contended = spread > SPREAD_OK or probe_tflops < PROBE_TFLOPS_QUIET
     mp_per_s = (H * W * 3 / 1e6) / (ms_per_frame / 1e3)
 
+    # Device-timeline cost (the cudaEvent-profiler analog): time on the
+    # TPU itself from a jax.profiler trace — no host RTT, no tunnel
+    # queueing. This is the per-frame cost a dedicated (non-pool) chip
+    # would deliver; host-observed `value` additionally pays the shared
+    # tunnel. Best-effort: tracing can fail on the remote backend.
+    device_ms = None
+    try:
+        from fft_restoration_tpu.utils.trace_profile import device_trace
+
+        rep = device_trace(fn, (x, ang, k), n_iters=10)
+        if rep.device_total_ms > 0:
+            device_ms = rep.device_total_ms
+            print(
+                f"device timeline: {device_ms:.2f} ms/frame busy "
+                f"(span {rep.device_span_ms:.2f})",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"device trace unavailable: {str(e)[:150]}", file=sys.stderr)
+
     # serial-oracle reference (the in-binary oracle every reference
     # driver times itself against). Host load skews this too: take the
     # faster of two runs.
@@ -225,6 +245,14 @@ def main():
                 "probe_tflops": round(probe_tflops, 2),
                 "contended": contended,
                 "oracle_ms": round(oracle_ms, 1),
+                "device_ms_per_frame": (
+                    round(device_ms, 2) if device_ms else None
+                ),
+                "device_mp_per_s": (
+                    round((H * W * 3 / 1e6) / (device_ms / 1e3), 1)
+                    if device_ms
+                    else None
+                ),
             }
         )
     )

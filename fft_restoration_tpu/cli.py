@@ -71,7 +71,18 @@ def build_parser() -> argparse.ArgumentParser:
         default="gpu",
         help="verification tolerance tier (reference: simd/mpi=l2, openmp=inf, gpu=gpu)",
     )
-    p.add_argument("--profile", action="store_true", help="print per-phase times")
+    p.add_argument(
+        "--profile",
+        nargs="?",
+        const="phases",
+        default=None,
+        choices=("phases", "trace"),
+        help="'phases': host-timed per-phase breakdown (reference phase "
+        "taxonomy; each phase pays a host sync). 'trace': device-timeline "
+        "profile via jax.profiler — per-op times from the TPU's own "
+        "clock, excluding host RTT and other pool tenants (the cudaEvent-"
+        "profiler analog, fft_gpu.cu:17-57)",
+    )
     p.add_argument(
         "--reference",
         default=None,
@@ -326,7 +337,38 @@ def main(argv=None) -> int:
         mode_ms = (t1 - t0) * 1e3
         print(f"Deblurring 3 channels took({args.mode}): {mode_ms:.2f} ms")
 
-        if args.profile and args.filter == "wiener":
+        if args.profile == "trace":
+            import jax.numpy as jnp
+
+            from fft_restoration_tpu.utils.trace_profile import device_trace
+
+            if hasattr(pipe, "_put"):  # sharded: place on the mesh
+                imgf = pipe._put(img)
+                fn = pipe._compiled(img.shape[0], img.shape[1], args.psf_length)
+            else:
+                # fresh non-donating compile: tracing re-runs fn on the
+                # same input array, which a donated buffer forbids
+                import functools
+
+                import jax
+
+                from fft_restoration_tpu.models.pipeline import _restore_core
+
+                imgf = jnp.asarray(img.astype(np.float32) / np.float32(255.0))
+                fn = jax.jit(
+                    functools.partial(
+                        _restore_core,
+                        psf_length=args.psf_length,
+                        fft_backend=args.fft_backend,
+                        filter_name=args.filter,
+                        white_balance=wb,
+                    )
+                )
+            rep = device_trace(
+                fn, (imgf, jnp.float32(args.psf_angle), jnp.float32(args.K))
+            )
+            print(rep.report())
+        elif args.profile and args.filter == "wiener":
             if args.mode == "jit":
                 from fft_restoration_tpu.models.pipeline import profile_phases
 
