@@ -132,7 +132,12 @@ def _restore_planes_pallas_fused(channels, psf_pad, K):
     r_re, r_im = fft_rows_pallas(F[0], F[1], True, ordering="revorder")
     r_re = jnp.swapaxes(r_re, -1, -2)
     r_im = jnp.swapaxes(r_im, -1, -2)
-    r_re, _ = fft_rows_pallas(r_re, r_im, True, ordering="revorder")
+    # final pass: only the real plane is kept, so skip the imaginary
+    # plane's HBM write (real_output) — ≙ postprocess_kernel extracting
+    # real parts only (fft_gpu.cu:187-201)
+    r_re, _ = fft_rows_pallas(
+        r_re, r_im, True, ordering="revorder", real_output=True
+    )
     restored = r_re * jnp.float32(1.0 / (hp * wp))
     return _minmax_normalize(restored)
 

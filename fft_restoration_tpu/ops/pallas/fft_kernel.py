@@ -78,7 +78,11 @@ def _half_masks_np(n: int) -> np.ndarray:
 
 
 def _dit_stage(x_re, x_im, wc, ws, m, half, n):
-    """One DIT butterfly stage over the lane axis (see module docstring)."""
+    """One DIT butterfly stage over the lane axis (see module docstring).
+
+    The half-select is a compare+vselect (m > 0.5), not the arithmetic
+    blend m*a + (1-m)*b — one VPU op per plane instead of three in a
+    kernel that is compute-bound, not bandwidth-bound (docs/PERF.md)."""
     # partner for first-half lanes (j + half) and second-half (j - half)
     p_re = pltpu.roll(x_re, n - half, axis=1)
     p_im = pltpu.roll(x_im, n - half, axis=1)
@@ -89,12 +93,9 @@ def _dit_stage(x_re, x_im, wc, ws, m, half, n):
     wp_im = wc * p_im + ws * p_re
     wx_re = wc * x_re - ws * x_im
     wx_im = wc * x_im + ws * x_re
-    first_re = x_re + wp_re
-    first_im = x_im + wp_im
-    second_re = q_re - wx_re
-    second_im = q_im - wx_im
-    x_re = m * first_re + (1.0 - m) * second_re
-    x_im = m * first_im + (1.0 - m) * second_im
+    first = m > 0.5
+    x_re = jnp.where(first, x_re + wp_re, q_re - wx_re)
+    x_im = jnp.where(first, x_im + wp_im, q_im - wx_im)
     return x_re, x_im
 
 
@@ -111,8 +112,9 @@ def _dif_stage(x_re, x_im, wc, ws, m, half, n):
     d_im = q_im - x_im
     wd_re = wc * d_re - ws * d_im
     wd_im = wc * d_im + ws * d_re
-    x_re = m * (x_re + p_re) + (1.0 - m) * wd_re
-    x_im = m * (x_im + p_im) + (1.0 - m) * wd_im
+    first = m > 0.5
+    x_re = jnp.where(first, x_re + p_re, wd_re)
+    x_im = jnp.where(first, x_im + p_im, wd_im)
     return x_re, x_im
 
 
@@ -132,7 +134,11 @@ def _fft_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref, *,
         stage = _dif_stage if dif else _dit_stage
         x_re, x_im = stage(x_re, x_im, wc, ws, m, half, n)
     ore_ref[:] = x_re
-    oim_ref[:] = x_im
+    # real_output mode passes oim_ref=None: callers that discard the
+    # imaginary plane (the last inverse pass of a real restore) skip its
+    # HBM write entirely.
+    if oim_ref is not None:
+        oim_ref[:] = x_im
 
 
 def _dit_stage_sub(x_re, x_im, wc, ws, m, half, n):
@@ -275,6 +281,7 @@ def fft_rows_pallas(
     block_rows: int = 256,
     interpret: bool | None = None,
     ordering: str = "natural",
+    real_output: bool = False,
 ) -> SoA:
     """1D DFT over the last axis of (..., N) SoA planes, N a power of two
     >= 2. Unscaled inverse. Rows are tiled over the grid; each tile runs
@@ -282,6 +289,11 @@ def fft_rows_pallas(
 
     im may be None (real input): the zero imaginary plane is synthesized
     in-register, saving its HBM write + read entirely.
+
+    real_output=True skips the imaginary plane's HBM write and returns
+    None for it — for the LAST inverse pass of a real-signal restore,
+    where the caller keeps only the real part (postprocess_kernel in the
+    CUDA reference likewise extracts real only, fft_gpu.cu:187-201).
 
     ordering:
       * 'natural'  — natural-order in AND out: DIT stages preceded by an
@@ -301,6 +313,8 @@ def fft_rows_pallas(
     if ordering not in ("natural", "revorder"):
         raise ValueError(f"unknown ordering {ordering!r}")
     if n < 2:
+        if real_output:
+            return re, None
         return re, (jnp.zeros_like(re) if im is None else im)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -346,33 +360,49 @@ def fft_rows_pallas(
     const_spec = pl.BlockSpec(
         (stages, n), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    kernel = _ft.partial(_fft_kernel, dif=dif)
     if real_input:
-        kernel = _ft.partial(_fft_kernel, dif=dif)
-
-        def kernel_real(re_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref):
-            kernel(re_ref, None, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref)
-
         in_specs = [row_spec, const_spec, const_spec, const_spec]
         operands = (re2,)
-        body = kernel_real
     else:
-        body = _ft.partial(_fft_kernel, dif=dif)
         in_specs = [row_spec, row_spec, const_spec, const_spec, const_spec]
         operands = (re2, im2)
-    out_re, out_im = pl.pallas_call(
+
+    if real_output:
+        out_specs = [row_spec]
+        out_shape = [jax.ShapeDtypeStruct((total, n), jnp.float32)]
+    else:
+        out_specs = [row_spec, row_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((total, n), jnp.float32),
+            jax.ShapeDtypeStruct((total, n), jnp.float32),
+        ]
+
+    def body(*refs):
+        ins, outs = refs[: len(in_specs)], refs[len(in_specs) :]
+        re_ref = ins[0]
+        im_ref = None if real_input else ins[1]
+        tbls = ins[1:] if real_input else ins[2:]
+        ore_ref = outs[0]
+        oim_ref = None if real_output else outs[1]
+        kernel(re_ref, im_ref, *tbls, ore_ref, oim_ref)
+
+    out = pl.pallas_call(
         body,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[row_spec, row_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((total, n), jnp.float32),
-            jax.ShapeDtypeStruct((total, n), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(*operands, jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(mask_np))
+    out_re = out[0]
+    out_im = None if real_output else out[1]
 
     if pad:
         out_re = out_re[:batch]
-        out_im = out_im[:batch]
-    return out_re.reshape(orig_shape), out_im.reshape(orig_shape)
+        out_im = None if out_im is None else out_im[:batch]
+    return (
+        out_re.reshape(orig_shape),
+        None if out_im is None else out_im.reshape(orig_shape),
+    )

@@ -52,6 +52,23 @@ def test_fft_rows_pallas_rejects_non_pow2(rng):
         fft_rows_pallas(jnp.zeros((4, 12)), jnp.zeros((4, 12)))
 
 
+def test_fft_rows_pallas_real_output(rng):
+    """real_output skips the imaginary write; the real plane is identical
+    to the full call's."""
+    re = rng.standard_normal((4, 32)).astype(np.float32)
+    im = rng.standard_normal((4, 32)).astype(np.float32)
+    full_r, full_i = fft_rows_pallas(jnp.asarray(re), jnp.asarray(im), True)
+    only_r, none_i = fft_rows_pallas(
+        jnp.asarray(re), jnp.asarray(im), True, real_output=True
+    )
+    assert none_i is None
+    # dropping the dead output lets the compiler re-fuse (FMA contraction
+    # differs) -> identical up to ~1 ulp, not bitwise
+    full = np.asarray(full_r)
+    only = np.asarray(only_r)
+    assert np.abs(full - only).max() <= 4e-6 * max(1.0, np.abs(full).max())
+
+
 # ---------------------------------------------------------------------------
 # fft_cols_pallas: the sublane-axis column kernel. Not on the production
 # path (sublane rolls cost ~3x lane rolls on v5e — measured negative

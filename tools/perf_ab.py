@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Same-process interleaved A/B experiments on the real TPU.
+
+Methodology (docs/PERF.md): absolute numbers across sessions are not
+comparable on the pool-shared chip, so every design decision comes from
+variants compiled and traced in ONE process. Device-timeline times
+(utils/trace_profile.device_trace) additionally exclude host RTT and
+tunnel queueing.
+
+Experiments:
+  select    — where-select butterflies (adopted) vs arithmetic-blend
+              stages (round-1 formulation)
+  realout   — real_output final inverse pass (adopted) vs full SoA write
+  donate    — donate_argnums on vs off (VERDICT item 6 / gpu.cpp:96-113
+              optimized-vs-naive allocation experiment)
+  all       — everything
+
+Usage: python tools/perf_ab.py [select realout donate]
+"""
+
+import functools
+import os
+import signal
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+H = W = 2048
+
+
+class Timeout(Exception):
+    pass
+
+
+def _alarm(s, f):
+    raise Timeout()
+
+
+signal.signal(signal.SIGALRM, _alarm)
+
+
+def compile_guarded(make, budget_s=600):
+    signal.alarm(budget_s)
+    try:
+        return make()
+    finally:
+        signal.alarm(0)
+
+
+def sync(tree):
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if leaf is not None:
+            np.asarray(leaf).ravel()[:1]
+
+
+def host_best(fn, args, iters=15, rounds=3):
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
+def main():
+    which = set(sys.argv[1:]) or {"select", "realout", "donate"}
+
+    import jax
+    import jax.numpy as jnp
+
+    from fft_restoration_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    from fft_restoration_tpu.models.pipeline import _restore_core
+    from fft_restoration_tpu.utils.trace_profile import device_trace
+    import fft_restoration_tpu.ops.pallas.fft_kernel as fk
+
+    rng = np.random.default_rng(0)
+    img = jax.device_put(jnp.asarray(rng.random((H, W, 3), np.float32)))
+    ang, k = jnp.float32(30.0), jnp.float32(0.01)
+
+    def pallas_pipe(**kw):
+        return jax.jit(
+            functools.partial(
+                _restore_core,
+                psf_length=50,
+                fft_backend="pallas",
+                filter_name="wiener",
+                white_balance=True,
+            ),
+            **kw,
+        )
+
+    def measure(label, fn, args):
+        sync(fn(*args))  # warm/compile
+        hb = host_best(fn, args)
+        rep = device_trace(fn, args, n_iters=10)
+        print(
+            f"{label:34s} host-best {hb:7.2f} ms  device {rep.device_total_ms:6.2f} ms",
+            flush=True,
+        )
+        return hb, rep.device_total_ms
+
+    results = {}
+
+    if "select" in which or "realout" in which:
+        new = compile_guarded(lambda: pallas_pipe())
+        results["adopted"] = measure("pallas (select+realout, adopted)", new, (img, ang, k))
+
+    if "select" in which:
+        # round-1 arithmetic-blend stages, monkeypatched
+        import jax.numpy as _jnp
+        from jax.experimental.pallas import tpu as pltpu
+
+        def _dit_blend(x_re, x_im, wc, ws, m, half, n):
+            p_re = pltpu.roll(x_re, n - half, axis=1)
+            p_im = pltpu.roll(x_im, n - half, axis=1)
+            q_re = pltpu.roll(x_re, half, axis=1)
+            q_im = pltpu.roll(x_im, half, axis=1)
+            wp_re = wc * p_re - ws * p_im
+            wp_im = wc * p_im + ws * p_re
+            wx_re = wc * x_re - ws * x_im
+            wx_im = wc * x_im + ws * x_re
+            x_re = m * (x_re + wp_re) + (1.0 - m) * (q_re - wx_re)
+            x_im = m * (x_im + wp_im) + (1.0 - m) * (q_im - wx_im)
+            return x_re, x_im
+
+        def _dif_blend(x_re, x_im, wc, ws, m, half, n):
+            p_re = pltpu.roll(x_re, n - half, axis=1)
+            p_im = pltpu.roll(x_im, n - half, axis=1)
+            q_re = pltpu.roll(x_re, half, axis=1)
+            q_im = pltpu.roll(x_im, half, axis=1)
+            d_re = q_re - x_re
+            d_im = q_im - x_im
+            wd_re = wc * d_re - ws * d_im
+            wd_im = wc * d_im + ws * d_re
+            x_re = m * (x_re + p_re) + (1.0 - m) * wd_re
+            x_im = m * (x_im + p_im) + (1.0 - m) * wd_im
+            return x_re, x_im
+
+        saved = fk._dit_stage, fk._dif_stage
+        fk._dit_stage, fk._dif_stage = _dit_blend, _dif_blend
+        try:
+            old = compile_guarded(lambda: pallas_pipe())
+            results["blend"] = measure("pallas (arith-blend stages)", old, (img, ang, k))
+        finally:
+            fk._dit_stage, fk._dif_stage = saved
+
+    if "donate" in which:
+        nodon = compile_guarded(lambda: pallas_pipe())
+        don = compile_guarded(lambda: pallas_pipe(donate_argnums=(0,)))
+
+        # donation invalidates the input; re-put a fresh copy per call
+        base = np.asarray(rng.random((H, W, 3), np.float32))
+
+        def run_donating(iters):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                x = jax.device_put(jnp.asarray(base))
+                out = don(x, ang, k)
+            sync(out)
+            return (time.perf_counter() - t0) / iters * 1e3
+
+        def run_plain(iters):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                x = jax.device_put(jnp.asarray(base))
+                out = nodon(x, ang, k)
+            sync(out)
+            return (time.perf_counter() - t0) / iters * 1e3
+
+        sync(don(jax.device_put(jnp.asarray(base)), ang, k))
+        sync(nodon(jax.device_put(jnp.asarray(base)), ang, k))
+        d = min(run_donating(10) for _ in range(3))
+        p = min(run_plain(10) for _ in range(3))
+        print(f"donation ON  (incl. re-put): {d:7.2f} ms", flush=True)
+        print(f"donation OFF (incl. re-put): {p:7.2f} ms", flush=True)
+        results["donate"] = (d, p)
+
+    # interleaved re-measure of adopted to bracket pool drift
+    if "adopted" in results:
+        results["adopted2"] = measure(
+            "pallas (adopted, re-measure)",
+            compile_guarded(lambda: pallas_pipe()),
+            (img, ang, k),
+        )
+
+
+if __name__ == "__main__":
+    main()
