@@ -185,6 +185,23 @@ def main():
         print(f"donation OFF (incl. re-put): {p:7.2f} ms", flush=True)
         results["donate"] = (d, p)
 
+    if "radix4" in which:
+        from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+        from fft_restoration_tpu.ops.pallas.fft_radix4 import fft_rows_radix4_fwd
+
+        x = jax.device_put(
+            jnp.asarray(rng.random((3 * 2048, 2048), np.float32))
+        )
+        r2 = compile_guarded(
+            lambda: jax.jit(
+                lambda v: fft_rows_pallas(v, None, False, ordering="revorder")
+            )
+        )
+        r4 = compile_guarded(lambda: jax.jit(lambda v: fft_rows_radix4_fwd(v)))
+        results["r2pass"] = measure("radix-2 fwd pass (6144,2048)", r2, (x,))
+        results["r4pass"] = measure("radix-4 fwd pass (6144,2048)", r4, (x,))
+        results["r2pass2"] = measure("radix-2 fwd pass (re-measure)", r2, (x,))
+
     # interleaved re-measure of adopted to bracket pool drift
     if "adopted" in results:
         results["adopted2"] = measure(
