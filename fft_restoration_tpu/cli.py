@@ -136,10 +136,11 @@ def _run_batch(args) -> int:
 
     from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
 
-    if args.mode != "jit" or args.profile or args.reference:
+    if args.mode == "oracle" or args.profile or args.reference:
         print(
-            "[INFO] directory input always runs the batched jit pipeline; "
-            "--mode/--profile/--reference are ignored"
+            "[INFO] directory input runs the batched pipeline "
+            "(jit, or 2D batch x rows mesh with --mode sharded); "
+            "--profile/--reference and oracle mode are ignored"
         )
 
     paths = sorted(
@@ -212,9 +213,40 @@ def _restore_group(args, group, out_dir, single) -> None:
 
     if len(group) > 1:
         stack = imread_batch(group)
-        planes = BatchedWienerPipeline(
-            fft_backend=args.fft_backend, filter_name=args.filter
-        ).restore_planes(stack, args.psf_length, args.psf_angle, args.K)
+        if args.mode == "sharded":
+            # 2D (batch, rows) mesh: images data-parallel, each image's
+            # FFT row-sharded (parallel/sharded_pipeline.py)
+            import jax
+
+            from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+            from fft_restoration_tpu.parallel.mesh import make_mesh2d
+            from fft_restoration_tpu.parallel.sharded_pipeline import (
+                sharded_batched_restore_planes,
+            )
+            from fft_restoration_tpu.utils.padding import next_power_of_two
+
+            n_dev = args.devices or len(jax.devices())
+            n_b = 2 if n_dev % 2 == 0 and n_dev >= 4 else 1
+            b, h, w = stack.shape[:3]
+            hp, wp = next_power_of_two(h), next_power_of_two(w)
+            chans = np.moveaxis(
+                stack.astype(np.float32) / np.float32(255.0), -1, 1
+            )
+            chans = np.pad(
+                chans, ((0, 0), (0, 0), (0, hp - h), (0, wp - w))
+            )
+            planes = sharded_batched_restore_planes(
+                chans,
+                motion_blur_kernel_oracle(args.psf_length, args.psf_angle),
+                args.K,
+                mesh=make_mesh2d(n_b, n_dev // n_b),
+                fft_backend=args.fft_backend,
+                filter_name=args.filter,
+            )[..., :h, :w]
+        else:
+            planes = BatchedWienerPipeline(
+                fft_backend=args.fft_backend, filter_name=args.filter
+            ).restore_planes(stack, args.psf_length, args.psf_angle, args.K)
         merged = np.moveaxis(planes, 1, -1)  # (B, H, W, 3) in [0,1]
         if not args.no_white_balance:
             from fft_restoration_tpu.oracle.color import (

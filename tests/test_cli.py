@@ -122,3 +122,26 @@ def test_cli_empty_directory(tmp_path):
     r = _run([str(d), "5", "30"])
     assert r.returncode == 1
     assert "no PNG/JPEG files" in r.stdout
+
+
+def test_cli_batch_sharded_2d_mesh(tmp_path):
+    """Directory input + --mode sharded runs the batched restore over a
+    2D (batch, rows) mesh and matches the jit batch outputs."""
+    from fft_restoration_tpu.utils.imageio import imread, imwrite
+
+    rng = np.random.default_rng(3)
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(3):
+        imwrite(str(d / f"f{i}.png"), (rng.random((16, 16, 3)) * 255).astype(np.uint8))
+    out_s = tmp_path / "out_sharded"
+    out_j = tmp_path / "out_jit"
+    r = _run([str(d), "3", "30", "--mode", "sharded", "--devices", "4", "-o", str(out_s)])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Restored 3 frames" in r.stdout
+    r = _run([str(d), "3", "30", "-o", str(out_j)])
+    assert r.returncode == 0, r.stdout + r.stderr
+    for i in range(3):
+        a = imread(str(out_s / f"f{i}_restored.png"))
+        b = imread(str(out_j / f"f{i}_restored.png"))
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
