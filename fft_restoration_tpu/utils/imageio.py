@@ -158,6 +158,37 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Reassemble an Adam7-interlaced image: the stream holds 7
+    independently-filtered sub-images; unfilter each and scatter its
+    pixels onto the (height, width*bpp) grid."""
+    out = np.zeros((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        w_p = (width - x0 + dx - 1) // dx
+        h_p = (height - y0 + dy - 1) // dy
+        if w_p <= 0 or h_p <= 0:
+            continue
+        stride_p = w_p * bpp
+        size = h_p * (stride_p + 1)
+        sub = _unfilter(raw[pos : pos + size], h_p, stride_p, bpp)
+        pos += size
+        out[y0::dy, x0::dx] = sub.reshape(h_p, w_p, bpp)
+    return out.reshape(height, width * bpp)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG byte string to an RGB(A)/gray uint8 array (H, W[, C])."""
     if data[:8] != _PNG_SIG:
@@ -192,8 +223,8 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("missing IHDR")
-    if interlace != 0:
-        raise ValueError("Adam7 interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if bit_depth not in (8, 16):
         raise ValueError(f"bit depth {bit_depth} not supported")
 
@@ -205,7 +236,10 @@ def decode_png(data: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG: IDAT inflate failed: {e}") from e
-    arr = _unfilter(raw, height, stride, bpp)
+    if interlace == 1:
+        arr = _deinterlace_adam7(raw, width, height, bpp)
+    else:
+        arr = _unfilter(raw, height, stride, bpp)
 
     if bit_depth == 16:
         # 16-bit -> 8-bit with rounding: v8 = round(v16 * 255 / 65535),

@@ -106,6 +106,31 @@ def _make_png(width, height, bit_depth, color_type, scanlines: bytes) -> bytes:
     )
 
 
+def test_adam7_interlaced_decode(rng):
+    """Hand-built Adam7 stream (filter-0 rows per pass) round-trips."""
+    import zlib
+
+    truth = (rng.random((21, 13, 3)) * 255).astype(np.uint8)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    parts = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = truth[y0::dy, x0::dx]
+        for row in sub:
+            parts += b"\x00" + row.tobytes()
+    ihdr = __import__("struct").pack(">IIBBBBB", 13, 21, 8, 2, 0, 0, 1)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(parts)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), truth)
+    # cross-check against cv2's decoder on the same bytes
+    ref = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    assert np.array_equal(decode_png(data)[..., ::-1], ref)
+
+
 def test_16bit_decode_rounds_not_truncates():
     # gray16 pixels: 0x00FF (=255/65535 -> 0.992 -> rounds to 1; a
     # high-byte truncate would give 0) and 0xFF00 (-> 253.996 -> 254).
