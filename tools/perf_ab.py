@@ -202,6 +202,45 @@ def main():
         results["r4pass"] = measure("radix-4 fwd pass (6144,2048)", r4, (x,))
         results["r2pass2"] = measure("radix-2 fwd pass (re-measure)", r2, (x,))
 
+    if "megakernel" in which:
+        # The round-1 megakernel (fwd+filter+inv in one body) lost at
+        # the default auto-sized blocks (VMEM spill). Re-test the middle
+        # section at smaller block_rows: megakernel vs the adopted
+        # half-fused + separate inverse composition.
+        from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+        from fft_restoration_tpu.ops.pallas.wiener_spectral import (
+            fwd_wiener_rows_pallas,
+            wiener_spectral_rows_pallas,
+        )
+
+        are = jax.device_put(jnp.asarray(rng.random((3, 2048, 2048), np.float32)))
+        aim = jax.device_put(jnp.asarray(rng.random((3, 2048, 2048), np.float32)))
+        hr = jax.device_put(jnp.asarray(rng.random((2048, 2048), np.float32)))
+        hi = jax.device_put(jnp.asarray(rng.random((2048, 2048), np.float32)))
+
+        def unfused(are, aim, hr, hi):
+            F = fwd_wiener_rows_pallas((are, aim), (hr, hi), 0.01)
+            return fft_rows_pallas(F[0], F[1], True, ordering="revorder")
+
+        fu = compile_guarded(lambda: jax.jit(unfused))
+        results["mid_unfused"] = measure(
+            "middle: half-fused + inv pass", fu, (are, aim, hr, hi)
+        )
+        for br in (32, 64, 128):
+            fm = compile_guarded(
+                lambda br=br: jax.jit(
+                    lambda a, b, c, d: wiener_spectral_rows_pallas(
+                        (a, b), (c, d), 0.01, block_rows=br
+                    )
+                )
+            )
+            results[f"mega{br}"] = measure(
+                f"middle: megakernel block_rows={br}", fm, (are, aim, hr, hi)
+            )
+        results["mid_unfused2"] = measure(
+            "middle: half-fused + inv (re-measure)", fu, (are, aim, hr, hi)
+        )
+
     # interleaved re-measure of adopted to bracket pool drift
     if "adopted" in results:
         results["adopted2"] = measure(
