@@ -58,6 +58,17 @@ def bench_call(fn, args, iters=10):
     return min(one_round() for _ in range(3))
 
 
+def device_ms(fn, args, iters=5):
+    """Device-busy ms/iter from a jax.profiler trace (None on failure)."""
+    try:
+        from fft_restoration_tpu.utils.trace_profile import device_trace
+
+        rep = device_trace(fn, args, n_iters=iters)
+        return round(rep.device_total_ms, 2) if rep.device_total_ms else None
+    except Exception:
+        return None
+
+
 def jax_leaves(tree):
     import jax
 
@@ -87,11 +98,13 @@ def main(backend="matmul"):
             )
         )
         x = jax.device_put(jnp.asarray(img.astype(np.float32) / 255.0))
-        ms = bench_call(fn, (x, jnp.float32(angle), jnp.float32(0.01)))
+        a = (x, jnp.float32(angle), jnp.float32(0.01))
+        ms = bench_call(fn, a)
         mp = img.shape[0] * img.shape[1] * 3 / 1e6
         results.append(
             {"metric": name, "value": round(ms, 2), "unit": "ms/frame",
-             "mp_per_s": round(mp / ms * 1e3, 1)}
+             "mp_per_s": round(mp / ms * 1e3, 1),
+             "device_ms": device_ms(fn, a)}
         )
 
     cat = imread("/root/reference/input/cat_blurred.png")
@@ -111,11 +124,13 @@ def main(backend="matmul"):
         )
     )
     xs = jax.device_put(jnp.asarray(stack.astype(np.float32) / 255.0))
-    ms = bench_call(bfn, (xs, jnp.float32(30.0), jnp.float32(0.01)), iters=5)
+    ba = (xs, jnp.float32(30.0), jnp.float32(0.01))
+    ms = bench_call(bfn, ba, iters=5)
     mp = 64 * 256 * 256 * 3 / 1e6
     results.append(
         {"metric": "batch64_256sq_shared_psf", "value": round(ms, 2),
-         "unit": "ms/batch", "mp_per_s": round(mp / ms * 1e3, 1)}
+         "unit": "ms/batch", "mp_per_s": round(mp / ms * 1e3, 1),
+         "device_ms": device_ms(bfn, ba, iters=3)}
     )
 
     # config 4: 4K non-square (pads to 4096x4096)

@@ -14,8 +14,10 @@ Semantics preserved from the serial oracle (SURVEY.md §7 contract):
   * channels are power-of-two padded BEFORE restoration (serial.cpp:36),
   * min-max normalize runs over the PADDED extent, then crop
     (fft_serial.cpp:246, serial.cpp:38),
-  * IFFT is scaled explicitly by 1/(M*N) (the GPU/MPI convention,
-    fft_gpu.cu:366) — identical output after normalize, saner numerics.
+  * the IFFT stays UNSCALED and min-max normalize absorbs 1/(M*N) — the
+    serial convention (fft_serial.cpp:229,246). Normalize is exactly
+    scale-invariant, so this matches the GPU/MPI explicit-scale outputs
+    too while saving one elementwise pass.
 """
 
 from __future__ import annotations
@@ -85,8 +87,11 @@ def restore_planes(
     H = fft2d(psf_pad, jnp.zeros_like(psf_pad), inverse=False, backend=fft_backend)
     F = apply_filter(filter_name, G, H, K, backend=fft_backend)
     r_re, _ = fft2d(F[0], F[1], inverse=True, backend=fft_backend)
-    restored = r_re * jnp.float32(1.0 / (hp * wp))
-    return _minmax_normalize(restored)
+    # No 1/(MN) scale: min-max normalize is scale-invariant, and the
+    # serial oracle also normalizes the unscaled inverse directly
+    # (fft_serial.cpp:229,246 — SURVEY.md §7 item 5). Saves a full
+    # elementwise pass over the restored planes.
+    return _minmax_normalize(r_re)
 
 
 def _restore_planes_pallas_fused(channels, psf_pad, K):
@@ -138,8 +143,8 @@ def _restore_planes_pallas_fused(channels, psf_pad, K):
     r_re, _ = fft_rows_pallas(
         r_re, r_im, True, ordering="revorder", real_output=True
     )
-    restored = r_re * jnp.float32(1.0 / (hp * wp))
-    return _minmax_normalize(restored)
+    # unscaled + normalize, as in the oracle (see restore_planes note)
+    return _minmax_normalize(r_re)
 
 
 def _restore_core(
@@ -317,7 +322,7 @@ def profile_phases(
 
     @jax.jit
     def post(r_re, img):
-        restored = _minmax_normalize(r_re * jnp.float32(1.0 / (hp * wp)))
+        restored = _minmax_normalize(r_re)
         merged = jnp.moveaxis(restored[..., :h, :w], 0, -1)
         if white_balance:
             lab_deblur = bgr_to_lab(merged)

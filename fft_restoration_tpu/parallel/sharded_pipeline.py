@@ -82,7 +82,9 @@ def _local_restore_planes(
     else:
         raise ValueError(f"unknown filter {filter_name!r}")
     r_re, _ = sharded_fft2d_conv_inv(F[0], F[1], fft_backend, axis_name, **tw)
-    restored = r_re * jnp.float32(1.0 / (hp * wp))
+    # unscaled inverse + scale-invariant normalize, matching the
+    # single-chip pipeline bit-for-bit (models/pipeline.py note)
+    restored = r_re
 
     # Global min-max over the TRUE padded plane (hp x wp): local reduce +
     # cross-device collectives — replaces the reference's
@@ -370,7 +372,7 @@ def profile_phases_sharded(
     )
 
     def _post_local(r_re):
-        restored = r_re * jnp.float32(1.0 / (hp * wp))
+        restored = r_re
         lo = _jax.lax.pmin(jnp.min(restored, axis=(-2, -1)), ROWS_AXIS)[..., None, None]
         hi = _jax.lax.pmax(jnp.max(restored, axis=(-2, -1)), ROWS_AXIS)[..., None, None]
         scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
