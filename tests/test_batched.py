@@ -17,6 +17,19 @@ def test_batched_matches_per_image(rng):
         assert np.abs(batched[b] - ref).max() < 1e-6
 
 
+def test_batched_pallas_matches_per_image(rng):
+    """The fused pallas path flattens leading (batch, channel) axes —
+    parity with per-image pallas restores (interpret mode on CPU)."""
+    imgs = (rng.random((3, 16, 24, 3)) * 255).astype(np.uint8)
+    batched = BatchedWienerPipeline(fft_backend="pallas").restore_planes(
+        imgs, 5, 45.0
+    )
+    single = WienerDeblurPipeline(fft_backend="pallas")
+    for b in range(3):
+        ref = single.restore_channels(imgs[b], 5, 45.0)
+        assert np.abs(batched[b] - ref).max() < 1e-6
+
+
 def test_psf_grid_sweep_matches_single(rng):
     img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
     out = psf_grid_sweep(img, [5, 7], [0.0, 30.0, 60.0])
