@@ -112,6 +112,8 @@ int filter_scanlines_paeth(const uint8_t* img, uint8_t* out, int height,
     return 0;
 }
 
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // Full in-memory PNG decode (8-bit, non-interlaced RGB/RGBA/gray) and a
 // threaded batch front-end — the framework's native data-loader for the
@@ -255,3 +257,98 @@ int decode_png_batch_rgb8(const uint8_t** datas, const int64_t* lens, int n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Baseline-JPEG entropy decode — the sequential hot loop of JPEG ingest
+// (utils/jpeg.py). Python resolves markers/tables and the vectorized
+// dequant/IDCT; this function Huffman-decodes one restart segment of
+// interleaved MCUs into raw coefficient blocks.
+//
+// Tables arrive as the same 16-bit LUTs the Python decoder builds
+// (_Huff): lut_sym/lut_len[table][window16] -> (symbol, code bits).
+// Table layout: per component c, DC table at index 2c, AC at 2c+1.
+
+namespace {
+
+struct BitReader {
+    const uint8_t* data;
+    int64_t nbytes;
+    int64_t bitpos = 0;
+
+    inline int peek16() const {
+        int64_t byte = bitpos >> 3;
+        int shift = static_cast<int>(bitpos & 7);
+        uint32_t window = 0;
+        for (int i = 0; i < 3; ++i) {
+            uint32_t b = (byte + i < nbytes) ? data[byte + i] : 0;
+            window = (window << 8) | b;
+        }
+        return static_cast<int>((window >> (8 - shift)) & 0xFFFF);
+    }
+
+    inline bool ok(int64_t need) const { return bitpos + need <= nbytes * 8; }
+};
+
+inline int extend(int v, int s) {
+    return (s && v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+}
+
+}  // namespace
+
+// Decode n_mcu interleaved MCUs. block_comp: component index of each of
+// blocks_per_mcu blocks in an MCU. out: (n_mcu * blocks_per_mcu, 64)
+// int32, natural (zigzag) coefficient order. Returns 0 on success,
+// -1 invalid Huffman code, -2 exhausted data, -3 AC overflow.
+extern "C" int jpeg_decode_scan(const uint8_t* data, int64_t nbytes, int n_comps,
+                     const uint8_t* lut_sym, const uint8_t* lut_len,
+                     const int32_t* block_comp, int blocks_per_mcu,
+                     int64_t n_mcu, int32_t* out) {
+    BitReader br{data, nbytes};
+    std::vector<int> pred(n_comps, 0);
+    for (int64_t m = 0; m < n_mcu; ++m) {
+        for (int j = 0; j < blocks_per_mcu; ++j) {
+            int c = block_comp[j];
+            const uint8_t* dc_sym = lut_sym + (int64_t)(2 * c) * 65536;
+            const uint8_t* dc_len = lut_len + (int64_t)(2 * c) * 65536;
+            const uint8_t* ac_sym = lut_sym + (int64_t)(2 * c + 1) * 65536;
+            const uint8_t* ac_len = lut_len + (int64_t)(2 * c + 1) * 65536;
+            int32_t* blk = out + (m * blocks_per_mcu + j) * 64;
+            std::memset(blk, 0, 64 * sizeof(int32_t));
+            // DC
+            int w = br.peek16();
+            int len = dc_len[w];
+            if (len == 0) return -1;
+            if (!br.ok(len)) return -2;
+            int s = dc_sym[w];
+            br.bitpos += len;
+            if (!br.ok(s)) return -2;
+            int bits = s ? (br.peek16() >> (16 - s)) : 0;
+            br.bitpos += s;
+            pred[c] += extend(bits, s);
+            blk[0] = pred[c];
+            // AC
+            int k = 1;
+            while (k < 64) {
+                w = br.peek16();
+                len = ac_len[w];
+                if (len == 0) return -1;
+                if (!br.ok(len)) return -2;
+                int rs = ac_sym[w];
+                br.bitpos += len;
+                int r = rs >> 4, sz = rs & 15;
+                if (sz == 0) {
+                    if (r == 15) { k += 16; continue; }
+                    break;  // EOB
+                }
+                k += r;
+                if (k > 63) return -3;
+                if (!br.ok(sz)) return -2;
+                int v = br.peek16() >> (16 - sz);
+                br.bitpos += sz;
+                blk[k] = extend(v, sz);
+                ++k;
+            }
+        }
+    }
+    return 0;
+}

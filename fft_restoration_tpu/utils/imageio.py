@@ -83,6 +83,21 @@ def _load_native():
             ctypes.c_int,
             ctypes.c_int,
         ]
+        try:
+            lib.jpeg_decode_scan.restype = ctypes.c_int
+            lib.jpeg_decode_scan.argtypes = [
+                ctypes.c_char_p,  # entropy data (unstuffed)
+                ctypes.c_int64,  # nbytes
+                ctypes.c_int,  # n_comps
+                ctypes.POINTER(ctypes.c_uint8),  # lut_sym (2C, 65536)
+                ctypes.POINTER(ctypes.c_uint8),  # lut_len
+                ctypes.POINTER(ctypes.c_int32),  # block_comp
+                ctypes.c_int,  # blocks_per_mcu
+                ctypes.c_int64,  # n_mcu
+                ctypes.POINTER(ctypes.c_int32),  # out coeffs
+            ]
+        except AttributeError:
+            pass  # stale .so without the JPEG entry point
         _native = lib
     except OSError:
         _native = False

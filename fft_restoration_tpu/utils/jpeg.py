@@ -33,70 +33,83 @@ ZIGZAG = np.array(
 )
 
 # DCT-II orthonormal basis; IDCT of block X is M.T @ X @ M with
-# M[k, x] = c(k) * cos((2x+1) k pi / 16).
+# M[k, x] = c(k) * cos((2x+1) k pi / 16). float32 throughout: |coef| <=
+# ~2^20, so f32 keeps the IDCT within ~1e-3 of exact — far under the
+# final round-to-uint8.
 _K = np.arange(8, dtype=np.float64)
 _M = np.cos((2.0 * _K[None, :] + 1.0) * _K[:, None] * np.pi / 16.0)
 _M[0] *= 1.0 / np.sqrt(2.0)
-_M *= 0.5
+_M = (_M * 0.5).astype(np.float32)
 
 
 class _Huff:
-    """Canonical Huffman table: mincode/maxcode/valptr walk (ITU T.81
-    F.2.2.3), over counts-per-length + symbol list from a DHT segment."""
+    """Canonical Huffman table resolved through a 16-bit lookup: every
+    16-bit window maps to (symbol, code length) in one indexed read
+    (codes are <= 16 bits, so the window always contains a full code)."""
 
     def __init__(self, counts, symbols):
-        self.mincode = np.zeros(17, np.int64)
-        self.maxcode = np.full(17, -1, np.int64)
-        self.valptr = np.zeros(17, np.int64)
         self.symbols = np.asarray(symbols, np.uint8)
+        self.lut_sym = np.zeros(1 << 16, np.uint8)
+        self.lut_len = np.zeros(1 << 16, np.uint8)  # 0 = invalid code
         code = 0
         k = 0
         for length in range(1, 17):
-            n = counts[length - 1]
-            if n:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += n
-                k += n
-                self.maxcode[length] = code - 1
+            for _ in range(counts[length - 1]):
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                self.lut_sym[lo:hi] = self.symbols[k]
+                self.lut_len[lo:hi] = length
+                code += 1
+                k += 1
             code <<= 1
+
+    def lut_lookup(self, window16: int):
+        length = int(self.lut_len[window16])
+        if length == 0:
+            raise ValueError("corrupt JPEG: invalid Huffman code")
+        return int(self.lut_sym[window16]), length
 
 
 class _BitReader:
-    """MSB-first bit reader over a stuffing-stripped segment."""
+    """MSB-first bit reader over a stuffing-stripped segment.
+
+    Decoding speed matters for batch ingest, so instead of walking bits
+    one at a time this precomputes a sliding 16-bit window per bit
+    position (one vectorized matmul) and resolves each Huffman symbol /
+    value field with a single table lookup — the classic libjpeg
+    16-bit-LUT decode, in NumPy."""
+
+    _POW2_16 = (1 << np.arange(15, -1, -1)).astype(np.uint16)
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
-        self.pos = 0
+        bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.n_bits = len(bits)
+        # pad so the window is defined up to the last bit
+        padded = np.concatenate([bits, np.zeros(16, np.uint8)])
+        from numpy.lib.stride_tricks import sliding_window_view
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.bits):
-            raise ValueError("corrupt JPEG: entropy data exhausted")
-        b = self.bits[self.pos]
-        self.pos += 1
-        return int(b)
+        self.win = sliding_window_view(padded, 16)[: self.n_bits].astype(
+            np.uint16
+        ) @ self._POW2_16
+        self.pos = 0
 
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > len(self.bits):
+        if self.pos + n > self.n_bits:
             raise ValueError("corrupt JPEG: entropy data exhausted")
-        chunk = self.bits[self.pos : self.pos + n]
+        v = int(self.win[self.pos]) >> (16 - n)
         self.pos += n
-        v = 0
-        for b in chunk:
-            v = (v << 1) | int(b)
         return v
 
     def decode(self, table: _Huff) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            if code <= table.maxcode[length]:
-                return int(
-                    table.symbols[table.valptr[length] + code - table.mincode[length]]
-                )
-        raise ValueError("corrupt JPEG: invalid Huffman code")
+        if self.pos >= self.n_bits:
+            raise ValueError("corrupt JPEG: entropy data exhausted")
+        sym, length = table.lut_lookup(int(self.win[self.pos]))
+        if self.pos + length > self.n_bits:
+            raise ValueError("corrupt JPEG: entropy data exhausted")
+        self.pos += length
+        return sym
 
 
 def _extend(v: int, s: int) -> int:
@@ -106,6 +119,95 @@ def _extend(v: int, s: int) -> int:
 
 def _strip_stuffing(data: bytes) -> bytes:
     return data.replace(b"\xff\x00", b"\xff")
+
+
+def _decode_entropy(segments, comps, comp_tables, plan, n_mcu, restart_interval):
+    """Huffman-decode all restart segments -> (n_mcu, blocks_per_mcu, 64)
+    int32 coefficient blocks (zigzag order). Uses the C++ scan decoder
+    (native/png_codec.cpp jpeg_decode_scan) when built — the entropy
+    loop is inherently sequential and runs ~50x faster native — with
+    this module's LUT BitReader as the pure-Python fallback."""
+    bpm = len(plan)
+    out = np.zeros((n_mcu, bpm, 64), np.int32)
+
+    from fft_restoration_tpu.utils.imageio import _load_native
+
+    lib = _load_native()
+    native = lib and hasattr(lib, "jpeg_decode_scan")
+    if native:
+        import ctypes
+
+        n_comps = len(comps)
+        lut_sym = np.zeros((2 * n_comps, 1 << 16), np.uint8)
+        lut_len = np.zeros((2 * n_comps, 1 << 16), np.uint8)
+        for ci, (dc_t, ac_t) in comp_tables.items():
+            lut_sym[2 * ci] = dc_t.lut_sym
+            lut_len[2 * ci] = dc_t.lut_len
+            lut_sym[2 * ci + 1] = ac_t.lut_sym
+            lut_len[2 * ci + 1] = ac_t.lut_len
+        block_comp = np.asarray([p[0] for p in plan], np.int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        mcu_idx = 0
+        for seg_data in segments:
+            data = _strip_stuffing(seg_data)
+            limit = (
+                min(mcu_idx + restart_interval, n_mcu)
+                if restart_interval
+                else n_mcu
+            )
+            n_seg = limit - mcu_idx
+            if n_seg <= 0:
+                break
+            rc = lib.jpeg_decode_scan(
+                data,
+                len(data),
+                n_comps,
+                lut_sym.ctypes.data_as(u8p),
+                lut_len.ctypes.data_as(u8p),
+                block_comp.ctypes.data_as(i32p),
+                bpm,
+                n_seg,
+                out[mcu_idx].ctypes.data_as(i32p),
+            )
+            if rc != 0:
+                raise ValueError(
+                    f"corrupt JPEG: entropy decode failed (code {rc})"
+                )
+            mcu_idx = limit
+        return out
+
+    mcu_idx = 0
+    for seg_data in segments:
+        reader = _BitReader(_strip_stuffing(seg_data))
+        preds = [0] * len(comps)
+        limit = (
+            min(mcu_idx + restart_interval, n_mcu) if restart_interval else n_mcu
+        )
+        while mcu_idx < limit:
+            for j, (ci, _v, _hh) in enumerate(plan):
+                dc_t, ac_t = comp_tables[ci]
+                blk = out[mcu_idx, j]
+                s = reader.decode(dc_t)
+                diff = _extend(reader.read_bits(s), s)
+                preds[ci] += diff
+                blk[0] = preds[ci]
+                kk = 1
+                while kk < 64:
+                    rs = reader.decode(ac_t)
+                    r, ssz = rs >> 4, rs & 15
+                    if ssz == 0:
+                        if r == 15:
+                            kk += 16
+                            continue
+                        break  # EOB
+                    kk += r
+                    if kk > 63:
+                        raise ValueError("corrupt JPEG: AC overflow")
+                    blk[kk] = _extend(reader.read_bits(ssz), ssz)
+                    kk += 1
+            mcu_idx += 1
+    return out
 
 
 def _upsample(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
@@ -250,54 +352,40 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         segments = [entropy]
 
     n_mcu = mcux * mcuy
-    mcu_idx = 0
-    for seg_data in segments:
-        reader = _BitReader(_strip_stuffing(seg_data))
-        preds = [0] * len(comps)
-        limit = (
-            min(mcu_idx + restart_interval, n_mcu) if restart_interval else n_mcu
-        )
-        while mcu_idx < limit:
-            my, mx = divmod(mcu_idx, mcux)
-            for ci in order:
-                c = comps[ci]
-                sc = scan_comps[[s["id"] for s in scan_comps].index(c["id"])]
-                dc_t = huff_dc[sc["dc"]]
-                ac_t = huff_ac[sc["ac"]]
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        blk = np.zeros(64, np.int32)
-                        s = reader.decode(dc_t)
-                        diff = _extend(reader.read_bits(s), s)
-                        preds[ci] += diff
-                        blk[0] = preds[ci]
-                        kk = 1
-                        while kk < 64:
-                            rs = reader.decode(ac_t)
-                            r, ssz = rs >> 4, rs & 15
-                            if ssz == 0:
-                                if r == 15:
-                                    kk += 16
-                                    continue
-                                break  # EOB
-                            kk += r
-                            if kk > 63:
-                                raise ValueError("corrupt JPEG: AC overflow")
-                            blk[kk] = _extend(reader.read_bits(ssz), ssz)
-                            kk += 1
-                        coef[ci][my * c["v"] + v, mx * c["h"] + hh] = blk
-            mcu_idx += 1
+    # per-MCU block plan: (component, v, h) in interleave order
+    plan = []
+    for ci in order:
+        c = comps[ci]
+        for v in range(c["v"]):
+            for hh in range(c["h"]):
+                plan.append((ci, v, hh))
+    bpm = len(plan)
+    comp_tables = {}
+    for sc in scan_comps:
+        comp_tables[by_id[sc["id"]]] = (huff_dc[sc["dc"]], huff_ac[sc["ac"]])
+
+    blocks = _decode_entropy(
+        segments, comps, comp_tables, plan, n_mcu, restart_interval
+    )
+    # scatter MCU-ordered blocks into per-component grids (vectorized)
+    mcu = np.arange(n_mcu)
+    my, mx = np.divmod(mcu, mcux)
+    for j, (ci, v, hh) in enumerate(plan):
+        c = comps[ci]
+        coef[ci][my * c["v"] + v, mx * c["h"] + hh] = blocks[:, j]
 
     # dequantize + dezigzag + batched IDCT per component
     planes = []
     for ci, c in enumerate(comps):
         q = qtables[c["tq"]]
-        blocks = coef[ci] * q[None, None, :]
-        spatial = np.zeros(blocks.shape[:2] + (64,), np.float64)
+        blocks = (coef[ci] * q[None, None, :]).astype(np.float32)
+        spatial = np.zeros(blocks.shape[:2] + (64,), np.float32)
         spatial[..., ZIGZAG] = blocks
         spatial = spatial.reshape(blocks.shape[:2] + (8, 8))
-        # IDCT: M.T @ X @ M over every block
-        pix = np.einsum("ky,...kl,lx->...yx", _M, spatial, _M) + 128.0
+        # IDCT: M.T @ X @ M over every block, two batched 8x8 matmuls
+        pix = np.einsum(
+            "ky,...kl,lx->...yx", _M, spatial, _M, optimize=True
+        ) + np.float32(128.0)
         by, bx = pix.shape[:2]
         plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         # upsample to full resolution; 2x uses the triangular filter
@@ -312,11 +400,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return out[:h, :w]
     if len(planes) != 3:
         raise ValueError(f"{len(planes)}-component JPEG not supported")
-    y, cb, cr = (p[:h, :w] for p in planes)
-    cb = cb - 128.0
-    cr = cr - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
+    y, cb, cr = (p[:h, :w].astype(np.float32) for p in planes)
+    cb = cb - np.float32(128.0)
+    cr = cr - np.float32(128.0)
+    r = y + np.float32(1.402) * cr
+    g = y - np.float32(0.344136) * cb - np.float32(0.714136) * cr
+    b = y + np.float32(1.772) * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
