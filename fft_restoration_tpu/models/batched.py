@@ -40,9 +40,17 @@ def _batched_core(
     chans = jnp.moveaxis(imgs_f32, -1, 1)  # (B, 3, H, W)
     chans = jnp.pad(chans, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
     # restore_planes batches over all leading axes at once; one PSF FFT.
+    # Flattening (B, 3) -> 3B planes lets channel packing (models/
+    # pipeline._pack_channel_pairs) pair planes ACROSS images: ceil(3B/2)
+    # complex transforms instead of 2 per image — the full 2x for even
+    # batches (a 3-channel image alone gets 2 transforms, one half-empty).
     restored = restore_planes(
-        chans, psf, K, fft_backend=fft_backend, filter_name=filter_name
-    )
+        chans.reshape(b * 3, hp, wp),
+        psf,
+        K,
+        fft_backend=fft_backend,
+        filter_name=filter_name,
+    ).reshape(b, 3, hp, wp)
     return restored[..., :h, :w]
 
 

@@ -45,6 +45,34 @@ def _pad2d(x: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
+def _pack_channel_pairs(channels: jnp.ndarray):
+    """Pack adjacent real channels as complex planes: (..., C, H, W) ->
+    SoA (re, im) of shape (..., ceil(C/2), H, W).
+
+    The DFT is linear and every filter in this framework multiplies by a
+    single Hermitian spectrum W = conj(H)/(|H|^2 + ...), so for real
+    channels r, g:  ifft(W * fft(r + i*g)) = ifft(W*R) + i*ifft(W*G) —
+    the restored channels fall out of the real/imag parts with NO
+    Hermitian unpack. 3 channels ride 2 complex transforms instead of 3
+    (-33% FFT work); even channel counts get the full 2x. The reference
+    runs one full complex FFT per channel (serial.cpp:34-39)."""
+    c = channels.shape[-3]
+    re = channels[..., 0::2, :, :]
+    im = channels[..., 1::2, :, :]
+    if c % 2:
+        pad = jnp.zeros_like(channels[..., :1, :, :])
+        im = jnp.concatenate([im, pad], axis=-3)
+    return re, im
+
+
+def _unpack_channel_pairs(re: jnp.ndarray, im: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Inverse of _pack_channel_pairs: interleave real/imag planes back
+    into (..., C, H, W) channel order."""
+    stacked = jnp.stack([re, im], axis=-3)  # (..., P, 2, H, W)
+    shape = stacked.shape[:-4] + (2 * re.shape[-3],) + stacked.shape[-2:]
+    return stacked.reshape(shape)[..., :c, :, :]
+
+
 def _minmax_normalize(x: jnp.ndarray) -> jnp.ndarray:
     """Per-plane min-max to [0,1] over the last two axes, with the
     reference's degenerate-range convention scale=0 (fft_serial.cpp:246
@@ -82,16 +110,22 @@ def restore_planes(
     # [INFO] notice for this combination).
     if fft_backend == "pallas" and filter_name == "wiener":
         return _restore_planes_pallas_fused(channels, psf_pad, K)
-    zero = jnp.zeros_like(channels)
-    G = fft2d(channels, zero, inverse=False, backend=fft_backend)
+    if channels.ndim >= 3 and channels.shape[-3] >= 2:
+        c = channels.shape[-3]
+        p_re, p_im = _pack_channel_pairs(channels)
+    else:
+        c = None
+        p_re, p_im = channels, jnp.zeros_like(channels)
+    G = fft2d(p_re, p_im, inverse=False, backend=fft_backend)
     H = fft2d(psf_pad, jnp.zeros_like(psf_pad), inverse=False, backend=fft_backend)
     F = apply_filter(filter_name, G, H, K, backend=fft_backend)
-    r_re, _ = fft2d(F[0], F[1], inverse=True, backend=fft_backend)
+    r_re, r_im = fft2d(F[0], F[1], inverse=True, backend=fft_backend)
+    restored = r_re if c is None else _unpack_channel_pairs(r_re, r_im, c)
     # No 1/(MN) scale: min-max normalize is scale-invariant, and the
     # serial oracle also normalizes the unscaled inverse directly
     # (fft_serial.cpp:229,246 — SURVEY.md §7 item 5). Saves a full
     # elementwise pass over the restored planes.
-    return _minmax_normalize(r_re)
+    return _minmax_normalize(restored)
 
 
 def _restore_planes_pallas_fused(channels, psf_pad, K):
@@ -125,26 +159,38 @@ def _restore_planes_pallas_fused(channels, psf_pad, K):
 
     # PSF spectrum: plain two-pass forward (1 plane).
     H = fwd2d_t(psf_pad)
+    # Channel packing (see _pack_channel_pairs): 3 channels ride 2
+    # complex transforms through the whole fwd->filter->inv chain.
+    packed = channels.ndim >= 3 and channels.shape[-3] >= 2
+    if packed:
+        c = channels.shape[-3]
+        a_re, a_im = _pack_channel_pairs(channels)
+        a_re, a_im = fft_rows_pallas(a_re, a_im, False, ordering="revorder")
+    else:
+        a_re, a_im = fft_rows_pallas(channels, None, False, ordering="revorder")
     # Image: first row pass, transpose, then the HALF-FUSED kernel —
     # second forward pass + Wiener filter in one VMEM residency, so the
     # image's unfiltered 2D spectrum never round-trips HBM. (The FULLY
     # fused fwd+filter+inv megakernel spills VMEM and loses — measured
     # notes in ops/pallas/wiener_spectral.py.)
-    a_re, a_im = fft_rows_pallas(channels, None, False, ordering="revorder")
     a_re = jnp.swapaxes(a_re, -1, -2)
     a_im = jnp.swapaxes(a_im, -1, -2)
     F = fwd_wiener_rows_pallas((a_re, a_im), H, K)
     r_re, r_im = fft_rows_pallas(F[0], F[1], True, ordering="revorder")
     r_re = jnp.swapaxes(r_re, -1, -2)
     r_im = jnp.swapaxes(r_im, -1, -2)
-    # final pass: only the real plane is kept, so skip the imaginary
-    # plane's HBM write (real_output) — ≙ postprocess_kernel extracting
-    # real parts only (fft_gpu.cu:187-201)
-    r_re, _ = fft_rows_pallas(
-        r_re, r_im, True, ordering="revorder", real_output=True
-    )
+    if packed:
+        r_re, r_im = fft_rows_pallas(r_re, r_im, True, ordering="revorder")
+        restored = _unpack_channel_pairs(r_re, r_im, c)
+    else:
+        # single plane: only the real part is kept, so skip the
+        # imaginary plane's HBM write (real_output) — ≙ the CUDA
+        # postprocess_kernel extracting real only (fft_gpu.cu:187-201)
+        restored, _ = fft_rows_pallas(
+            r_re, r_im, True, ordering="revorder", real_output=True
+        )
     # unscaled + normalize, as in the oracle (see restore_planes note)
-    return _minmax_normalize(r_re)
+    return _minmax_normalize(restored)
 
 
 def _restore_core(

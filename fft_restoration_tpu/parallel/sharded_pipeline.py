@@ -65,10 +65,24 @@ def _local_restore_planes(
     _inv): spectra live column-sharded+transposed, the elementwise
     filter runs there, and only 3 all_to_all exchanges happen per
     restore vs the reference's 6 (SURVEY.md §3.2)."""
-    zero_c = jnp.zeros_like(ch_blk)
     zero_p = jnp.zeros_like(psf_blk)
-    tw, th = {"true_w": wp, "true_h": hp}, None
-    G = sharded_fft2d_conv_fwd(ch_blk, zero_c, fft_backend, axis_name, **tw)
+    tw = {"true_w": wp, "true_h": hp}
+    # channel packing (models/pipeline._pack_channel_pairs): every
+    # filter is a single Hermitian multiply, so channel pairs ride one
+    # complex transform — same packing as single-chip, preserving
+    # bit-identity between the two paths
+    from fft_restoration_tpu.models.pipeline import (
+        _pack_channel_pairs,
+        _unpack_channel_pairs,
+    )
+
+    n_chan = ch_blk.shape[-3] if ch_blk.ndim >= 3 else None
+    if n_chan is not None and n_chan >= 2:
+        p_re, p_im = _pack_channel_pairs(ch_blk)
+    else:
+        n_chan = None
+        p_re, p_im = ch_blk, jnp.zeros_like(ch_blk)
+    G = sharded_fft2d_conv_fwd(p_re, p_im, fft_backend, axis_name, **tw)
     H = sharded_fft2d_conv_fwd(psf_blk, zero_p, fft_backend, axis_name, **tw)
     if filter_name == "wiener":
         F = wiener_filter(G, H, K)
@@ -81,10 +95,10 @@ def _local_restore_planes(
         F = cls_filter(G, H, Pf, K)
     else:
         raise ValueError(f"unknown filter {filter_name!r}")
-    r_re, _ = sharded_fft2d_conv_inv(F[0], F[1], fft_backend, axis_name, **tw)
+    r_re, r_im = sharded_fft2d_conv_inv(F[0], F[1], fft_backend, axis_name, **tw)
     # unscaled inverse + scale-invariant normalize, matching the
     # single-chip pipeline bit-for-bit (models/pipeline.py note)
-    restored = r_re
+    restored = r_re if n_chan is None else _unpack_channel_pairs(r_re, r_im, n_chan)
 
     # Global min-max over the TRUE padded plane (hp x wp): local reduce +
     # cross-device collectives — replaces the reference's
