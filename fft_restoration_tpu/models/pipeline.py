@@ -217,9 +217,16 @@ def _restore_core(
     merged = jnp.moveaxis(restored, 0, -1)  # (H, W, 3)
 
     if white_balance:
+        from fft_restoration_tpu.ops.color import (
+            apply_white_balance_gain,
+            luminance_l,
+        )
+
         lab_deblur = bgr_to_lab(merged)
-        lab_orig = bgr_to_lab(img_f32)
-        corrected = apply_white_balance(lab_deblur, lab_orig)
+        # only the ORIGINAL image's mean L feeds the gain — skip its
+        # full Lab conversion (2/3 less matrix/cbrt work on that image)
+        l_orig_mean = jnp.mean(luminance_l(img_f32))
+        corrected = apply_white_balance_gain(lab_deblur, l_orig_mean)
         merged = lab_to_bgr(corrected)
     out = jnp.clip(merged * 255.0, 0.0, 255.0).astype(jnp.uint8)
     return out, restored

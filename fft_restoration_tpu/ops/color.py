@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from fft_restoration_tpu.oracle.color import _SRGB2XYZ_N, _XYZ2SRGB, _D65
@@ -39,7 +40,9 @@ def bgr_to_lab(img_bgr: jnp.ndarray) -> jnp.ndarray:
     # 2048^2 frame) that XLA does not fuse away
     lin = _srgb_to_linear(jnp.clip(img_bgr.astype(jnp.float32), 0.0, 1.0))
     m = jnp.asarray(np.asarray(_SRGB2XYZ_N, np.float32)[:, ::-1])
-    t = lin @ m.T
+    # HIGHEST: the default TPU matmul precision (bf16) costs ~0.1 L of
+    # noise on a 3-wide contraction that is effectively free in f32
+    t = jnp.matmul(lin, m.T, precision=jax.lax.Precision.HIGHEST)
     f = _f_cbrt(t)
     fy = f[..., 1]
     L = jnp.where(t[..., 1] > _T0, 116.0 * fy - 16.0, 903.3 * t[..., 1])
@@ -65,8 +68,30 @@ def lab_to_bgr(lab: jnp.ndarray) -> jnp.ndarray:
     # emit BGR directly by flipping the 3x3 constant's rows (see
     # bgr_to_lab) — companding is elementwise, so order commutes
     m = jnp.asarray(np.asarray(_XYZ2SRGB, np.float32)[::-1])
-    lin = xyz @ m.T
+    lin = jnp.matmul(xyz, m.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.clip(_linear_to_srgb(lin), 0.0, 1.0)
+
+
+def luminance_l(img_bgr: jnp.ndarray) -> jnp.ndarray:
+    """Just the Lab L channel of a BGR image — the only part of
+    bgr_to_lab the white-balance gain consumes for the ORIGINAL image.
+    Bitwise-identical to bgr_to_lab(img)[..., 0] (same ops, same order)
+    at a third of the matrix/cbrt work."""
+    lin = _srgb_to_linear(jnp.clip(img_bgr.astype(jnp.float32), 0.0, 1.0))
+    # Y row of the (column-flipped, BGR-ordered) sRGB->XYZ matrix
+    y_row = jnp.asarray(np.asarray(_SRGB2XYZ_N, np.float32)[1, ::-1])
+    y = jnp.matmul(lin, y_row, precision=jax.lax.Precision.HIGHEST)
+    fy = _f_cbrt(y)
+    return jnp.where(y > _T0, 116.0 * fy - 16.0, 903.3 * y).astype(jnp.float32)
+
+
+def apply_white_balance_gain(lab_deblur: jnp.ndarray, l_orig_mean) -> jnp.ndarray:
+    """White balance against a precomputed mean original luminance
+    (utils.hpp:55-71 semantics; see apply_white_balance)."""
+    avg_deblur = jnp.mean(lab_deblur[..., 0])
+    gain = jnp.asarray(l_orig_mean, jnp.float32) / (avg_deblur + 1e-6)
+    L = jnp.clip(lab_deblur[..., 0] * gain, 0.0, 100.0)
+    return jnp.concatenate([L[..., None], lab_deblur[..., 1:]], axis=-1)
 
 
 def apply_white_balance(lab_deblur: jnp.ndarray, lab_orig: jnp.ndarray) -> jnp.ndarray:

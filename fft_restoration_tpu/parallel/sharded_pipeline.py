@@ -187,9 +187,14 @@ def _sharded_core(
     cropped = restored[..., :h, :w]
     merged = jnp.moveaxis(cropped, 0, -1)
     if white_balance:
+        from fft_restoration_tpu.ops.color import (
+            apply_white_balance_gain,
+            luminance_l,
+        )
+
         lab_deblur = bgr_to_lab(merged)
-        lab_orig = bgr_to_lab(img_f32)
-        merged = lab_to_bgr(apply_white_balance(lab_deblur, lab_orig))
+        l_orig_mean = jnp.mean(luminance_l(img_f32))
+        merged = lab_to_bgr(apply_white_balance_gain(lab_deblur, l_orig_mean))
     out = jnp.clip(merged * 255.0, 0.0, 255.0).astype(jnp.uint8)
     return out, cropped
 
