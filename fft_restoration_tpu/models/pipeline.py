@@ -193,6 +193,41 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
     r_re = jnp.swapaxes(r_re, -1, -2)
     r_im = jnp.swapaxes(r_im, -1, -2)
     if packed:
+        # emit per-block min/max partials from the final kernel while its
+        # outputs are VMEM-resident — the normalize below then skips a
+        # full HBM re-read of the restored planes for its reduction.
+        # Requires clean block tiling (pow2 planes >= the block size).
+        total_rows = int(np.prod(r_re.shape[:-1]))
+        rows_per_plane = r_re.shape[-2]
+        n_planes = total_rows // rows_per_plane
+        blk = min(256, rows_per_plane)
+        fuse_mm = rows_per_plane % blk == 0
+        if fuse_mm:
+            r_re, r_im, mm = fft_rows_pallas(
+                r_re,
+                r_im,
+                True,
+                block_rows=blk,
+                ordering="revorder",
+                emit_minmax=True,
+            )
+            lead = r_re.shape[:-2]  # (..., P)
+            per = mm.reshape(n_planes, -1, 4)
+
+            def _interleave(a, b):
+                # per-plane scalars (..., P) x2 -> per-channel (..., C)
+                s = jnp.stack([a.reshape(lead), b.reshape(lead)], axis=-1)
+                return s.reshape(lead[:-1] + (2 * lead[-1],))[..., :c]
+
+            lo = _interleave(
+                jnp.min(per[..., 0], axis=-1), jnp.min(per[..., 2], axis=-1)
+            )[..., None, None]
+            hi = _interleave(
+                jnp.max(per[..., 1], axis=-1), jnp.max(per[..., 3], axis=-1)
+            )[..., None, None]
+            restored = _unpack_channel_pairs(r_re, r_im, c)
+            scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+            return (restored - lo) * scale
         r_re, r_im = fft_rows_pallas(r_re, r_im, True, ordering="revorder")
         restored = _unpack_channel_pairs(r_re, r_im, c)
     else:

@@ -118,7 +118,9 @@ def _dif_stage(x_re, x_im, wc, ws, m, half, n):
     return x_re, x_im
 
 
-def _fft_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref, *, dif):
+def _fft_kernel(
+    re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref, mm_ref=None, *, dif
+):
     x_re = re_ref[:]
     # real_input mode passes im_ref=None: the zero imaginary plane is
     # synthesized in-register instead of being written to / read from HBM.
@@ -139,6 +141,14 @@ def _fft_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref, *,
     # HBM write entirely.
     if oim_ref is not None:
         oim_ref[:] = x_im
+    # emit_minmax: per-block [min_re, max_re, min_im, max_im] partials —
+    # the outputs are already resident in VMEM, so the caller's min-max
+    # normalize skips a full HBM re-read of the restored planes.
+    if mm_ref is not None:
+        mm_ref[0, 0] = jnp.min(x_re)
+        mm_ref[0, 1] = jnp.max(x_re)
+        mm_ref[0, 2] = jnp.min(x_im)
+        mm_ref[0, 3] = jnp.max(x_im)
 
 
 def _dit_stage_sub(x_re, x_im, wc, ws, m, half, n):
@@ -282,10 +292,17 @@ def fft_rows_pallas(
     interpret: bool | None = None,
     ordering: str = "natural",
     real_output: bool = False,
-) -> SoA:
+    emit_minmax: bool = False,
+):
     """1D DFT over the last axis of (..., N) SoA planes, N a power of two
     >= 2. Unscaled inverse. Rows are tiled over the grid; each tile runs
     every butterfly stage in VMEM.
+
+    emit_minmax=True additionally returns an (n_blocks, 4) float32 array
+    of per-row-block [min_re, max_re, min_im, max_im] partials (computed
+    while the outputs are VMEM-resident), and requires the flattened row
+    count to be an exact multiple of the block size. Return becomes
+    (re, im, partials).
 
     im may be None (real input): the zero imaginary plane is synthesized
     in-register, saving its HBM write + read entirely.
@@ -377,6 +394,20 @@ def fft_rows_pallas(
             jax.ShapeDtypeStruct((total, n), jnp.float32),
             jax.ShapeDtypeStruct((total, n), jnp.float32),
         ]
+    if emit_minmax:
+        if real_output:
+            raise ValueError("emit_minmax requires both output planes")
+        if pad:
+            raise ValueError(
+                "emit_minmax needs row count divisible by the block size "
+                f"(batch {batch}, block {rows})"
+            )
+        out_specs.append(
+            pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((total // rows, 4), jnp.float32)
+        )
 
     def body(*refs):
         ins, outs = refs[: len(in_specs)], refs[len(in_specs) :]
@@ -385,7 +416,8 @@ def fft_rows_pallas(
         tbls = ins[1:] if real_input else ins[2:]
         ore_ref = outs[0]
         oim_ref = None if real_output else outs[1]
-        kernel(re_ref, im_ref, *tbls, ore_ref, oim_ref)
+        mm_ref = outs[2] if emit_minmax else None
+        kernel(re_ref, im_ref, *tbls, ore_ref, oim_ref, mm_ref)
 
     out = pl.pallas_call(
         body,
@@ -402,7 +434,8 @@ def fft_rows_pallas(
     if pad:
         out_re = out_re[:batch]
         out_im = None if out_im is None else out_im[:batch]
-    return (
-        out_re.reshape(orig_shape),
-        None if out_im is None else out_im.reshape(orig_shape),
-    )
+    out_re = out_re.reshape(orig_shape)
+    out_im = None if out_im is None else out_im.reshape(orig_shape)
+    if emit_minmax:
+        return out_re, out_im, out[2]
+    return out_re, out_im

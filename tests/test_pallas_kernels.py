@@ -52,6 +52,28 @@ def test_fft_rows_pallas_rejects_non_pow2(rng):
         fft_rows_pallas(jnp.zeros((4, 12)), jnp.zeros((4, 12)))
 
 
+def test_fft_rows_pallas_emit_minmax(rng):
+    """Per-block min/max partials equal the true stats of the outputs."""
+    re = rng.standard_normal((8, 32)).astype(np.float32)
+    im = rng.standard_normal((8, 32)).astype(np.float32)
+    r, i, mm = fft_rows_pallas(
+        jnp.asarray(re), jnp.asarray(im), True, block_rows=4, emit_minmax=True
+    )
+    r, i, mm = np.asarray(r), np.asarray(i), np.asarray(mm)
+    assert mm.shape == (2, 4)
+    for b in range(2):
+        blk_r = r[4 * b : 4 * b + 4]
+        blk_i = i[4 * b : 4 * b + 4]
+        truth = [blk_r.min(), blk_r.max(), blk_i.min(), blk_i.max()]
+        # compiler may recompute the plane for the reduction -> ~1 ulp
+        np.testing.assert_allclose(mm[b], truth, rtol=3e-7)
+    with pytest.raises(ValueError):
+        fft_rows_pallas(
+            jnp.zeros((7, 32)), jnp.zeros((7, 32)), True,
+            block_rows=4, emit_minmax=True,
+        )
+
+
 def test_fft_rows_pallas_real_output(rng):
     """real_output skips the imaginary write; the real plane is identical
     to the full call's."""
