@@ -19,10 +19,11 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("backend", ["matmul", "pallas"])
 @pytest.mark.parametrize("shape,length,angle", CASES)
-def test_parity_fuzz(rng, shape, length, angle):
+def test_parity_fuzz(rng, shape, length, angle, backend):
     img = (rng.random((*shape, 3)) * 255).astype(np.uint8)
-    ours = WienerDeblurPipeline(fft_backend="matmul").restore_channels(
+    ours = WienerDeblurPipeline(fft_backend=backend).restore_channels(
         img, length, angle
     )
     oracle = restore_channels(
@@ -30,4 +31,4 @@ def test_parity_fuzz(rng, shape, length, angle):
         motion_blur_kernel_oracle(length, angle),
     )
     report = channels_equal(ours, oracle, "gpu")
-    assert report.passed, f"{shape} psf({length},{angle}): {report}"
+    assert report.passed, f"{shape} psf({length},{angle}) {backend}: {report}"
