@@ -143,12 +143,14 @@ def _fft_kernel(
         oim_ref[:] = x_im
     # emit_minmax: per-block [min_re, max_re, min_im, max_im] partials —
     # the outputs are already resident in VMEM, so the caller's min-max
-    # normalize skips a full HBM re-read of the restored planes.
+    # normalize skips a full HBM re-read of the restored planes. The
+    # partials array rides whole in VMEM (Mosaic rejects sub-(8,128)
+    # grid-mapped blocks); each step stores its own row.
     if mm_ref is not None:
-        mm_ref[0, 0] = jnp.min(x_re)
-        mm_ref[0, 1] = jnp.max(x_re)
-        mm_ref[0, 2] = jnp.min(x_im)
-        mm_ref[0, 3] = jnp.max(x_im)
+        vals = jnp.stack(
+            [jnp.min(x_re), jnp.max(x_re), jnp.min(x_im), jnp.max(x_im)]
+        ).reshape(1, 4)
+        mm_ref[pl.dslice(pl.program_id(0), 1), :] = vals
 
 
 def _dit_stage_sub(x_re, x_im, wc, ws, m, half, n):
@@ -348,6 +350,10 @@ def fft_rows_pallas(
     vmem_budget = 24 << 20
     max_rows = max(8, (vmem_budget // (n * 4 * 10)) // 8 * 8)
     rows = min(block_rows, max_rows, max(batch, 1))
+    if emit_minmax and rows & (rows - 1):
+        # snap to a power of two so pow2 plane heights always tile
+        # cleanly (emit_minmax forbids row padding)
+        rows = 1 << (rows.bit_length() - 1)
     pad = (-batch) % rows
     if pad:
         re2 = jnp.pad(re2, ((0, pad), (0, 0)))
@@ -402,12 +408,13 @@ def fft_rows_pallas(
                 "emit_minmax needs row count divisible by the block size "
                 f"(batch {batch}, block {rows})"
             )
+        n_blocks = total // rows
         out_specs.append(
-            pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (n_blocks, 4), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
         )
-        out_shape.append(
-            jax.ShapeDtypeStruct((total // rows, 4), jnp.float32)
-        )
+        out_shape.append(jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32))
 
     def body(*refs):
         ins, outs = refs[: len(in_specs)], refs[len(in_specs) :]
