@@ -352,6 +352,9 @@ def probe_size(path: str) -> tuple:
             if data[pos] != 0xFF:
                 raise ValueError("corrupt JPEG: expected marker")
             marker = data[pos + 1]
+            if marker == 0xFF:  # fill byte padding
+                pos += 1
+                continue
             pos += 2
             if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
                 continue

@@ -244,6 +244,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2): skip padding
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break
