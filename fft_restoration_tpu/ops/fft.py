@@ -203,6 +203,14 @@ def _fft_matmul(re: jnp.ndarray, im: jnp.ndarray, inverse: bool) -> SoA:
 
 
 def _fft_xla(re: jnp.ndarray, im: jnp.ndarray, inverse: bool) -> SoA:
+    if jax.default_backend() == "axon":
+        # fail with intent instead of a compile-time UNIMPLEMENTED: this
+        # TPU backend has no complex dtype at all (ops/fft.py docstring)
+        raise ValueError(
+            "fft backend 'xla' (jnp.fft) needs complex support, which "
+            "this TPU backend lacks — use 'pallas' or 'matmul'; 'xla' is "
+            "the CPU cross-check backend"
+        )
     x = jax.lax.complex(re, im)
     if inverse:
         n = re.shape[-1]
