@@ -151,23 +151,25 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
     hp, wp = channels.shape[-2:]
 
     def fwd2d_t(re, nonzero_rows=None):
-        # rows pass (real input: imag synthesized in-register) ->
-        # transpose -> cols-as-rows pass; STAY transposed.
+        # rows pass with TRANSPOSED block writes (the XLA transpose's
+        # HBM round trip happens inside the kernel's VMEM instead —
+        # measured 11% faster, tools/perf_ab.py twrite) -> cols-as-rows
+        # pass; STAY transposed.
         # nonzero_rows: rows beyond it are all-zero (the PSF occupies
         # psf_length rows of its padded plane) — a row FFT of zeros is
         # zeros, so transform only the live rows and zero-refill.
         if nonzero_rows is not None and nonzero_rows < re.shape[-2]:
             live = re[..., :nonzero_rows, :]
-            lre, lim = fft_rows_pallas(live, None, False, ordering="revorder")
-            pad = [(0, 0)] * (re.ndim - 2) + [
-                (0, re.shape[-2] - nonzero_rows),
-                (0, 0),
-            ]
+            lre, lim = fft_rows_pallas(
+                live, None, False, ordering="revorder", transposed_output=True
+            )
+            # transposed layout: pad the LANE axis (former rows)
+            pad = [(0, 0)] * (re.ndim - 1) + [(0, re.shape[-2] - nonzero_rows)]
             re, im = jnp.pad(lre, pad), jnp.pad(lim, pad)
         else:
-            re, im = fft_rows_pallas(re, None, False, ordering="revorder")
-        re = jnp.swapaxes(re, -1, -2)
-        im = jnp.swapaxes(im, -1, -2)
+            re, im = fft_rows_pallas(
+                re, None, False, ordering="revorder", transposed_output=True
+            )
         return fft_rows_pallas(re, im, False, ordering="revorder")
 
     # PSF spectrum: plain two-pass forward (1 plane).
@@ -178,20 +180,24 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
     if packed:
         c = channels.shape[-3]
         a_re, a_im = _pack_channel_pairs(channels)
-        a_re, a_im = fft_rows_pallas(a_re, a_im, False, ordering="revorder")
+        a_re, a_im = fft_rows_pallas(
+            a_re, a_im, False, ordering="revorder", transposed_output=True
+        )
     else:
-        a_re, a_im = fft_rows_pallas(channels, None, False, ordering="revorder")
-    # Image: first row pass, transpose, then the HALF-FUSED kernel —
-    # second forward pass + Wiener filter in one VMEM residency, so the
-    # image's unfiltered 2D spectrum never round-trips HBM. (The FULLY
-    # fused fwd+filter+inv megakernel spills VMEM and loses — measured
-    # notes in ops/pallas/wiener_spectral.py.)
-    a_re = jnp.swapaxes(a_re, -1, -2)
-    a_im = jnp.swapaxes(a_im, -1, -2)
+        a_re, a_im = fft_rows_pallas(
+            channels, None, False, ordering="revorder", transposed_output=True
+        )
+    # Image: first row pass (transposed writes), then the HALF-FUSED
+    # kernel — second forward pass + Wiener filter in one VMEM
+    # residency, so the image's unfiltered 2D spectrum never round-trips
+    # HBM. (The FULLY fused fwd+filter+inv megakernel spills VMEM and
+    # loses — measured notes in ops/pallas/wiener_spectral.py.)
     F = fwd_wiener_rows_pallas((a_re, a_im), H, K)
-    r_re, r_im = fft_rows_pallas(F[0], F[1], True, ordering="revorder")
-    r_re = jnp.swapaxes(r_re, -1, -2)
-    r_im = jnp.swapaxes(r_im, -1, -2)
+    # inverse col pass with transposed writes: back to natural
+    # orientation with zero XLA transpose passes in the whole restore
+    r_re, r_im = fft_rows_pallas(
+        F[0], F[1], True, ordering="revorder", transposed_output=True
+    )
     if packed:
         # emit per-block min/max partials from the final kernel while its
         # outputs are VMEM-resident — the normalize below then skips a

@@ -52,6 +52,36 @@ def test_fft_rows_pallas_rejects_non_pow2(rng):
         fft_rows_pallas(jnp.zeros((4, 12)), jnp.zeros((4, 12)))
 
 
+@pytest.mark.parametrize("ordering", ["natural", "revorder"])
+def test_fft_rows_pallas_transposed_output(rng, ordering):
+    """transposed_output == plain call + swapaxes, bitwise."""
+    re = rng.standard_normal((2, 24, 32)).astype(np.float32)
+    im = rng.standard_normal((2, 24, 32)).astype(np.float32)
+    r0, i0 = fft_rows_pallas(jnp.asarray(re), jnp.asarray(im), False, ordering=ordering)
+    r1, i1 = fft_rows_pallas(
+        jnp.asarray(re), jnp.asarray(im), False,
+        ordering=ordering, transposed_output=True,
+    )
+    assert r1.shape == (2, 32, 24)
+    # compiler re-fusion across the different output graph -> ~1 ulp
+    np.testing.assert_allclose(
+        np.swapaxes(np.asarray(r0), -1, -2), np.asarray(r1), rtol=3e-7, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(np.asarray(i0), -1, -2), np.asarray(i1), rtol=3e-7, atol=1e-6
+    )
+
+
+def test_fft_rows_pallas_transposed_real_input_ragged(rng):
+    re = rng.standard_normal((20, 16)).astype(np.float32)  # 20 % block 8 != 0
+    r0, i0 = fft_rows_pallas(jnp.asarray(re), None, False)
+    r1, i1 = fft_rows_pallas(
+        jnp.asarray(re), None, False, block_rows=8, transposed_output=True
+    )
+    assert r1.shape == (16, 20)
+    assert np.abs(np.swapaxes(np.asarray(r0), -1, -2) - np.asarray(r1)).max() < 1e-5
+
+
 def test_fft_rows_pallas_emit_minmax(rng):
     """Per-block min/max partials equal the true stats of the outputs."""
     re = rng.standard_normal((8, 32)).astype(np.float32)
