@@ -229,10 +229,24 @@ def _fft_rows_transposed(re, im, inverse, block_rows, interpret, ordering):
         if im3 is not None:
             im3 = _bit_reverse_last_axis(im3)
 
-    # ~12 live (rows, n) planes incl. the transposed staging copies
+    # ~12 live (rows, n) planes incl. the transposed staging copies.
+    # The transposed OUT block's last dim is `rows`, so Mosaic needs
+    # rows % 128 == 0 or a single block covering the (8-aligned) array;
+    # ragged blocks crash its relayout (measured on 50-row PSF planes).
     vmem_budget = 24 << 20
     max_rows = max(8, (vmem_budget // (n * 4 * 12)) // 8 * 8)
-    rows = min(block_rows, max_rows, max(m, 1))
+    # rows become the transposed output's LANE dim: Mosaic requires the
+    # stored slice 128-aligned, so blocks are 128-multiples (a ragged or
+    # 8-aligned tail crashes its relayout — measured on 50-row PSFs)
+    rows = min(block_rows, max_rows) // 128 * 128
+    single = -(-m // 128) * 128
+    if single <= max(rows, 128) and single <= max(max_rows, 128):
+        rows = single  # one 128-aligned block covers the array
+    if rows == 0:
+        # VMEM budget can't fit a 128-row transposed block: fall back
+        # to the plain kernel + an XLA transpose
+        r, i = fft_rows_pallas(re, im, inverse, block_rows, interpret, ordering)
+        return jnp.swapaxes(r, -1, -2), jnp.swapaxes(i, -1, -2)
     pad = (-m) % rows
     if pad:
         re3 = jnp.pad(re3, ((0, 0), (0, pad), (0, 0)))

@@ -188,18 +188,9 @@ def main():
     if "twrite" in which:
         # Can an in-kernel VMEM transpose + transposed block writes beat
         # kernel + separate XLA transpose (an HBM round trip)?
-        import jax.numpy as _j
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-        from fft_restoration_tpu.ops.pallas.fft_kernel import (
-            _fft_kernel,
-            _half_masks_np,
-            _twiddle_planes_np,
-            fft_rows_pallas,
-        )
+        from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
 
         n = 2048
-        rows = 256
         planes = 2
         x = jax.device_put(jnp.asarray(rng.random((planes * n, n), np.float32)))
         y = jax.device_put(jnp.asarray(rng.random((planes * n, n), np.float32)))
@@ -210,49 +201,15 @@ def main():
             i = i.reshape(planes, n, n)
             return jnp.swapaxes(r, -1, -2), jnp.swapaxes(i, -1, -2)
 
-        cos_np, sin_np = _twiddle_planes_np(n, False)
-        mask_np = _half_masks_np(n)
-        stages = cos_np.shape[0]
-
-        def kernel_t(re_ref, im_ref, c_ref, s_ref, m_ref, ore, oim):
-            import functools as _f
-
-            out_re = [None]
-            out_im = [None]
-
-            class _W:
-                def __init__(s, sink):
-                    s.sink = sink
-
-                def __setitem__(s, idx, v):
-                    s.sink[0] = v
-
-            _fft_kernel(
-                re_ref, im_ref, c_ref, s_ref, m_ref, _W(out_re), _W(out_im),
-                dif=True,
-            )
-            ore[:] = jnp.swapaxes(out_re[0], 0, 1)
-            oim[:] = jnp.swapaxes(out_im[0], 0, 1)
-
-        row_spec = pl.BlockSpec((rows, n), lambda p, i: (p * (n // rows) + i, 0), memory_space=pltpu.VMEM)
-        col_spec = pl.BlockSpec((1, n, rows), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM)
-        tblsp = pl.BlockSpec((stages, n), lambda p, i: (0, 0), memory_space=pltpu.VMEM)
-
-        def kernel_t3(re_ref, im_ref, c_ref, s_ref, m_ref, ore, oim):
-            kernel_t(re_ref, im_ref, c_ref, s_ref, m_ref, ore.at[0], oim.at[0])
-
         def fwd_twrite(re, im):
-            return pl.pallas_call(
-                kernel_t3,
-                grid=(planes, n // rows),
-                in_specs=[row_spec, row_spec, tblsp, tblsp, tblsp],
-                out_specs=[col_spec, col_spec],
-                out_shape=[
-                    jax.ShapeDtypeStruct((planes, n, n), jnp.float32),
-                    jax.ShapeDtypeStruct((planes, n, n), jnp.float32),
-                ],
-                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
-            )(re, im, jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(mask_np))
+            r, i = fft_rows_pallas(
+                re.reshape(planes, n, n),
+                im.reshape(planes, n, n),
+                False,
+                ordering="revorder",
+                transposed_output=True,
+            )
+            return r, i
 
         fa = compile_guarded(lambda: jax.jit(fwd_then_xla_t))
         results["xla_t"] = measure("fwd pass + XLA transpose", fa, (x, y))
