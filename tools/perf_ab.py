@@ -117,7 +117,6 @@ def main():
 
     if "select" in which:
         # round-1 arithmetic-blend stages, monkeypatched
-        import jax.numpy as _jnp
         from jax.experimental.pallas import tpu as pltpu
 
         def _dit_blend(x_re, x_im, wc, ws, m, half, n):
