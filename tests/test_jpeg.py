@@ -30,8 +30,12 @@ def _roundtrip_diff(img_bgr, **params):
 
 
 @pytest.fixture(scope="module")
-def photo(rng):
-    # smooth gradients + texture: exercises DC prediction and AC runs
+def photo():
+    # smooth gradients + texture: exercises DC prediction and AC runs.
+    # Local deterministic rng: the shared session fixture's state depends
+    # on test ORDER, which made the codec-rounding tolerances flaky
+    # between solo and full-suite runs.
+    rng = np.random.default_rng(1234)
     y, x = np.mgrid[:96, :120]
     base = (
         128
@@ -74,8 +78,8 @@ def test_jpeg_restart_markers(photo):
     assert d.max() <= 3
 
 
-def test_jpeg_odd_size_matches_cv2(rng):
-    img = (rng.random((41, 53, 3)) * 255).astype(np.uint8)
+def test_jpeg_odd_size_matches_cv2():
+    img = (np.random.default_rng(77).random((41, 53, 3)) * 255).astype(np.uint8)
     assert _roundtrip_diff(img, quality=95).max() <= 3
 
 
