@@ -17,7 +17,7 @@ import numpy as np
 QUIET_TFLOPS = 5.0
 
 
-def probe() -> dict:
+def probe(size: int = 4096, iters: int = 10) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -35,18 +35,18 @@ def probe() -> dict:
     rtt_ms = sorted(rtts)[2] * 1e3
 
     a = jax.device_put(
-        jnp.asarray(np.random.default_rng(0).random((4096, 4096), np.float32))
+        jnp.asarray(np.random.default_rng(0).random((size, size), np.float32))
     )
     mm = jax.jit(lambda a: a @ a)
     sync(mm(a))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(10):
+        for _ in range(iters):
             o = mm(a)
         sync(o)
-        best = min(best, (time.perf_counter() - t0) / 10)
-    tflops = 2 * 4096**3 / best / 1e12
+        best = min(best, (time.perf_counter() - t0) / iters)
+    tflops = 2 * size**3 / best / 1e12
     return {
         "ts": round(time.time(), 1),
         "rtt_ms": round(rtt_ms, 1),
