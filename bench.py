@@ -56,7 +56,10 @@ PROBE_TFLOPS_QUIET = 5.0
 
 
 def _sync(x):
-    return np.asarray(x).ravel()[0]
+    # slice ON DEVICE first: np.asarray(full_array) would drag the whole
+    # buffer through the ~140 MB/s tunnel (~90 ms for the uint8 frame),
+    # inflating amortized timings by ~3 ms/frame
+    return np.asarray(x.ravel()[0])
 
 
 class _CompileTimeout(Exception):

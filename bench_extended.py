@@ -18,7 +18,9 @@ import numpy as np
 
 
 def _sync(x):
-    return np.asarray(x).ravel()[0]
+    # on-device slice first (see bench.py): full np.asarray would pull
+    # the whole buffer through the tunnel and distort amortized timings
+    return np.asarray(x.ravel()[0])
 
 
 _RTT = None

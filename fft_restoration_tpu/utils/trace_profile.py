@@ -92,7 +92,9 @@ def device_trace(fn, args, n_iters: int = 10, trace_dir: str | None = None):
     def _sync(tree):
         leaves = jax.tree_util.tree_leaves(tree)
         for leaf in leaves:
-            np.asarray(leaf).ravel()[:1]
+            # on-device slice first — a full np.asarray would drag the
+            # whole buffer through the tunnel
+            np.asarray(leaf.ravel()[0])
 
     out = fn(*args)  # warm (compile outside the trace)
     _sync(out)
