@@ -72,6 +72,69 @@ def lab_to_bgr(lab: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(_linear_to_srgb(lin), 0.0, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# Planar variants: per-channel (H, W) planes instead of (..., 3)
+# interleaved tensors. On TPU an (H, W, 3) tensor puts 3 samples in a
+# 128-lane dimension — measured 4.1x slower for the identical math
+# (device trace: 1.459 vs 0.359 ms for bgr_to_lab on 2048^2).
+# The pipeline works in planes end-to-end and interleaves once, at the
+# final uint8 conversion.
+
+
+def bgr_to_lab_planar(b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray):
+    """(H, W) float BGR planes in [0,1] -> (L, a, b) float32 planes."""
+    m = np.asarray(_SRGB2XYZ_N, np.float32)
+    lb = _srgb_to_linear(jnp.clip(b.astype(jnp.float32), 0.0, 1.0))
+    lg = _srgb_to_linear(jnp.clip(g.astype(jnp.float32), 0.0, 1.0))
+    lr = _srgb_to_linear(jnp.clip(r.astype(jnp.float32), 0.0, 1.0))
+    # rgb-ordered rows applied to bgr planes
+    tx = m[0, 2] * lb + m[0, 1] * lg + m[0, 0] * lr
+    ty = m[1, 2] * lb + m[1, 1] * lg + m[1, 0] * lr
+    tz = m[2, 2] * lb + m[2, 1] * lg + m[2, 0] * lr
+    fx, fy, fz = _f_cbrt(tx), _f_cbrt(ty), _f_cbrt(tz)
+    L = jnp.where(ty > _T0, 116.0 * fy - 16.0, 903.3 * ty)
+    return (
+        L.astype(jnp.float32),
+        (500.0 * (fx - fy)).astype(jnp.float32),
+        (200.0 * (fy - fz)).astype(jnp.float32),
+    )
+
+
+def lab_to_bgr_planar(L: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
+    """(L, a, b) planes -> (b, g, r) float planes in [0,1]."""
+    fy = (L.astype(jnp.float32) + 16.0) / 116.0
+    fx = fy + a.astype(jnp.float32) / 500.0
+    fz = fy - b.astype(jnp.float32) / 200.0
+
+    def _inv_f(f):
+        f3 = f**3
+        return jnp.where(f3 > _T0, f3, (f - _CBRT_B) / _CBRT_A)
+
+    d65 = np.asarray(_D65, np.float32)
+    x = _inv_f(fx) * d65[0]
+    y = _inv_f(fy) * d65[1]
+    z = _inv_f(fz) * d65[2]
+    m = np.asarray(_XYZ2SRGB, np.float32)
+    lr = m[0, 0] * x + m[0, 1] * y + m[0, 2] * z
+    lg = m[1, 0] * x + m[1, 1] * y + m[1, 2] * z
+    lb = m[2, 0] * x + m[2, 1] * y + m[2, 2] * z
+    out = tuple(
+        jnp.clip(_linear_to_srgb(v), 0.0, 1.0) for v in (lb, lg, lr)
+    )
+    return out
+
+
+def luminance_l_planar(b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray):
+    """Lab L plane only (the white-balance gain's input)."""
+    m = np.asarray(_SRGB2XYZ_N, np.float32)
+    lb = _srgb_to_linear(jnp.clip(b.astype(jnp.float32), 0.0, 1.0))
+    lg = _srgb_to_linear(jnp.clip(g.astype(jnp.float32), 0.0, 1.0))
+    lr = _srgb_to_linear(jnp.clip(r.astype(jnp.float32), 0.0, 1.0))
+    y = m[1, 2] * lb + m[1, 1] * lg + m[1, 0] * lr
+    fy = _f_cbrt(y)
+    return jnp.where(y > _T0, 116.0 * fy - 16.0, 903.3 * y).astype(jnp.float32)
+
+
 def luminance_l(img_bgr: jnp.ndarray) -> jnp.ndarray:
     """Just the Lab L channel of a BGR image — the only part of
     bgr_to_lab the white-balance gain consumes for the ORIGINAL image.

@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fft_restoration_tpu.ops.color import apply_white_balance, bgr_to_lab, lab_to_bgr
 from fft_restoration_tpu.ops.psf import motion_blur_kernel
 from fft_restoration_tpu.ops.wiener import wiener_filter, inverse_filter, cls_filter
 from fft_restoration_tpu.parallel.mesh import ROWS_AXIS, make_mesh
@@ -183,19 +182,33 @@ def _sharded_core(
         out_specs=P(None, ROWS_AXIS, None),
     )(chans, psf_pad, lap, K)
 
-    # Post-processing on the global view; GSPMD partitions these.
+    # Post-processing on the global view, PLANAR (see models/pipeline.py);
+    # GSPMD partitions these, means become psums (SURVEY §7 hard part 4).
     cropped = restored[..., :h, :w]
-    merged = jnp.moveaxis(cropped, 0, -1)
     if white_balance:
         from fft_restoration_tpu.ops.color import (
-            apply_white_balance_gain,
-            luminance_l,
+            bgr_to_lab_planar,
+            lab_to_bgr_planar,
+            luminance_l_planar,
         )
 
-        lab_deblur = bgr_to_lab(merged)
-        l_orig_mean = jnp.mean(luminance_l(img_f32))
-        merged = lab_to_bgr(apply_white_balance_gain(lab_deblur, l_orig_mean))
-    out = jnp.clip(merged * 255.0, 0.0, 255.0).astype(jnp.uint8)
+        chans0 = jnp.moveaxis(img_f32, -1, 0)
+        L, a_, b_ = bgr_to_lab_planar(cropped[0], cropped[1], cropped[2])
+        l_orig_mean = jnp.mean(
+            luminance_l_planar(chans0[0], chans0[1], chans0[2])
+        )
+        gain = l_orig_mean / (jnp.mean(L) + 1e-6)
+        L = jnp.clip(L * gain, 0.0, 100.0)
+        planes_bgr = lab_to_bgr_planar(L, a_, b_)
+    else:
+        planes_bgr = (cropped[0], cropped[1], cropped[2])
+    out = jnp.stack(
+        [
+            jnp.clip(p * 255.0, 0.0, 255.0).astype(jnp.uint8)
+            for p in planes_bgr
+        ],
+        axis=-1,
+    )
     return out, cropped
 
 
