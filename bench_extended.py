@@ -55,9 +55,12 @@ def bench_call(fn, args, iters=10):
         for _ in range(iters):
             out = fn(*args)
         _sync(jax_leaves(out)[0])
-        return max((time.perf_counter() - t0 - rtt) / iters, 1e-9) * 1e3
+        return (time.perf_counter() - t0 - rtt) / iters * 1e3
 
-    return min(one_round() for _ in range(3))
+    best = min(one_round() for _ in range(3))
+    # sub-RTT workloads (e.g. the car fixture at ~0.4 ms/frame) make the
+    # RTT subtraction degenerate; report None rather than a fantasy
+    return best if best > 0.05 else None
 
 
 def device_ms(fn, args, iters=5):
@@ -104,8 +107,9 @@ def main(backend="matmul"):
         ms = bench_call(fn, a)
         mp = img.shape[0] * img.shape[1] * 3 / 1e6
         results.append(
-            {"metric": name, "value": round(ms, 2), "unit": "ms/frame",
-             "mp_per_s": round(mp / ms * 1e3, 1),
+            {"metric": name,
+             "value": round(ms, 2) if ms else None, "unit": "ms/frame",
+             "mp_per_s": round(mp / ms * 1e3, 1) if ms else None,
              "device_ms": device_ms(fn, a)}
         )
 
@@ -130,8 +134,9 @@ def main(backend="matmul"):
     ms = bench_call(bfn, ba, iters=5)
     mp = 64 * 256 * 256 * 3 / 1e6
     results.append(
-        {"metric": "batch64_256sq_shared_psf", "value": round(ms, 2),
-         "unit": "ms/batch", "mp_per_s": round(mp / ms * 1e3, 1),
+        {"metric": "batch64_256sq_shared_psf",
+         "value": round(ms, 2) if ms else None, "unit": "ms/batch",
+         "mp_per_s": round(mp / ms * 1e3, 1) if ms else None,
          "device_ms": device_ms(bfn, ba, iters=3)}
     )
 
