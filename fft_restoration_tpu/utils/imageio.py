@@ -427,7 +427,12 @@ def imread_batch(paths, threads: int = 8) -> np.ndarray:
             if rc == 0:
                 return out[..., ::-1].copy()  # RGB -> BGR
         # fall through on unsupported formats
-    return np.stack([imread(p) for p in paths], axis=0)
+    # thread the per-file decodes: the native scan/unfilter calls and
+    # zlib release the GIL, so mixed JPEG/odd-PNG batches still scale
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
+        return np.stack(list(ex.map(imread, paths)), axis=0)
 
 
 def imwrite(path: str, img_bgr: np.ndarray) -> None:
