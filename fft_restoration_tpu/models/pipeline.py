@@ -179,10 +179,30 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
     packed = channels.ndim >= 3 and channels.shape[-3] >= 2
     if packed:
         c = channels.shape[-3]
-        a_re, a_im = _pack_channel_pairs(channels)
-        a_re, a_im = fft_rows_pallas(
-            a_re, a_im, False, ordering="revorder", transposed_output=True
-        )
+        if channels.ndim == 3:
+            # read the channel-major array directly through even/odd
+            # plane-index maps (packed_planes): the strided pack slices
+            # never materialize as XLA copies
+            pk = (
+                channels
+                if c % 2 == 0
+                else jnp.concatenate(
+                    [channels, jnp.zeros_like(channels[:1])], axis=0
+                )
+            )
+            a_re, a_im = fft_rows_pallas(
+                pk,
+                None,
+                False,
+                ordering="revorder",
+                transposed_output=True,
+                packed_planes=True,
+            )
+        else:
+            a_re, a_im = _pack_channel_pairs(channels)
+            a_re, a_im = fft_rows_pallas(
+                a_re, a_im, False, ordering="revorder", transposed_output=True
+            )
     else:
         a_re, a_im = fft_rows_pallas(
             channels, None, False, ordering="revorder", transposed_output=True
