@@ -228,6 +228,32 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
         n_planes = total_rows // rows_per_plane
         blk = min(256, rows_per_plane)
         fuse_mm = rows_per_plane % blk == 0
+        if fuse_mm and r_re.ndim == 3:
+            # final pass writes channel-INTERLEAVED planes directly
+            # (fft_rows_packed_out): the unpack never materializes as a
+            # separate copy; minmax partials ride along as before
+            from fft_restoration_tpu.ops.pallas.fft_kernel import (
+                fft_rows_packed_out,
+            )
+
+            out, mm = fft_rows_packed_out(
+                r_re, r_im, True, ordering="revorder", emit_minmax=True
+            )
+            restored = out[:c]
+            per = mm.reshape(n_planes, -1, 4)
+
+            def _ilv(a, b):
+                s = jnp.stack([a, b], axis=-1)
+                return s.reshape(2 * n_planes)[:c]
+
+            lo = _ilv(
+                jnp.min(per[..., 0], axis=-1), jnp.min(per[..., 2], axis=-1)
+            )[..., None, None]
+            hi = _ilv(
+                jnp.max(per[..., 1], axis=-1), jnp.max(per[..., 3], axis=-1)
+            )[..., None, None]
+            scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+            return (restored - lo) * scale
         if fuse_mm:
             r_re, r_im, mm = fft_rows_pallas(
                 r_re,

@@ -347,6 +347,101 @@ def _fft_rows_transposed(
     )
 
 
+def fft_rows_packed_out(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    inverse: bool = False,
+    block_rows: int = 256,
+    interpret: bool | None = None,
+    ordering: str = "natural",
+    emit_minmax: bool = False,
+):
+    """Row FFT of (P, M, N) SoA planes that writes ONE (2P, M, N) output
+    with re at plane 2p and im at plane 2p+1 — i.e. the channel-unpack
+    of a packed-pair restore happens in the output block specs instead
+    of a separate XLA interleave copy. Optional (n_blocks, 4) min/max
+    partials as in fft_rows_pallas(emit_minmax)."""
+    if re.ndim != 3 or re.shape != im.shape:
+        raise ValueError(f"need matching (P, M, N) planes, got {re.shape}")
+    p, m, n = re.shape
+    if n & (n - 1):
+        raise ValueError(f"power-of-two length required, got {n}")
+    if ordering not in ("natural", "revorder"):
+        raise ValueError(f"unknown ordering {ordering!r}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    dif = ordering == "revorder" and not inverse
+    if ordering == "natural":
+        re = _bit_reverse_last_axis(re)
+        im = _bit_reverse_last_axis(im)
+
+    vmem_budget = 24 << 20
+    max_rows = max(8, (vmem_budget // (n * 4 * 10)) // 8 * 8)
+    rows = min(block_rows, max_rows, m)
+    if emit_minmax and rows & (rows - 1):
+        rows = 1 << (rows.bit_length() - 1)
+    if m % rows:
+        raise ValueError(
+            f"plane rows {m} must be a multiple of the block size {rows}"
+        )
+    bpp = m // rows  # blocks per plane
+
+    cos_np, sin_np = _twiddle_planes_np(n, inverse)
+    mask_np = _half_masks_np(n)
+    stages = cos_np.shape[0]
+
+    in_spec = pl.BlockSpec(
+        (1, rows, n), lambda pp, i: (pp, i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (2, rows, n), lambda pp, i: (pp, i, 0), memory_space=pltpu.VMEM
+    )
+    tbl = pl.BlockSpec(
+        (stages, n), lambda pp, i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [out_spec]
+    out_shape = [jax.ShapeDtypeStruct((2 * p, m, n), jnp.float32)]
+    n_blocks = p * bpp
+    if emit_minmax:
+        out_specs.append(
+            pl.BlockSpec(
+                (n_blocks, 4), lambda pp, i: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32))
+
+    def body(*refs):
+        if emit_minmax:
+            re_ref, im_ref, c_ref, s_ref, m_ref, o_ref, mm_ref = refs
+        else:
+            re_ref, im_ref, c_ref, s_ref, m_ref, o_ref = refs
+        x_re = re_ref.at[0][:]
+        x_im = im_ref.at[0][:]
+        x_re, x_im = _fft_stages(x_re, x_im, c_ref, s_ref, m_ref, dif)
+        o_ref.at[0][:] = x_re
+        o_ref.at[1][:] = x_im
+        if emit_minmax:
+            pid = pl.program_id(0) * bpp + pl.program_id(1)
+            vals = jnp.stack(
+                [jnp.min(x_re), jnp.max(x_re), jnp.min(x_im), jnp.max(x_im)]
+            ).reshape(1, 4)
+            mm_ref[pl.dslice(pid, 1), :] = vals
+
+    out = pl.pallas_call(
+        body,
+        grid=(p, bpp),
+        in_specs=[in_spec, in_spec, tbl, tbl, tbl],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(re, im, jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(mask_np))
+    if emit_minmax:
+        return out[0], out[1]
+    return out[0]
+
+
 def fft_cols_pallas(
     re: jnp.ndarray,
     im: jnp.ndarray,
