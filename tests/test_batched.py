@@ -37,3 +37,12 @@ def test_psf_grid_sweep_matches_single(rng):
     single = WienerDeblurPipeline(fft_backend="matmul")
     ref = single.restore_channels(img, 7, 60.0)
     assert np.abs(out[1, 2] - ref).max() < 1e-5
+
+
+def test_psf_grid_sweep_pallas(rng):
+    """vmap over the packed/transposed pallas kernels (interpret mode)."""
+    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    out = psf_grid_sweep(img, [3, 5], [0.0, 45.0], fft_backend="pallas")
+    assert out.shape == (2, 2, 3, 16, 16)
+    ref = psf_grid_sweep(img, [3, 5], [0.0, 45.0], fft_backend="matmul")
+    assert np.abs(out - ref).max() < 1e-3
