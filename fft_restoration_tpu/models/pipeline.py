@@ -103,6 +103,14 @@ def restore_planes(
     hp, wp = channels.shape[-2:]
     psf_rows = psf.shape[-2]  # only these rows of psf_pad are nonzero
     psf_pad = _pad2d(psf, hp, wp)
+    if fft_backend == "pallas" and min(hp, wp) < 128:
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu":
+            # frames below one (8,128) tile: Mosaic rejects the fused
+            # kernels' sub-tile lane slices on hardware, and the MXU
+            # four-step is faster at these sizes anyway
+            fft_backend = "matmul"
     # NOTE perf cliff: the revorder fast path (no bit-reversal passes,
     # half-fused fwd+filter kernel) exists only for the Wiener filter.
     # `--fft-backend pallas` with --filter cls/inverse takes the generic

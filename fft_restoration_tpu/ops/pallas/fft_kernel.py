@@ -258,19 +258,34 @@ def _fft_rows_transposed(
     # The transposed OUT block's last dim is `rows`, so Mosaic needs
     # rows % 128 == 0 or a single block covering the (8-aligned) array;
     # ragged blocks crash its relayout (measured on 50-row PSF planes).
+    interp = jax.default_backend() == "cpu" if interpret is None else interpret
     vmem_budget = 24 << 20
     max_rows = max(8, (vmem_budget // (n * 4 * 12)) // 8 * 8)
     # rows become the transposed output's LANE dim: Mosaic requires the
     # stored slice 128-aligned, so blocks are 128-multiples (a ragged or
-    # 8-aligned tail crashes its relayout — measured on 50-row PSFs)
+    # 8-aligned tail crashes its relayout — measured on 50-row PSFs).
+    # The in-kernel transpose also needs n itself 128-aligned on
+    # hardware (n=64 crashed under vmap).
     rows = min(block_rows, max_rows) // 128 * 128
     single = -(-m // 128) * 128
     if single <= max(rows, 128) and single <= max(max_rows, 128):
         rows = single  # one 128-aligned block covers the array
-    if rows == 0:
-        # VMEM budget can't fit a 128-row transposed block: fall back
-        # to the plain kernel + an XLA transpose
-        r, i = fft_rows_pallas(re, im, inverse, block_rows, interpret, ordering)
+    if rows == 0 or (not interp and n % 128):
+        # VMEM budget can't fit a 128-row transposed block, or the lane
+        # length is not tile-aligned: fall back to the plain kernel +
+        # an XLA transpose
+        if packed_planes:
+            # slice the ORIGINAL interleaved array (re3 may already be
+            # bit-reversed above; the fallback call re-applies ordering)
+            pk_re = re[0::2]
+            pk_im = re[1::2]
+            r, i = fft_rows_pallas(
+                pk_re, pk_im, inverse, block_rows, interpret, ordering
+            )
+        else:
+            r, i = fft_rows_pallas(
+                re, im, inverse, block_rows, interpret, ordering
+            )
         return jnp.swapaxes(r, -1, -2), jnp.swapaxes(i, -1, -2)
     pad = (-m) % rows
     if pad:
