@@ -176,11 +176,26 @@ def _run_batch(args) -> int:
 
     t0 = time.perf_counter()
     n_done = 0
-    single = WienerDeblurPipeline(
-        fft_backend=args.fft_backend,
-        filter_name=args.filter,
-        white_balance=not args.no_white_balance,
-    )
+    if args.mode == "sharded":
+        # singleton size-groups honor --mode sharded too (row-sharded
+        # single-frame pipeline), not just the batched groups
+        from fft_restoration_tpu.parallel.mesh import make_mesh
+        from fft_restoration_tpu.parallel.sharded_pipeline import (
+            ShardedWienerPipeline,
+        )
+
+        single = ShardedWienerPipeline(
+            mesh=make_mesh(args.devices),
+            fft_backend=args.fft_backend,
+            filter_name=args.filter,
+            white_balance=not args.no_white_balance,
+        )
+    else:
+        single = WienerDeblurPipeline(
+            fft_backend=args.fft_backend,
+            filter_name=args.filter,
+            white_balance=not args.no_white_balance,
+        )
     for (h, w), group in groups.items():
         try:
             _restore_group(args, group, out_dir, single)

@@ -359,9 +359,18 @@ def probe_size(path: str) -> tuple:
             if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
                 continue
             (seglen,) = struct.unpack(">H", data[pos : pos + 2])
-            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # any SOF with dims
+            if marker in (0xC0, 0xC1):  # baseline SOF: decodable
                 _, h, w = struct.unpack(">BHH", data[pos + 2 : pos + 7])
                 return h, w
+            if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                # dims are parseable but decode_jpeg will refuse; raise
+                # HERE so batch grouping skips just this file instead of
+                # failing (and discarding) its whole same-size group
+                raise ValueError(
+                    "only baseline sequential JPEG is supported "
+                    f"(SOF marker 0xFF{marker:02X})"
+                )
             pos += seglen
         raise ValueError("corrupt JPEG: no SOF marker")
     raise ValueError("not a PNG or JPEG file")

@@ -230,6 +230,15 @@ def _upsample(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline JPEG bytes -> uint8 RGB (H, W, 3) or gray (H, W)."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        # truncated/corrupt segments surface as slice/unpack failures
+        # deep in the parser; the CLI skip contract wants ValueError
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file")
     pos = 2
@@ -315,6 +324,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_comps, entropy = scan
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the MCU
+        # is one data unit regardless of the SOF sampling factors (some
+        # encoders keep luma 2x2 factors when dropping chroma)
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))

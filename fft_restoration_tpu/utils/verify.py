@@ -100,7 +100,12 @@ def channels_equal(
         ochans = oracle.reshape(-1, *oracle.shape[-2:])
         per = [_check(a, b) for a, b in zip(chans, ochans)]
         worst = min(range(len(per)), key=lambda i: per[i][2])  # lowest PSNR
-        l2, inf, p, _ = _check(ours, oracle)
+        # joint metrics derived from the per-channel passes (equal-sized
+        # planes): no second full-array traversal
+        l2 = float(np.sqrt(sum(r[0] ** 2 for r in per)))
+        inf = float(max(r[1] for r in per))
+        mse = float(np.mean([10.0 ** (-r[2] / 10.0) for r in per]))
+        p = float("inf") if mse == 0.0 else 10.0 * np.log10(1.0 / mse)
         ok = all(r[3] for r in per)
         details = {
             "per_channel": [

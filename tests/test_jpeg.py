@@ -115,3 +115,45 @@ def test_cli_batch_accepts_jpeg(tmp_path, photo, capsys):
     assert rc == 0
     assert "Restored 1 frames" in capsys.readouterr().out
     assert (tmp_path / "x_restored.png").exists()
+
+
+def test_truncated_dht_raises_valueerror(photo):
+    """Corruption inside a DHT segment must surface as ValueError (the
+    CLI skip contract), not IndexError."""
+    data = _encode(photo)
+    i = data.find(b"\xff\xc4")
+    assert i > 0
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: i + 10])
+
+
+def test_probe_size_rejects_progressive(tmp_path, photo):
+    """probe_size must not classify files decode_jpeg will refuse as
+    readable — otherwise one progressive file poisons its whole
+    same-size batch group."""
+    from fft_restoration_tpu.utils.imageio import probe_size
+
+    p = tmp_path / "prog.jpg"
+    p.write_bytes(_encode(photo, IMWRITE_JPEG_PROGRESSIVE=1))
+    with pytest.raises(ValueError, match="baseline"):
+        probe_size(str(p))
+
+
+def test_gray_nonunit_sampling_factors(photo):
+    """T.81 A.2: single-component scans are non-interleaved regardless
+    of the SOF sampling factors; patch a gray JPEG's factors to 2x2 and
+    the decode must still match cv2."""
+    gray = cv2.cvtColor(photo, cv2.COLOR_BGR2GRAY)
+    ok, buf = cv2.imencode(".jpg", gray, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    assert ok
+    data = bytearray(buf.tobytes())
+    i = data.find(b"\xff\xc0")
+    assert i > 0
+    # SOF0: FF C0 len(2) prec(1) h(2) w(2) ncomp(1) cid(1) hv(1) ...
+    hv_off = i + 11
+    assert data[hv_off] == 0x11
+    data[hv_off] = 0x22
+    patched = bytes(data)
+    ours = decode_jpeg(patched)
+    theirs = cv2.imdecode(np.frombuffer(patched, np.uint8), cv2.IMREAD_GRAYSCALE)
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2

@@ -8,15 +8,20 @@ variants compiled and traced in ONE process. Device-timeline times
 tunnel queueing.
 
 Experiments:
-  select    — where-select butterflies (adopted) vs arithmetic-blend
-              stages (round-1 formulation)
-  realout   — real_output final inverse pass (adopted) vs full SoA write
-  donate    — donate_argnums on vs off (VERDICT item 6 / gpu.cpp:96-113
-              optimized-vs-naive allocation experiment)
-  all       — everything
+  select     — where-select butterflies (adopted) vs arithmetic-blend
+               stages (round-1 formulation)
+  realout    — real_output final inverse pass (adopted) vs full SoA write
+  donate     — donate_argnums on vs off (VERDICT item 6 / gpu.cpp:96-113
+               optimized-vs-naive allocation experiment)
+  twrite     — in-kernel transposed writes vs kernel + XLA transpose
+  megakernel — fused fwd+filter+inv middle at several block sizes
+  radix4     — radix-4 vs radix-2 forward pass
+  all        — everything
 
-Usage: python tools/perf_ab.py [select realout donate]
+Usage: python tools/perf_ab.py [select realout donate twrite megakernel radix4 | all]
 """
+
+EXPERIMENTS = {"select", "realout", "donate", "twrite", "megakernel", "radix4"}
 
 import functools
 import os
@@ -71,6 +76,12 @@ def host_best(fn, args, iters=15, rounds=3):
 
 def main():
     which = set(sys.argv[1:]) or {"select", "realout", "donate"}
+    if "all" in which:
+        which = set(EXPERIMENTS)
+    unknown = which - EXPERIMENTS
+    if unknown:
+        sys.exit(f"unknown experiment(s) {sorted(unknown)}; one of "
+                 f"{sorted(EXPERIMENTS)} or 'all'")
 
     import jax
     import jax.numpy as jnp
