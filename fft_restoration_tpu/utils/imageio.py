@@ -346,6 +346,10 @@ def probe_size(path: str) -> tuple:
             raise ValueError("corrupt PNG: truncated IHDR")
         w, h = struct.unpack(">II", data[16:24])
         return h, w
+    from fft_restoration_tpu.utils import formats
+
+    if formats.sniff(data):
+        return formats.probe_size(data)
     if data[:2] == b"\xff\xd8":
         pos = 2
         while pos + 4 <= len(data):
@@ -373,22 +377,31 @@ def probe_size(path: str) -> tuple:
                 )
             pos += seglen
         raise ValueError("corrupt JPEG: no SOF marker")
-    raise ValueError("not a PNG or JPEG file")
+    raise ValueError("unrecognised image format (PNG/JPEG/BMP/PNM/TIFF supported)")
 
 
 def imread(path: str) -> np.ndarray:
     """Read an image file as BGR uint8 (H, W, 3), like cv::imread(IMREAD_COLOR).
 
-    Formats: PNG (this codec) and baseline JPEG (utils/jpeg.py),
-    dispatched on magic bytes — the two formats the reference's fixtures
-    and cv::imread-based drivers actually exercise."""
+    Formats, dispatched on magic bytes: PNG (this codec), baseline JPEG
+    (utils/jpeg.py), BMP, PBM/PGM/PPM, and uncompressed TIFF
+    (utils/formats.py) — the common cv::imread surface the reference's
+    drivers accept (/root/reference/serial.cpp:22)."""
     data = Path(path).read_bytes()
     if data[:2] == b"\xff\xd8":
         from fft_restoration_tpu.utils.jpeg import decode_jpeg
 
         img = decode_jpeg(data)
-    else:
+    elif data[:8] == _PNG_SIG:
         img = decode_png(data)
+    else:
+        from fft_restoration_tpu.utils import formats
+
+        if formats.sniff(data) is None:
+            raise ValueError(
+                "unrecognised image format (PNG/JPEG/BMP/PNM/TIFF supported)"
+            )
+        img = formats.decode(data)
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
     elif img.shape[-1] == 2:  # grayscale + alpha (color type 4)
@@ -445,8 +458,26 @@ def imread_batch(paths, threads: int = 8) -> np.ndarray:
 
 
 def imwrite(path: str, img_bgr: np.ndarray) -> None:
-    """Write a BGR uint8 (H, W, 3) or gray (H, W) image to a PNG file."""
+    """Write a BGR uint8 (H, W, 3) or gray (H, W) image, format by extension.
+
+    `.png` (default for unknown extensions), `.bmp`, `.ppm`/`.pgm`/`.pnm`,
+    `.tif`/`.tiff` — mirroring cv::imwrite's extension dispatch."""
     img = np.asarray(img_bgr, dtype=np.uint8)
     if img.ndim == 3:
         img = img[..., ::-1]  # BGR -> RGB
-    Path(path).write_bytes(encode_png(img))
+    ext = Path(path).suffix.lower()
+    if ext == ".bmp":
+        from fft_restoration_tpu.utils import formats
+
+        blob = formats.encode_bmp(img)
+    elif ext in (".ppm", ".pgm", ".pnm"):
+        from fft_restoration_tpu.utils import formats
+
+        blob = formats.encode_pnm(img)
+    elif ext in (".tif", ".tiff"):
+        from fft_restoration_tpu.utils import formats
+
+        blob = formats.encode_tiff(img)
+    else:
+        blob = encode_png(img)
+    Path(path).write_bytes(blob)
