@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
         "matmul = MXU four-step, fastest compile)",
     )
     p.add_argument(
+        "--fft-engine",
+        choices=("mxu", "roll"),
+        default="mxu",
+        help="butterfly engine inside the pallas kernels (mxu = outer "
+        "roll-stages + per-group DFT matmul on the MXU; roll = all "
+        "log2(N) VPU roll-stages). Ignored by other backends.",
+    )
+    p.add_argument(
         "--filter", choices=("wiener", "inverse", "cls"), default="wiener"
     )
     p.add_argument("-K", type=float, default=0.01, help="Wiener K (default 0.01)")
@@ -195,6 +203,7 @@ def _run_batch(args) -> int:
             fft_backend=args.fft_backend,
             filter_name=args.filter,
             white_balance=not args.no_white_balance,
+            fft_engine=args.fft_engine,
         )
     for (h, w), group in groups.items():
         try:
@@ -354,6 +363,7 @@ def main(argv=None) -> int:
                 fft_backend=args.fft_backend,
                 filter_name=args.filter,
                 white_balance=wb,
+                fft_engine=args.fft_engine,
             )
         else:
             from fft_restoration_tpu.parallel.mesh import make_mesh
@@ -409,6 +419,7 @@ def main(argv=None) -> int:
                         fft_backend=args.fft_backend,
                         filter_name=args.filter,
                         white_balance=wb,
+                        fft_engine=args.fft_engine,
                     )
                 )
             rep = device_trace(

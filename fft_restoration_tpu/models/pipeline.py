@@ -90,6 +90,7 @@ def restore_planes(
     *,
     fft_backend: str = "radix2",
     filter_name: str = "wiener",
+    fft_engine: str = "mxu",
 ) -> jnp.ndarray:
     """Restore (..., Hp, Wp) power-of-two planes with a (S, S) PSF.
 
@@ -118,7 +119,9 @@ def restore_planes(
     # permutation passes per transform round trip (the CLI prints an
     # [INFO] notice for this combination).
     if fft_backend == "pallas" and filter_name == "wiener":
-        return _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows)
+        return _restore_planes_pallas_fused(
+            channels, psf_pad, K, psf_rows, engine=fft_engine
+        )
     if channels.ndim >= 3 and channels.shape[-3] >= 2:
         c = channels.shape[-3]
         p_re, p_im = _pack_channel_pairs(channels)
@@ -137,7 +140,7 @@ def restore_planes(
     return _minmax_normalize(restored)
 
 
-def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
+def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None, engine="mxu"):
     """Pallas fast path: revorder (DIF fwd / DIT inv, zero bit-reversal
     passes) row-FFT kernels + fused Wiener kernel, with the filter
     applied in the TRANSPOSED, bit-reversed-spectrum orientation so each
@@ -169,16 +172,18 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
         if nonzero_rows is not None and nonzero_rows < re.shape[-2]:
             live = re[..., :nonzero_rows, :]
             lre, lim = fft_rows_pallas(
-                live, None, False, ordering="revorder", transposed_output=True
+                live, None, False, ordering="revorder", transposed_output=True,
+                engine=engine,
             )
             # transposed layout: pad the LANE axis (former rows)
             pad = [(0, 0)] * (re.ndim - 1) + [(0, re.shape[-2] - nonzero_rows)]
             re, im = jnp.pad(lre, pad), jnp.pad(lim, pad)
         else:
             re, im = fft_rows_pallas(
-                re, None, False, ordering="revorder", transposed_output=True
+                re, None, False, ordering="revorder", transposed_output=True,
+                engine=engine,
             )
-        return fft_rows_pallas(re, im, False, ordering="revorder")
+        return fft_rows_pallas(re, im, False, ordering="revorder", engine=engine)
 
     # PSF spectrum: plain two-pass forward (1 plane).
     H = fwd2d_t(psf_pad, psf_rows)
@@ -205,26 +210,30 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
                 ordering="revorder",
                 transposed_output=True,
                 packed_planes=True,
+                engine=engine,
             )
         else:
             a_re, a_im = _pack_channel_pairs(channels)
             a_re, a_im = fft_rows_pallas(
-                a_re, a_im, False, ordering="revorder", transposed_output=True
+                a_re, a_im, False, ordering="revorder", transposed_output=True,
+                engine=engine,
             )
     else:
         a_re, a_im = fft_rows_pallas(
-            channels, None, False, ordering="revorder", transposed_output=True
+            channels, None, False, ordering="revorder", transposed_output=True,
+            engine=engine,
         )
     # Image: first row pass (transposed writes), then the HALF-FUSED
     # kernel — second forward pass + Wiener filter in one VMEM
     # residency, so the image's unfiltered 2D spectrum never round-trips
     # HBM. (The FULLY fused fwd+filter+inv megakernel spills VMEM and
     # loses — measured notes in ops/pallas/wiener_spectral.py.)
-    F = fwd_wiener_rows_pallas((a_re, a_im), H, K)
+    F = fwd_wiener_rows_pallas((a_re, a_im), H, K, engine=engine)
     # inverse col pass with transposed writes: back to natural
     # orientation with zero XLA transpose passes in the whole restore
     r_re, r_im = fft_rows_pallas(
-        F[0], F[1], True, ordering="revorder", transposed_output=True
+        F[0], F[1], True, ordering="revorder", transposed_output=True,
+        engine=engine,
     )
     if packed:
         # emit per-block min/max partials from the final kernel while its
@@ -245,7 +254,8 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
             )
 
             out, mm = fft_rows_packed_out(
-                r_re, r_im, True, ordering="revorder", emit_minmax=True
+                r_re, r_im, True, ordering="revorder", emit_minmax=True,
+                engine=engine,
             )
             restored = out[:c]
             per = mm.reshape(n_planes, -1, 4)
@@ -270,6 +280,7 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
                 block_rows=blk,
                 ordering="revorder",
                 emit_minmax=True,
+                engine=engine,
             )
             lead = r_re.shape[:-2]  # (..., P)
             per = mm.reshape(n_planes, -1, 4)
@@ -288,14 +299,17 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None):
             restored = _unpack_channel_pairs(r_re, r_im, c)
             scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
             return (restored - lo) * scale
-        r_re, r_im = fft_rows_pallas(r_re, r_im, True, ordering="revorder")
+        r_re, r_im = fft_rows_pallas(
+            r_re, r_im, True, ordering="revorder", engine=engine
+        )
         restored = _unpack_channel_pairs(r_re, r_im, c)
     else:
         # single plane: only the real part is kept, so skip the
         # imaginary plane's HBM write (real_output) — ≙ the CUDA
         # postprocess_kernel extracting real only (fft_gpu.cu:187-201)
         restored, _ = fft_rows_pallas(
-            r_re, r_im, True, ordering="revorder", real_output=True
+            r_re, r_im, True, ordering="revorder", real_output=True,
+            engine=engine,
         )
     # unscaled + normalize, as in the oracle (see restore_planes note)
     return _minmax_normalize(restored)
@@ -310,6 +324,7 @@ def _restore_core(
     fft_backend: str,
     filter_name: str,
     white_balance: bool,
+    fft_engine: str = "mxu",
 ):
     """(H, W, 3) float32 BGR in [0,1] -> (H, W, 3) uint8 BGR restored."""
     h, w = img_f32.shape[:2]
@@ -319,7 +334,8 @@ def _restore_core(
     chans0 = jnp.moveaxis(img_f32, -1, 0)  # (3, H, W) BGR planes
     chans = _pad2d(chans0, hp, wp)
     restored = restore_planes(
-        chans, psf, K, fft_backend=fft_backend, filter_name=filter_name
+        chans, psf, K, fft_backend=fft_backend, filter_name=filter_name,
+        fft_engine=fft_engine,
     )
     restored = restored[..., :h, :w]
 
@@ -368,8 +384,10 @@ class WienerDeblurPipeline:
         white_balance: bool = True,
         device: Optional[object] = None,
         donate_input: bool = True,
+        fft_engine: str = "mxu",
     ):
         self.fft_backend = fft_backend
+        self.fft_engine = fft_engine
         self.filter_name = filter_name
         self.white_balance = white_balance
         self.device = device
@@ -389,6 +407,7 @@ class WienerDeblurPipeline:
                 fft_backend=self.fft_backend,
                 filter_name=self.filter_name,
                 white_balance=self.white_balance,
+                fft_engine=self.fft_engine,
             )
             donate = (0,) if self.donate_input else ()
             self._cache[key] = jax.jit(fn, donate_argnums=donate)

@@ -65,6 +65,16 @@ def _twiddle_planes_np(n: int, inverse: bool) -> tuple:
 
 
 @functools.lru_cache(maxsize=None)
+def _dft_planes_np(length: int, inverse: bool) -> tuple:
+    """(length, length) cos/sin planes of the DFT matrix
+    W[l, k] = exp(sign * 2*pi*i * l * k / length), float64-computed."""
+    sign = 1.0 if inverse else -1.0
+    lk = np.outer(np.arange(length, dtype=np.float64), np.arange(length))
+    ang = sign * 2.0 * math.pi * lk / length
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def _half_masks_np(n: int) -> np.ndarray:
     """(S, N) float32 mask: 1.0 where lane j is in the first half of its
     stage-s butterfly block, else 0.0."""
@@ -133,14 +143,133 @@ def _fft_stages(x_re, x_im, cos_ref, sin_ref, mask_ref, dif):
     return x_re, x_im
 
 
+# ---------------------------------------------------------------------------
+# MXU hybrid engine: outer roll-stages + per-group DFT matmul
+#
+# The log2(n) roll-butterfly stages above are VPU-throughput bound — the
+# dominant device cost of the whole restore (docs/PERF.md). The hybrid
+# engine keeps only the outer DIF/DIT stages whose butterfly distance is
+# a multiple of the 128-lane vreg width (cheap whole-vreg moves) and
+# replaces the inner log2(128)=7 stages with ONE 128-point DFT matmul
+# per contiguous 128-lane group, executed on the MXU — the unit the
+# roll-butterflies leave idle.
+#
+# Ordering: radix-2 DIF decimation assigns bins to the 16 groups exactly
+# as full bit reversal does (group g holds bins k ≡ rev4(g) mod 16); the
+# natural-order DFT-128 then leaves positions-within-group NATURAL
+# (p = k div 16) instead of bit-reversed. This "hybrid order" is just a
+# different fixed permutation of the spectrum: elementwise filters are
+# order-agnostic, the PSF spectrum is produced by the same engine, and
+# the inverse consumes it symmetrically (inverse-DFT-128 matmul first,
+# then the outer DIT stages). It composes with `revorder` only — the
+# zero-permutation-pass design this pipeline already uses throughout.
+
+_MXU_INNER = 128
+
+
+def _mxu_tables_np(inverse: bool) -> tuple:
+    """cos/sin planes of the 128-point DFT matrix W[l, k]."""
+    return _dft_planes_np(_MXU_INNER, inverse)
+
+
+def _group_dft_matmul(x_re, x_im, wc, ws):
+    """Multiply each contiguous 128-lane group of (R, n) planes by the
+    (128, 128) DFT matrix wc + i*ws on the MXU. Static vreg-aligned lane
+    slices per group — no relayout, 16 pipelined (R,128)@(128,128)
+    matmuls for n=2048."""
+    n = x_re.shape[-1]
+    prec = jax.lax.Precision.HIGHEST
+    out_re, out_im = [], []
+    for g in range(n // _MXU_INNER):
+        lo = g * _MXU_INNER
+        xr = x_re[:, lo : lo + _MXU_INNER]
+        xi = x_im[:, lo : lo + _MXU_INNER]
+        # 3-multiplication complex product (Karatsuba):
+        #   m1 = xr@wc, m2 = xi@ws, m3 = (xr+xi)@(wc+ws)
+        #   yr = m1 - m2, yi = m3 - m1 - m2
+        m1 = jnp.dot(xr, wc, precision=prec)
+        m2 = jnp.dot(xi, ws, precision=prec)
+        m3 = jnp.dot(xr + xi, wc + ws, precision=prec)
+        out_re.append(m1 - m2)
+        out_im.append(m3 - m1 - m2)
+    return (
+        jnp.concatenate(out_re, axis=-1),
+        jnp.concatenate(out_im, axis=-1),
+    )
+
+
+def _fft_stages_mxu(x_re, x_im, cos_ref, sin_ref, mask_ref, wc_ref, ws_ref, dif):
+    """Hybrid engine (see block comment above): valid for n >= 128,
+    revorder semantics only. Forward (dif=True): outer DIF roll-stages
+    then the group matmul; inverse: group matmul (inverse DFT matrix)
+    then outer DIT roll-stages."""
+    n = x_re.shape[-1]
+    stages = n.bit_length() - 1
+    inner = _MXU_INNER.bit_length() - 1  # 7
+    wc = wc_ref[:]
+    ws = ws_ref[:]
+    if dif:
+        for s in range(stages - 1, inner - 1, -1):
+            x_re, x_im = _dif_stage(
+                x_re, x_im,
+                cos_ref[s, :][None, :], sin_ref[s, :][None, :],
+                mask_ref[s, :][None, :], 1 << s, n,
+            )
+        x_re, x_im = _group_dft_matmul(x_re, x_im, wc, ws)
+    else:
+        x_re, x_im = _group_dft_matmul(x_re, x_im, wc, ws)
+        for s in range(inner, stages):
+            x_re, x_im = _dit_stage(
+                x_re, x_im,
+                cos_ref[s, :][None, :], sin_ref[s, :][None, :],
+                mask_ref[s, :][None, :], 1 << s, n,
+            )
+    return x_re, x_im
+
+
+def _resolve_engine(engine: str, n: int, ordering: str) -> str:
+    """'mxu' needs revorder semantics and n >= 128; silently fall back to
+    the roll engine otherwise ('auto' = mxu when eligible)."""
+    if engine not in ("roll", "mxu", "auto"):
+        raise ValueError(f"unknown FFT engine {engine!r}")
+    if engine == "roll":
+        return "roll"
+    eligible = ordering == "revorder" and n >= _MXU_INNER
+    if engine == "mxu" and not eligible:
+        return "roll"
+    return "mxu" if eligible else "roll"
+
+
+def _engine_tables(n: int, inverse: bool, engine: str):
+    """Numpy constant tables for the chosen engine, in the order
+    _run_stages expects: (cos, sin, mask[, wc, ws]). Callers append
+    matching whole-array VMEM BlockSpecs with their grid's index-map
+    arity."""
+    cos_np, sin_np = _twiddle_planes_np(n, inverse)
+    mask_np = _half_masks_np(n)
+    arrays = [cos_np, sin_np, mask_np]
+    if engine == "mxu":
+        wc_np, ws_np = _dft_planes_np(_MXU_INNER, inverse)
+        arrays += [wc_np, ws_np]
+    return arrays
+
+
+def _run_stages(x_re, x_im, tbls, dif):
+    """Dispatch to the roll or MXU-hybrid engine on table arity:
+    (cos, sin, mask) -> roll; (cos, sin, mask, wc, ws) -> hybrid."""
+    if len(tbls) == 5:
+        return _fft_stages_mxu(x_re, x_im, *tbls, dif)
+    return _fft_stages(x_re, x_im, *tbls, dif)
+
+
 def _fft_kernel(
-    re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_ref, mm_ref=None, *, dif
+    re_ref, im_ref, tbl_refs, ore_ref, oim_ref, mm_ref=None, *, dif
 ):
     x_re = re_ref[:]
     # real_input mode passes im_ref=None: the zero imaginary plane is
     # synthesized in-register instead of being written to / read from HBM.
     x_im = jnp.zeros_like(x_re) if im_ref is None else im_ref[:]
-    x_re, x_im = _fft_stages(x_re, x_im, cos_ref, sin_ref, mask_ref, dif)
+    x_re, x_im = _run_stages(x_re, x_im, tbl_refs, dif)
     ore_ref[:] = x_re
     # real_output mode passes oim_ref=None: callers that discard the
     # imaginary plane (the last inverse pass of a real restore) skip its
@@ -212,7 +341,8 @@ def _fft_cols_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_re
 
 
 def _fft_rows_transposed(
-    re, im, inverse, block_rows, interpret, ordering, packed_planes=False
+    re, im, inverse, block_rows, interpret, ordering, packed_planes=False,
+    engine="roll",
 ):
     """fft_rows_pallas with in-kernel transposed block writes:
     (..., M, N) -> (..., N, M). See fft_rows_pallas(transposed_output).
@@ -280,11 +410,13 @@ def _fft_rows_transposed(
             pk_re = re[0::2]
             pk_im = re[1::2]
             r, i = fft_rows_pallas(
-                pk_re, pk_im, inverse, block_rows, interpret, ordering
+                pk_re, pk_im, inverse, block_rows, interpret, ordering,
+                engine=engine,
             )
         else:
             r, i = fft_rows_pallas(
-                re, im, inverse, block_rows, interpret, ordering
+                re, im, inverse, block_rows, interpret, ordering,
+                engine=engine,
             )
         return jnp.swapaxes(r, -1, -2), jnp.swapaxes(i, -1, -2)
     pad = (-m) % rows
@@ -294,9 +426,8 @@ def _fft_rows_transposed(
             im3 = jnp.pad(im3, ((0, 0), (0, pad), (0, 0)))
     mt = re3.shape[1]
 
-    cos_np, sin_np = _twiddle_planes_np(n, inverse)
-    mask_np = _half_masks_np(n)
-    stages = cos_np.shape[0]
+    engine = _resolve_engine(engine, n, ordering)
+    tbl_arrays = _engine_tables(n, inverse, engine)
 
     if packed_planes:
         # two views of the SAME interleaved array: even planes = re,
@@ -323,9 +454,10 @@ def _fft_rows_transposed(
     out_spec = pl.BlockSpec(
         (1, n, rows), lambda pp, i: (pp, 0, i), memory_space=pltpu.VMEM
     )
-    tbl = pl.BlockSpec(
-        (stages, n), lambda pp, i: (0, 0), memory_space=pltpu.VMEM
-    )
+    tbl_specs = [
+        pl.BlockSpec(a.shape, lambda pp, i: (0, 0), memory_space=pltpu.VMEM)
+        for a in tbl_arrays
+    ]
 
     def body(*refs):
         ins, outs = refs[:-2], refs[-2:]
@@ -334,14 +466,14 @@ def _fft_rows_transposed(
             jnp.zeros_like(x_re) if real_input else ins[1].at[0][:]
         )
         tbls = ins[n_ins:]
-        x_re, x_im = _fft_stages(x_re, x_im, *tbls, dif)
+        x_re, x_im = _run_stages(x_re, x_im, tbls, dif)
         outs[0].at[0][:] = jnp.swapaxes(x_re, 0, 1)
         outs[1].at[0][:] = jnp.swapaxes(x_im, 0, 1)
 
     out_re, out_im = pl.pallas_call(
         body,
         grid=(p, mt // rows),
-        in_specs=in_specs_data + [tbl, tbl, tbl],
+        in_specs=in_specs_data + tbl_specs,
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((p, n, mt), jnp.float32),
@@ -351,7 +483,7 @@ def _fft_rows_transposed(
         interpret=(
             jax.default_backend() == "cpu" if interpret is None else interpret
         ),
-    )(*operands, jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(mask_np))
+    )(*operands, *[jnp.asarray(a) for a in tbl_arrays])
 
     if pad:
         out_re = out_re[..., :m]
@@ -370,6 +502,7 @@ def fft_rows_packed_out(
     interpret: bool | None = None,
     ordering: str = "natural",
     emit_minmax: bool = False,
+    engine: str = "roll",
 ):
     """Row FFT of (P, M, N) SoA planes that writes ONE (2P, M, N) output
     with re at plane 2p and im at plane 2p+1 — i.e. the channel-unpack
@@ -402,9 +535,8 @@ def fft_rows_packed_out(
         )
     bpp = m // rows  # blocks per plane
 
-    cos_np, sin_np = _twiddle_planes_np(n, inverse)
-    mask_np = _half_masks_np(n)
-    stages = cos_np.shape[0]
+    engine = _resolve_engine(engine, n, ordering)
+    tbl_arrays = _engine_tables(n, inverse, engine)
 
     in_spec = pl.BlockSpec(
         (1, rows, n), lambda pp, i: (pp, i, 0), memory_space=pltpu.VMEM
@@ -412,9 +544,10 @@ def fft_rows_packed_out(
     out_spec = pl.BlockSpec(
         (2, rows, n), lambda pp, i: (pp, i, 0), memory_space=pltpu.VMEM
     )
-    tbl = pl.BlockSpec(
-        (stages, n), lambda pp, i: (0, 0), memory_space=pltpu.VMEM
-    )
+    tbl_specs = [
+        pl.BlockSpec(a.shape, lambda pp, i: (0, 0), memory_space=pltpu.VMEM)
+        for a in tbl_arrays
+    ]
     out_specs = [out_spec]
     out_shape = [jax.ShapeDtypeStruct((2 * p, m, n), jnp.float32)]
     n_blocks = p * bpp
@@ -426,14 +559,16 @@ def fft_rows_packed_out(
         )
         out_shape.append(jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32))
 
+    n_tbl = len(tbl_arrays)
+
     def body(*refs):
-        if emit_minmax:
-            re_ref, im_ref, c_ref, s_ref, m_ref, o_ref, mm_ref = refs
-        else:
-            re_ref, im_ref, c_ref, s_ref, m_ref, o_ref = refs
+        re_ref, im_ref = refs[0], refs[1]
+        tbls = refs[2 : 2 + n_tbl]
+        o_ref = refs[2 + n_tbl]
+        mm_ref = refs[3 + n_tbl] if emit_minmax else None
         x_re = re_ref.at[0][:]
         x_im = im_ref.at[0][:]
-        x_re, x_im = _fft_stages(x_re, x_im, c_ref, s_ref, m_ref, dif)
+        x_re, x_im = _run_stages(x_re, x_im, tbls, dif)
         o_ref.at[0][:] = x_re
         o_ref.at[1][:] = x_im
         if emit_minmax:
@@ -446,12 +581,12 @@ def fft_rows_packed_out(
     out = pl.pallas_call(
         body,
         grid=(p, bpp),
-        in_specs=[in_spec, in_spec, tbl, tbl, tbl],
+        in_specs=[in_spec, in_spec] + tbl_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
-    )(re, im, jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(mask_np))
+    )(re, im, *[jnp.asarray(a) for a in tbl_arrays])
     if emit_minmax:
         return out[0], out[1]
     return out[0]
@@ -549,6 +684,7 @@ def fft_rows_pallas(
     emit_minmax: bool = False,
     transposed_output: bool = False,
     packed_planes: bool = False,
+    engine: str = "roll",
 ):
     """1D DFT over the last axis of (..., N) SoA planes, N a power of two
     >= 2. Unscaled inverse. Rows are tiled over the grid; each tile runs
@@ -612,7 +748,7 @@ def fft_rows_pallas(
             raise ValueError("transposed_output needs ndim >= 2")
         return _fft_rows_transposed(
             re, im, inverse, block_rows, interpret, ordering,
-            packed_planes=packed_planes,
+            packed_planes=packed_planes, engine=engine,
         )
     batch = int(np.prod(orig_shape[:-1])) if len(orig_shape) > 1 else 1
     re2 = re.reshape(batch, n)
@@ -645,9 +781,8 @@ def fft_rows_pallas(
         if im2 is not None:
             im2 = _bit_reverse_last_axis(im2)
 
-    cos_np, sin_np = _twiddle_planes_np(n, inverse)
-    mask_np = _half_masks_np(n)
-    stages = cos_np.shape[0]
+    engine = _resolve_engine(engine, n, ordering)
+    tbl_arrays = _engine_tables(n, inverse, engine)
 
     import functools as _ft
 
@@ -655,15 +790,16 @@ def fft_rows_pallas(
     row_spec = pl.BlockSpec(
         (rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    const_spec = pl.BlockSpec(
-        (stages, n), lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
+    tbl_specs = [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for a in tbl_arrays
+    ]
     kernel = _ft.partial(_fft_kernel, dif=dif)
     if real_input:
-        in_specs = [row_spec, const_spec, const_spec, const_spec]
+        in_specs = [row_spec] + tbl_specs
         operands = (re2,)
     else:
-        in_specs = [row_spec, row_spec, const_spec, const_spec, const_spec]
+        in_specs = [row_spec, row_spec] + tbl_specs
         operands = (re2, im2)
 
     if real_output:
@@ -699,7 +835,7 @@ def fft_rows_pallas(
         ore_ref = outs[0]
         oim_ref = None if real_output else outs[1]
         mm_ref = outs[2] if emit_minmax else None
-        kernel(re_ref, im_ref, *tbls, ore_ref, oim_ref, mm_ref)
+        kernel(re_ref, im_ref, tbls, ore_ref, oim_ref, mm_ref)
 
     out = pl.pallas_call(
         body,
@@ -709,7 +845,7 @@ def fft_rows_pallas(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
-    )(*operands, jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(mask_np))
+    )(*operands, *[jnp.asarray(a) for a in tbl_arrays])
     out_re = out[0]
     out_im = None if real_output else out[1]
 

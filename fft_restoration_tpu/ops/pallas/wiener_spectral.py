@@ -40,7 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 from fft_restoration_tpu.ops.pallas.fft_kernel import (
     _dif_stage,
     _dit_stage,
+    _engine_tables,
     _half_masks_np,
+    _resolve_engine,
+    _run_stages,
     _twiddle_planes_np,
 )
 
@@ -107,6 +110,7 @@ def fwd_wiener_rows_pallas(
     K,
     block_rows: int = 256,
     interpret: bool | None = None,
+    engine: str = "roll",
 ) -> SoA:
     """wiener(rowFFT_revorder(A), H): the second forward pass fused with
     the elementwise filter, skipping one HBM round trip of the image
@@ -138,25 +142,27 @@ def fwd_wiener_rows_pallas(
         hi = jnp.pad(hi, ((0, pad), (0, 0)))
     mt = ar.shape[1]
 
-    cf, sf = _twiddle_planes_np(n, False)
-    mask = _half_masks_np(n)
-    stages = cf.shape[0]
+    # revorder semantics throughout this kernel family; 'mxu' swaps the
+    # inner 7 DIF stages for the per-group DFT matmul (fft_kernel.py)
+    engine = _resolve_engine(engine, n, "revorder")
+    tbl_arrays = _engine_tables(n, False, engine)
+    n_tbl = len(tbl_arrays)
 
     a_spec = pl.BlockSpec((1, rows, n), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((rows, n), lambda c, i: (i, 0), memory_space=pltpu.VMEM)
-    tbl = pl.BlockSpec((stages, n), lambda c, i: (0, 0), memory_space=pltpu.VMEM)
+    tbl_specs = [
+        pl.BlockSpec(a.shape, lambda c, i: (0, 0), memory_space=pltpu.VMEM)
+        for a in tbl_arrays
+    ]
     k_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    def kernel(k_ref, are, aim, hre, him, cfr, sfr, mr, fre, fim):
+    def kernel(*refs):
+        k_ref, are, aim, hre, him = refs[:5]
+        tbls = refs[5 : 5 + n_tbl]
+        fre, fim = refs[5 + n_tbl :]
         x_re = are.at[0][:]
         x_im = aim.at[0][:]
-        for s in range(stages - 1, -1, -1):
-            half = 1 << s
-            x_re, x_im = _dif_stage(
-                x_re, x_im,
-                cfr[s, :][None, :], sfr[s, :][None, :], mr[s, :][None, :],
-                half, n,
-            )
+        x_re, x_im = _run_stages(x_re, x_im, tbls, dif=True)
         hrb = hre[:]
         hib = him[:]
         inv = 1.0 / (hrb * hrb + hib * hib + k_ref[0])
@@ -166,7 +172,7 @@ def fwd_wiener_rows_pallas(
     f_re, f_im = pl.pallas_call(
         kernel,
         grid=(chans, mt // rows),
-        in_specs=[k_spec, a_spec, a_spec, h_spec, h_spec, tbl, tbl, tbl],
+        in_specs=[k_spec, a_spec, a_spec, h_spec, h_spec] + tbl_specs,
         out_specs=[a_spec, a_spec],
         out_shape=[
             jax.ShapeDtypeStruct((chans, mt, n), jnp.float32),
@@ -177,7 +183,7 @@ def fwd_wiener_rows_pallas(
     )(
         jnp.asarray([K], jnp.float32),
         ar, ai, hr, hi,
-        jnp.asarray(cf), jnp.asarray(sf), jnp.asarray(mask),
+        *[jnp.asarray(a) for a in tbl_arrays],
     )
     if pad:
         f_re = f_re[:, :m]

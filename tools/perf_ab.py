@@ -16,12 +16,15 @@ Experiments:
   twrite     — in-kernel transposed writes vs kernel + XLA transpose
   megakernel — fused fwd+filter+inv middle at several block sizes
   radix4     — radix-4 vs radix-2 forward pass
+  engine     — MXU-hybrid FFT engine (outer rolls + per-group DFT-128
+               matmul) vs the all-roll engine, full fused pipeline
   all        — everything
 
 Usage: python tools/perf_ab.py [select realout donate twrite megakernel radix4 | all]
 """
 
-EXPERIMENTS = {"select", "realout", "donate", "twrite", "megakernel", "radix4"}
+EXPERIMENTS = {"select", "realout", "donate", "twrite", "megakernel",
+               "radix4", "engine"}
 
 import functools
 import os
@@ -98,7 +101,7 @@ def main():
     img = jax.device_put(jnp.asarray(rng.random((H, W, 3), np.float32)))
     ang, k = jnp.float32(30.0), jnp.float32(0.01)
 
-    def pallas_pipe(**kw):
+    def pallas_pipe(fft_engine="mxu", **kw):
         return jax.jit(
             functools.partial(
                 _restore_core,
@@ -106,6 +109,7 @@ def main():
                 fft_backend="pallas",
                 filter_name="wiener",
                 white_balance=True,
+                fft_engine=fft_engine,
             ),
             **kw,
         )
@@ -121,6 +125,16 @@ def main():
         return hb, rep.device_total_ms
 
     results = {}
+
+    if "engine" in which:
+        mxu = compile_guarded(lambda: pallas_pipe(fft_engine="mxu"))
+        roll = compile_guarded(lambda: pallas_pipe(fft_engine="roll"))
+        out_m = np.asarray(mxu(img, ang, k)[0])
+        out_r = np.asarray(roll(img, ang, k)[0])
+        diff = np.max(np.abs(out_m.astype(np.int32) - out_r.astype(np.int32)))
+        print(f"engine parity (uint8 max abs diff mxu vs roll): {diff}")
+        results["mxu"] = measure("pallas engine=mxu (hybrid MXU)", mxu, (img, ang, k))
+        results["roll"] = measure("pallas engine=roll (all-roll)", roll, (img, ang, k))
 
     if "select" in which or "realout" in which:
         new = compile_guarded(lambda: pallas_pipe())
