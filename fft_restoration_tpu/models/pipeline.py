@@ -228,13 +228,27 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None, engine="mx
     # residency, so the image's unfiltered 2D spectrum never round-trips
     # HBM. (The FULLY fused fwd+filter+inv megakernel spills VMEM and
     # loses — measured notes in ops/pallas/wiener_spectral.py.)
-    F = fwd_wiener_rows_pallas((a_re, a_im), H, K, engine=engine)
-    # inverse col pass with transposed writes: back to natural
-    # orientation with zero XLA transpose passes in the whole restore
-    r_re, r_im = fft_rows_pallas(
-        F[0], F[1], True, ordering="revorder", transposed_output=True,
-        engine=engine,
+    # Fully fused middle (one kernel: col-FFT + Wiener + col-IFFT with
+    # transposed writes) — the filtered 2D spectrum never touches HBM.
+    # Viable since the MXU engine shrank the stage body (measured A/B in
+    # docs/PERF.md); wiener_spectral_rows_t returns None where its
+    # alignment constraints don't hold, falling back to the half-fused
+    # pair.
+    from fft_restoration_tpu.ops.pallas.wiener_spectral import (
+        wiener_spectral_rows_t,
     )
+
+    r = wiener_spectral_rows_t((a_re, a_im), H, K, engine=engine)
+    if r is not None:
+        r_re, r_im = r
+    else:
+        F = fwd_wiener_rows_pallas((a_re, a_im), H, K, engine=engine)
+        # inverse col pass with transposed writes: back to natural
+        # orientation with zero XLA transpose passes in the whole restore
+        r_re, r_im = fft_rows_pallas(
+            F[0], F[1], True, ordering="revorder", transposed_output=True,
+            engine=engine,
+        )
     if packed:
         # emit per-block min/max partials from the final kernel while its
         # outputs are VMEM-resident — the normalize below then skips a

@@ -263,3 +263,114 @@ def wiener_spectral_rows_pallas(
         out_re = out_re[:batch]
         out_im = out_im[:batch]
     return out_re.reshape(lead), out_im.reshape(lead)
+
+
+def wiener_spectral_rows_t(
+    A: SoA,
+    H: SoA,
+    K,
+    block_rows: int = 128,
+    interpret: bool | None = None,
+    engine: str = "mxu",
+) -> SoA:
+    """Full fused middle with TRANSPOSED block writes:
+    colIFFT(wiener(colFFT(A), H)) -> (..., N, M).
+
+    One kernel replaces the fwd_wiener + inverse-T-write pair of the
+    fused pipeline: the filtered 2D spectrum never round-trips HBM at
+    all. Viable with the MXU engine because the body shrinks from 22
+    unrolled roll-stages (which spilled VMEM — module docstring) to
+    2*(log2(N)-7) roll-stages + two per-group DFT matmuls.
+
+    A: (..., M, N) row-FFT'd planes, transposed orientation, revorder/
+       hybrid spectrum pending along the last axis; H: (M, N) PSF
+       spectrum in matching layout. Output is spatial-domain (..., N, M),
+       ready for the final row IFFT.
+
+    Returns None-able: falls back (returns None) when the transposed
+    store's alignment constraints can't be met — callers then use the
+    unfused pair."""
+    a_re, a_im = A
+    h_re, h_im = H
+    lead = a_re.shape
+    n = lead[-1]
+    m = lead[-2]
+    if n & (n - 1):
+        raise ValueError(f"power-of-two length required, got {n}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # the transposed OUT block's lane dim is `rows`: 128-aligned blocks,
+    # and n itself 128-aligned on hardware (fft_kernel.py constraints)
+    if (not interpret and n % 128) or m % 128:
+        return None
+    chans = int(np.prod(lead[:-2])) if len(lead) > 2 else 1
+    ar = a_re.reshape(chans, m, n)
+    ai = a_im.reshape(chans, m, n)
+    hr = h_re.reshape(m, n)
+    hi = h_im.reshape(m, n)
+
+    # ~16 live (rows, n) planes through the fused body + transposed
+    # staging copies
+    max_rows = max(128, ((24 << 20) // (n * 4 * 16)) // 128 * 128)
+    rows = min(block_rows // 128 * 128, max_rows)
+    if rows == 0 or m % rows:
+        single = -(-m // 128) * 128
+        if single == m and single <= max_rows:
+            rows = single
+        else:
+            return None
+
+    engine = _resolve_engine(engine, n, "revorder")
+    fwd_tbls = _engine_tables(n, False, engine)
+    inv_tbls = _engine_tables(n, True, engine)
+    # mask plane is shared; drop the duplicate from the inverse set
+    inv_tbls = [inv_tbls[0], inv_tbls[1]] + inv_tbls[3:]
+    n_fwd = len(fwd_tbls)
+    n_inv = len(inv_tbls)
+
+    a_spec = pl.BlockSpec((1, rows, n), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((rows, n), lambda c, i: (i, 0), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, n, rows), lambda c, i: (c, 0, i), memory_space=pltpu.VMEM)
+    tbl_specs = [
+        pl.BlockSpec(a.shape, lambda c, i: (0, 0), memory_space=pltpu.VMEM)
+        for a in fwd_tbls + inv_tbls
+    ]
+    k_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def kernel(*refs):
+        k_ref, are, aim, hre, him = refs[:5]
+        ftbls = refs[5 : 5 + n_fwd]
+        itbls_raw = refs[5 + n_fwd : 5 + n_fwd + n_inv]
+        # re-insert the shared mask plane: (cos_i, sin_i, mask[, wc_i, ws_i])
+        itbls = (itbls_raw[0], itbls_raw[1], ftbls[2]) + tuple(itbls_raw[2:])
+        ore, oim = refs[5 + n_fwd + n_inv :]
+        x_re = are.at[0][:]
+        x_im = aim.at[0][:]
+        x_re, x_im = _run_stages(x_re, x_im, ftbls, dif=True)
+        hrb = hre[:]
+        hib = him[:]
+        inv = 1.0 / (hrb * hrb + hib * hib + k_ref[0])
+        f_re = (x_re * hrb + x_im * hib) * inv
+        f_im = (x_im * hrb - x_re * hib) * inv
+        x_re, x_im = _run_stages(f_re, f_im, itbls, dif=False)
+        ore.at[0][:] = jnp.swapaxes(x_re, 0, 1)
+        oim.at[0][:] = jnp.swapaxes(x_im, 0, 1)
+
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(chans, m // rows),
+        in_specs=[k_spec, a_spec, a_spec, h_spec, h_spec] + tbl_specs,
+        out_specs=[o_spec, o_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((chans, n, m), jnp.float32),
+            jax.ShapeDtypeStruct((chans, n, m), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(
+        jnp.asarray([K], jnp.float32),
+        ar, ai, hr, hi,
+        *[jnp.asarray(a) for a in fwd_tbls + inv_tbls],
+    )
+    return out_re.reshape(lead[:-2] + (n, m)), out_im.reshape(lead[:-2] + (n, m))

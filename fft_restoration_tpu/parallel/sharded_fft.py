@@ -49,7 +49,10 @@ def _reshard_cols_to_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     )
 
 
-def _fft_true(re, im, inverse: bool, backend: str, true_n: int | None) -> SoA:
+def _fft_true(
+    re, im, inverse: bool, backend: str, true_n: int | None,
+    conv_layout: bool = False, engine: str = "mxu",
+) -> SoA:
     """1D DFT over the last axis at its TRUE length.
 
     Non-power-of-two meshes pad the global dims to device-count
@@ -57,11 +60,30 @@ def _fft_true(re, im, inverse: bool, backend: str, true_n: int | None) -> SoA:
     still run at the pow2 extent to preserve oracle parity. The trailing
     layout padding is sliced off before the transform and zero-refilled
     after (zeros in = zeros out for the padded rows, so the pad region
-    stays zero through the whole restore)."""
+    stays zero through the whole restore).
+
+    conv_layout=True (the _conv_fwd/_conv_inv callers, whose spectra
+    only ever feed order-agnostic elementwise filters): the pallas
+    backend runs revorder + the MXU-hybrid engine — no bit-reversal
+    passes and matmul butterflies, exactly like the single-chip fused
+    path (≙ the reference's mpi_simd mode reusing the simd row kernels,
+    fft_mpi_simd.cpp:471-629)."""
+
+    def one(r, i):
+        if conv_layout and backend == "pallas":
+            from fft_restoration_tpu.ops.pallas.fft_kernel import (
+                fft_rows_pallas,
+            )
+
+            return fft_rows_pallas(
+                r, i, inverse, ordering="revorder", engine=engine
+            )
+        return fft1d(r, i, inverse, backend)
+
     n_pad = re.shape[-1]
     if true_n is None or true_n == n_pad:
-        return fft1d(re, im, inverse, backend)
-    re_t, im_t = fft1d(re[..., :true_n], im[..., :true_n], inverse, backend)
+        return one(re, im)
+    re_t, im_t = one(re[..., :true_n], im[..., :true_n])
     pad = [(0, 0)] * (re.ndim - 1) + [(0, n_pad - true_n)]
     return jnp.pad(re_t, pad), jnp.pad(im_t, pad)
 
@@ -90,12 +112,12 @@ def sharded_fft2d_conv_fwd(
     true_w/true_h: logical (pow2) extents when the global layout is
     padded for a non-power-of-two mesh (see _fft_true).
     """
-    re, im = _fft_true(re, im, False, backend, true_w)
+    re, im = _fft_true(re, im, False, backend, true_w, conv_layout=True)
     re = _reshard_rows_to_cols(re, axis_name)
     im = _reshard_rows_to_cols(im, axis_name)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
-    return _fft_true(re, im, False, backend, true_h)
+    return _fft_true(re, im, False, backend, true_h, conv_layout=True)
 
 
 def sharded_fft2d_conv_inv(
@@ -108,12 +130,12 @@ def sharded_fft2d_conv_inv(
 ) -> SoA:
     """Inverse of sharded_fft2d_conv_fwd: spectrum block (..., W/D, H)
     -> spatial block (..., H/D, W), unscaled. One all_to_all."""
-    re, im = _fft_true(re, im, True, backend, true_h)
+    re, im = _fft_true(re, im, True, backend, true_h, conv_layout=True)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
     re = _reshard_cols_to_rows(re, axis_name)
     im = _reshard_cols_to_rows(im, axis_name)
-    return _fft_true(re, im, True, backend, true_w)
+    return _fft_true(re, im, True, backend, true_w, conv_layout=True)
 
 
 def sharded_fft2d(

@@ -24,7 +24,7 @@ Usage: python tools/perf_ab.py [select realout donate twrite megakernel radix4 |
 """
 
 EXPERIMENTS = {"select", "realout", "donate", "twrite", "megakernel",
-               "radix4", "engine"}
+               "radix4", "engine", "megamxu"}
 
 import functools
 import os
@@ -125,6 +125,27 @@ def main():
         return hb, rep.device_total_ms
 
     results = {}
+
+    if "megamxu" in which:
+        import fft_restoration_tpu.ops.pallas.wiener_spectral as ws
+
+        fused = compile_guarded(lambda: pallas_pipe())
+        out_f = np.asarray(fused(img, ang, k)[0])
+        real_t = ws.wiener_spectral_rows_t
+        ws.wiener_spectral_rows_t = lambda *a, **kw: None  # force fallback
+        try:
+            pair = compile_guarded(lambda: pallas_pipe())
+            out_p = np.asarray(pair(img, ang, k)[0])
+            diff = np.max(np.abs(out_f.astype(np.int32) - out_p.astype(np.int32)))
+            print(f"megamxu parity (uint8 max abs diff): {diff}")
+            results["fusedmid"] = measure(
+                "fused middle (one megakernel)", fused, (img, ang, k)
+            )
+            results["pairmid"] = measure(
+                "half-fused pair (fwd_wiener + invT)", pair, (img, ang, k)
+            )
+        finally:
+            ws.wiener_spectral_rows_t = real_t
 
     if "engine" in which:
         mxu = compile_guarded(lambda: pallas_pipe(fft_engine="mxu"))
