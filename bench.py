@@ -121,7 +121,9 @@ def main():
     _enable_compile_cache()
 
     rng = np.random.default_rng(0)
-    img = rng.random((H, W, 3)).astype(np.float32)
+    # uint8 frame: the production ingest contract (restore() ships uint8
+    # and converts on-device after the channel de-interleave)
+    img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
 
     x = jax.device_put(jnp.asarray(img))
     ang = jnp.float32(PSF_ANGLE)
