@@ -154,10 +154,14 @@ def _run_batch(args) -> int:
     paths = sorted(
         os.path.join(args.img_path, f)
         for f in os.listdir(args.img_path)
-        if f.lower().endswith((".png", ".jpg", ".jpeg")) and "_restored" not in f
+        if f.lower().endswith(
+            (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".pgm", ".pnm",
+             ".pbm", ".tif", ".tiff")
+        )
+        and "_restored" not in f
     )
     if not paths:
-        print(f"[Error] no PNG/JPEG files in {args.img_path!r}")
+        print(f"[Error] no image files in {args.img_path!r}")
         return 1
     out_dir = args.output or args.img_path
     os.makedirs(out_dir, exist_ok=True)

@@ -121,7 +121,7 @@ def test_cli_empty_directory(tmp_path):
     d.mkdir()
     r = _run([str(d), "5", "30"])
     assert r.returncode == 1
-    assert "no PNG/JPEG files" in r.stdout
+    assert "no image files" in r.stdout
 
 
 def test_cli_batch_sharded_2d_mesh(tmp_path):
