@@ -356,9 +356,9 @@ def main(argv=None) -> int:
     else:
         if args.fft_backend == "pallas" and args.filter != "wiener":
             print(
-                f"[INFO] --filter {args.filter} has no fused pallas fast "
-                f"path; using the generic natural-ordering pallas kernels "
-                f"(slower than --filter wiener's revorder path)"
+                f"[INFO] --filter {args.filter} runs the revorder pallas "
+                f"path with an unfused elementwise filter (wiener "
+                f"additionally fuses the spectral middle into one kernel)"
             )
         if args.mode == "jit":
             from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline

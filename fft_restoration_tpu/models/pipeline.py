@@ -114,15 +114,14 @@ def restore_planes(
             # kernels' sub-tile lane slices on hardware, and the MXU
             # four-step is faster at these sizes anyway
             fft_backend = "matmul"
-    # NOTE perf cliff: the revorder fast path (no bit-reversal passes,
-    # half-fused fwd+filter kernel) exists only for the Wiener filter.
-    # `--fft-backend pallas` with --filter cls/inverse takes the generic
-    # natural-ordering pallas path below — correct, but with 2 extra
-    # permutation passes per transform round trip (the CLI prints an
-    # [INFO] notice for this combination).
-    if fft_backend == "pallas" and filter_name == "wiener":
+    if fft_backend == "pallas":
+        # every filter in the family is elementwise in the frequency
+        # domain, so the revorder fast path (zero permutation passes,
+        # transposed-write kernels, MXU engine) serves them all; wiener
+        # additionally gets the fused spectral-middle kernel
         return _restore_planes_pallas_fused(
-            channels, psf_pad, K, psf_rows, engine=fft_engine
+            channels, psf_pad, K, psf_rows, engine=fft_engine,
+            filter_name=filter_name,
         )
     if channels.ndim >= 3 and channels.shape[-3] >= 2:
         c = channels.shape[-3]
@@ -142,7 +141,21 @@ def restore_planes(
     return _minmax_normalize(restored)
 
 
-def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None, engine="mxu"):
+def _spectral_megakernel_profitable(m: int, n: int) -> bool:
+    """Shape gate for the fused spectral middle (wiener_spectral_rows_t).
+
+    Measured (docs/PERF.md): the one-kernel middle wins only where its
+    128-row transposed-write blocks keep the MXU busy AND the body fits
+    VMEM — at 2048^2 it is ~even with the half-fused pair; at n=4096 it
+    spills (UHD regressed 18.6 -> 36 ms device), and on small frames /
+    batched stacks its per-block overhead loses (batch64 1.76 -> 2.69).
+    Gate to the shapes where it measured >= even."""
+    return n == 2048 and m >= 1024
+
+
+def _restore_planes_pallas_fused(
+    channels, psf_pad, K, psf_rows=None, engine="mxu", filter_name="wiener"
+):
     """Pallas fast path: revorder (DIF fwd / DIT inv, zero bit-reversal
     passes) row-FFT kernels + fused Wiener kernel, with the filter
     applied in the TRANSPOSED, bit-reversed-spectrum orientation so each
@@ -240,13 +253,45 @@ def _restore_planes_pallas_fused(channels, psf_pad, K, psf_rows=None, engine="mx
         wiener_spectral_rows_t,
     )
 
-    r = wiener_spectral_rows_t((a_re, a_im), H, K, engine=engine)
+    if filter_name == "wiener" and _spectral_megakernel_profitable(
+        a_re.shape[-2], a_re.shape[-1]
+    ):
+        r = wiener_spectral_rows_t((a_re, a_im), H, K, engine=engine)
+    else:
+        r = None
     if r is not None:
         r_re, r_im = r
-    else:
+    elif filter_name == "wiener":
         F = fwd_wiener_rows_pallas((a_re, a_im), H, K, engine=engine)
         # inverse col pass with transposed writes: back to natural
         # orientation with zero XLA transpose passes in the whole restore
+        r_re, r_im = fft_rows_pallas(
+            F[0], F[1], True, ordering="revorder", transposed_output=True,
+            engine=engine,
+        )
+    else:
+        # inverse / cls: same revorder plumbing, elementwise filter in
+        # the transposed hybrid-spectrum orientation (order-agnostic);
+        # the CLS Laplacian spectrum rides the same forward path so its
+        # ordering matches H and G
+        from fft_restoration_tpu.ops.wiener import cls_filter, inverse_filter
+
+        g_re, g_im = fft_rows_pallas(
+            a_re, a_im, False, ordering="revorder", engine=engine
+        )
+        if filter_name == "inverse":
+            F = inverse_filter((g_re, g_im), H)
+        elif filter_name == "cls":
+            lap = jnp.zeros((hp, wp), jnp.float32)
+            lap = lap.at[0, 0].set(4.0)
+            lap = lap.at[0, 1].set(-1.0)
+            lap = lap.at[1, 0].set(-1.0)
+            lap = lap.at[0, -1].set(-1.0)
+            lap = lap.at[-1, 0].set(-1.0)
+            P = fwd2d_t(lap)
+            F = cls_filter((g_re, g_im), H, P, K)
+        else:
+            raise ValueError(f"unknown filter {filter_name!r}")
         r_re, r_im = fft_rows_pallas(
             F[0], F[1], True, ordering="revorder", transposed_output=True,
             engine=engine,

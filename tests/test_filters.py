@@ -67,3 +67,23 @@ def test_sharded_profile_phases(rng):
     report = prof.report()
     for phase in ("FFT Image", "FFT PSF", "Wiener Filter", "IFFT"):
         assert phase in report
+
+
+@pytest.mark.parametrize("filter_name", ["inverse", "cls"])
+def test_pallas_fused_path_serves_all_filters(rng, filter_name):
+    """The revorder pallas path is no longer wiener-only: inverse/cls
+    run the same transposed-write kernels with an unfused elementwise
+    filter, and must match the generic matmul backend."""
+    from fft_restoration_tpu.models.pipeline import restore_planes
+
+    chans = jnp.asarray(rng.random((3, 128, 256), np.float32))
+    psf = jnp.asarray(rng.random((9, 9), np.float32) / 81.0)
+    got = np.asarray(
+        restore_planes(chans, psf, 0.01, fft_backend="pallas",
+                       filter_name=filter_name)
+    )
+    want = np.asarray(
+        restore_planes(chans, psf, 0.01, fft_backend="matmul",
+                       filter_name=filter_name)
+    )
+    assert np.abs(got - want).max() < 1e-3, np.abs(got - want).max()
