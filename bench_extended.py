@@ -149,4 +149,5 @@ def main(backend="matmul"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "matmul")
+    # flagship backend by default; pass 'matmul' etc. to override
+    main(sys.argv[1] if len(sys.argv) > 1 else "pallas")

@@ -50,6 +50,7 @@ def _batched_core(
         K,
         fft_backend=fft_backend,
         filter_name=filter_name,
+        img_rows=h,
     ).reshape(b, 3, hp, wp)
     return restored[..., :h, :w]
 

@@ -93,6 +93,7 @@ def restore_planes(
     fft_backend: str = "radix2",
     filter_name: str = "wiener",
     fft_engine: str = "mxu",
+    img_rows: int | None = None,
 ) -> jnp.ndarray:
     """Restore (..., Hp, Wp) power-of-two planes with a (S, S) PSF.
 
@@ -106,6 +107,8 @@ def restore_planes(
     hp, wp = channels.shape[-2:]
     psf_rows = psf.shape[-2]  # only these rows of psf_pad are nonzero
     psf_pad = _pad2d(psf, hp, wp)
+    if img_rows is not None and not (0 < img_rows <= hp):
+        raise ValueError(f"img_rows {img_rows} outside (0, {hp}]")
     if fft_backend == "pallas" and min(hp, wp) < 128:
         import jax as _jax
 
@@ -121,7 +124,7 @@ def restore_planes(
         # additionally gets the fused spectral-middle kernel
         return _restore_planes_pallas_fused(
             channels, psf_pad, K, psf_rows, engine=fft_engine,
-            filter_name=filter_name,
+            filter_name=filter_name, img_rows=img_rows,
         )
     if channels.ndim >= 3 and channels.shape[-3] >= 2:
         c = channels.shape[-3]
@@ -144,17 +147,17 @@ def restore_planes(
 def _spectral_megakernel_profitable(m: int, n: int) -> bool:
     """Shape gate for the fused spectral middle (wiener_spectral_rows_t).
 
-    Measured (docs/PERF.md): the one-kernel middle wins only where its
-    128-row transposed-write blocks keep the MXU busy AND the body fits
-    VMEM — at 2048^2 it is ~even with the half-fused pair; at n=4096 it
-    spills (UHD regressed 18.6 -> 36 ms device), and on small frames /
-    batched stacks its per-block overhead loses (batch64 1.76 -> 2.69).
-    Gate to the shapes where it measured >= even."""
-    return n == 2048 and m >= 1024
+    Per-config same-process A/B (docs/PERF.md): the one-kernel middle is
+    even-to-slightly-better than the half-fused pair at every
+    single-frame config (2048² −0.03 ms, cat n=1024 −0.014, car n=512
+    −0.001, UHD n=4096 −0.062) and a hair worse on small batched stacks
+    (batch64 n=256: +0.024 ms). Gate to n >= 512 where it never loses."""
+    return n >= 512
 
 
 def _restore_planes_pallas_fused(
-    channels, psf_pad, K, psf_rows=None, engine="mxu", filter_name="wiener"
+    channels, psf_pad, K, psf_rows=None, engine="mxu", filter_name="wiener",
+    img_rows=None,
 ):
     """Pallas fast path: revorder (DIF fwd / DIT inv, zero bit-reversal
     passes) row-FFT kernels + fused Wiener kernel, with the filter
@@ -169,6 +172,12 @@ def _restore_planes_pallas_fused(
     XLA's transposes + lane-axis kernels win. Kept as an op for
     workloads where the transpose dominates.
     """
+    # Live-row slicing of the image's first pass pays an extra lane-axis
+    # pad copy over the transposed planes; measured net-positive only
+    # when a substantial fraction of rows is padding (UHD 2160/4096 wins
+    # ~1%, cat 782/1024 loses ~1% — docs/PERF.md). Gate at 60%.
+    if img_rows is not None and img_rows > 0.6 * channels.shape[-2]:
+        img_rows = None
     from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
     from fft_restoration_tpu.ops.pallas.wiener_spectral import (
         fwd_wiener_rows_pallas,
@@ -218,26 +227,62 @@ def _restore_planes_pallas_fused(
                     [channels, jnp.zeros_like(channels[:1])], axis=0
                 )
             )
-            a_re, a_im = fft_rows_pallas(
-                pk,
-                None,
-                False,
-                ordering="revorder",
-                transposed_output=True,
-                packed_planes=True,
-                engine=engine,
-            )
+            # img_rows: like the PSF's live-row slice, the rows beyond
+            # the original image height are all-zero padding — transform
+            # only the live rows and zero-refill the transposed lane
+            # axis (UHD pads 2160 -> 4096: −47% of this pass)
+            if img_rows is not None and img_rows < pk.shape[-2]:
+                live = pk[..., :img_rows, :]
+                lre, lim = fft_rows_pallas(
+                    live, None, False, ordering="revorder",
+                    transposed_output=True, packed_planes=True, engine=engine,
+                )
+                padw = [(0, 0)] * (lre.ndim - 1) + [
+                    (0, pk.shape[-2] - img_rows)
+                ]
+                a_re, a_im = jnp.pad(lre, padw), jnp.pad(lim, padw)
+            else:
+                a_re, a_im = fft_rows_pallas(
+                    pk,
+                    None,
+                    False,
+                    ordering="revorder",
+                    transposed_output=True,
+                    packed_planes=True,
+                    engine=engine,
+                )
         else:
             a_re, a_im = _pack_channel_pairs(channels)
-            a_re, a_im = fft_rows_pallas(
-                a_re, a_im, False, ordering="revorder", transposed_output=True,
-                engine=engine,
-            )
+            if img_rows is not None and img_rows < a_re.shape[-2]:
+                lre, lim = fft_rows_pallas(
+                    a_re[..., :img_rows, :], a_im[..., :img_rows, :],
+                    False, ordering="revorder", transposed_output=True,
+                    engine=engine,
+                )
+                padw = [(0, 0)] * (lre.ndim - 1) + [
+                    (0, a_re.shape[-2] - img_rows)
+                ]
+                a_re, a_im = jnp.pad(lre, padw), jnp.pad(lim, padw)
+            else:
+                a_re, a_im = fft_rows_pallas(
+                    a_re, a_im, False, ordering="revorder",
+                    transposed_output=True, engine=engine,
+                )
     else:
-        a_re, a_im = fft_rows_pallas(
-            channels, None, False, ordering="revorder", transposed_output=True,
-            engine=engine,
-        )
+        if img_rows is not None and img_rows < channels.shape[-2]:
+            lre, lim = fft_rows_pallas(
+                channels[..., :img_rows, :], None, False, ordering="revorder",
+                transposed_output=True, engine=engine,
+            )
+            padw = [(0, 0)] * (lre.ndim - 1) + [
+                (0, channels.shape[-2] - img_rows)
+            ]
+            a_re, a_im = jnp.pad(lre, padw), jnp.pad(lim, padw)
+        else:
+            a_re, a_im = fft_rows_pallas(
+                channels, None, False, ordering="revorder",
+                transposed_output=True, engine=engine,
+            )
     # Image: first row pass (transposed writes), then the HALF-FUSED
     # kernel — second forward pass + Wiener filter in one VMEM
     # residency, so the image's unfiltered 2D spectrum never round-trips
@@ -405,7 +450,7 @@ def _restore_core(
     chans = _pad2d(chans0, hp, wp)
     restored = restore_planes(
         chans, psf, K, fft_backend=fft_backend, filter_name=filter_name,
-        fft_engine=fft_engine,
+        fft_engine=fft_engine, img_rows=h,
     )
     restored = restored[..., :h, :w]
 

@@ -167,11 +167,6 @@ def _fft_stages(x_re, x_im, cos_ref, sin_ref, mask_ref, dif):
 _MXU_INNER = 128
 
 
-def _mxu_tables_np(inverse: bool) -> tuple:
-    """cos/sin planes of the 128-point DFT matrix W[l, k]."""
-    return _dft_planes_np(_MXU_INNER, inverse)
-
-
 def _group_dft_matmul(x_re, x_im, wc, ws):
     """Multiply each contiguous 128-lane group of (R, n) planes by the
     (128, 128) DFT matrix wc + i*ws on the MXU. Static vreg-aligned lane
