@@ -355,6 +355,12 @@ def _fft_rows_transposed(
             raise ValueError(
                 f"packed_planes needs (2P, M, N), got {re.shape}"
             )
+        # NOTE measured negative result: an odd-plane-count variant
+        # (clamped im index map + in-register zero for the phantom
+        # plane) passed interpret-mode parity but crashes Mosaic on
+        # hardware (FAILED_PRECONDITION) — index maps appear to need
+        # affine forms of the grid ids. The caller's one-plane concat
+        # (~0.13 ms at 2048^2x3) stays.
         orig_shape = re.shape[1:]  # (M, N) per plane
         n = re.shape[-1]
         m = re.shape[-2]
