@@ -59,7 +59,7 @@ def _sync(x):
     # slice ON DEVICE first: np.asarray(full_array) would drag the whole
     # buffer through the ~140 MB/s tunnel (~90 ms for the uint8 frame),
     # inflating amortized timings by ~3 ms/frame
-    return np.asarray(x.ravel()[0])
+    return np.asarray(x[(0,) * x.ndim])
 
 
 class _CompileTimeout(Exception):

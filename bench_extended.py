@@ -20,7 +20,7 @@ import numpy as np
 def _sync(x):
     # on-device slice first (see bench.py): full np.asarray would pull
     # the whole buffer through the tunnel and distort amortized timings
-    return np.asarray(x.ravel()[0])
+    return np.asarray(x[(0,) * x.ndim])
 
 
 _RTT = None

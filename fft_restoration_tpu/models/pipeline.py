@@ -619,7 +619,7 @@ def profile_phases(
 
     def sync(tree):
         for leaf in jax.tree_util.tree_leaves(tree):
-            np.asarray(leaf).ravel()[:1]
+            np.asarray(leaf[(0,) * leaf.ndim])
 
     @jax.jit
     def pre(img):

@@ -94,7 +94,7 @@ def device_trace(fn, args, n_iters: int = 10, trace_dir: str | None = None):
         for leaf in leaves:
             # on-device slice first — a full np.asarray would drag the
             # whole buffer through the tunnel
-            np.asarray(leaf.ravel()[0])
+            np.asarray(leaf[(0,) * leaf.ndim])
 
     out = fn(*args)  # warm (compile outside the trace)
     _sync(out)

@@ -63,7 +63,7 @@ def sync(tree):
 
     for leaf in jax.tree_util.tree_leaves(tree):
         if leaf is not None:
-            np.asarray(leaf).ravel()[:1]
+            np.asarray(leaf[(0,) * leaf.ndim])
 
 
 def host_best(fn, args, iters=15, rounds=3):

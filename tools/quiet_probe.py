@@ -26,7 +26,7 @@ def probe(size: int = 4096, iters: int = 10) -> dict:
         # through the ~140 MB/s tunnel adds ~50 ms/iter and deflates the
         # TFLOP/s reading below the quiet threshold even on an idle chip
         # (this bug hid every real quiet window from the watcher)
-        return np.asarray(x.ravel()[0])
+        return np.asarray(x[(0,) * x.ndim])
 
     noop = jax.jit(lambda a: a * 1.0)
     small = jax.device_put(jnp.ones((8, 8)))
