@@ -84,18 +84,36 @@ def _compile_pipeline(x, ang, k):
 
     for backend, budget_s in (("pallas", 420), ("matmul", 240)):
         try:
-            cand = jax.jit(
-                functools.partial(
-                    _restore_core,
-                    psf_length=PSF_LEN,
-                    fft_backend=backend,
-                    filter_name="wiener",
-                    white_balance=True,
-                )
+            core = functools.partial(
+                _restore_core,
+                psf_length=PSF_LEN,
+                fft_backend=backend,
+                filter_name="wiener",
+                white_balance=True,
             )
             old = signal.signal(signal.SIGALRM, _alarm)
             signal.alarm(budget_s)
             try:
+                if backend == "pallas":
+                    # the production serving path: the fixed PSF's own
+                    # spectrum is computed once (WienerDeblurPipeline
+                    # cache_psf_spectrum) and fed to the restore graph
+                    from fft_restoration_tpu.models.pipeline import (
+                        motion_blur_kernel,
+                        psf_spectrum_planes,
+                    )
+
+                    h_fn = jax.jit(
+                        lambda a: psf_spectrum_planes(
+                            motion_blur_kernel(PSF_LEN, a), H, W,
+                            psf_rows=PSF_LEN,
+                        )
+                    )
+                    hre, him = h_fn(ang)
+                    raw = jax.jit(core)
+                    cand = lambda x, a, kk: raw(x, a, kk, hre, him)
+                else:
+                    cand = jax.jit(core)
                 out = cand(x, ang, k)
                 _sync(out[0])  # compile + warm
             finally:

@@ -94,8 +94,14 @@ def restore_planes(
     filter_name: str = "wiener",
     fft_engine: str = "mxu",
     img_rows: int | None = None,
+    psf_spectrum=None,
 ) -> jnp.ndarray:
     """Restore (..., Hp, Wp) power-of-two planes with a (S, S) PSF.
+
+    psf_spectrum: optional precomputed (H_re, H_im) in the pallas fast
+    path's transposed/hybrid layout (psf_spectrum_planes) — serving with
+    a fixed PSF skips the per-frame PSF transform (~0.15 ms at 2048²).
+    Only honored by the pallas backend.
 
     The (...) leading axes batch channels/images — the TPU equivalent of
     the reference's sequential per-channel loop (serial.cpp:34-39); the
@@ -125,6 +131,7 @@ def restore_planes(
         return _restore_planes_pallas_fused(
             channels, psf_pad, K, psf_rows, engine=fft_engine,
             filter_name=filter_name, img_rows=img_rows,
+            psf_spectrum=psf_spectrum,
         )
     if channels.ndim >= 3 and channels.shape[-3] >= 2:
         c = channels.shape[-3]
@@ -155,9 +162,35 @@ def _spectral_megakernel_profitable(m: int, n: int) -> bool:
     return n >= 512
 
 
+def psf_spectrum_planes(psf, hp, wp, engine="mxu", psf_rows=None):
+    """2D forward transform of the corner-anchored padded PSF in the
+    pallas fast path's layout (transposed orientation, revorder/hybrid
+    spectrum) — the `H` the fused pipeline consumes. Compute once per
+    (psf, hp, wp) and pass to restore_planes(psf_spectrum=...) to skip
+    the per-frame PSF transform when the PSF is fixed."""
+    from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+
+    psf_pad = _pad2d(psf, hp, wp)
+    rows = psf.shape[-2] if psf_rows is None else psf_rows
+    if rows < hp:
+        live = psf_pad[..., :rows, :]
+        lre, lim = fft_rows_pallas(
+            live, None, False, ordering="revorder", transposed_output=True,
+            engine=engine,
+        )
+        pad = [(0, 0)] * (lre.ndim - 1) + [(0, hp - rows)]
+        re, im = jnp.pad(lre, pad), jnp.pad(lim, pad)
+    else:
+        re, im = fft_rows_pallas(
+            psf_pad, None, False, ordering="revorder", transposed_output=True,
+            engine=engine,
+        )
+    return fft_rows_pallas(re, im, False, ordering="revorder", engine=engine)
+
+
 def _restore_planes_pallas_fused(
     channels, psf_pad, K, psf_rows=None, engine="mxu", filter_name="wiener",
-    img_rows=None,
+    img_rows=None, psf_spectrum=None,
 ):
     """Pallas fast path: revorder (DIF fwd / DIT inv, zero bit-reversal
     passes) row-FFT kernels + fused Wiener kernel, with the filter
@@ -209,8 +242,9 @@ def _restore_planes_pallas_fused(
             )
         return fft_rows_pallas(re, im, False, ordering="revorder", engine=engine)
 
-    # PSF spectrum: plain two-pass forward (1 plane).
-    H = fwd2d_t(psf_pad, psf_rows)
+    # PSF spectrum: plain two-pass forward (1 plane), or the caller's
+    # precomputed planes (psf_spectrum_planes) for fixed-PSF serving.
+    H = psf_spectrum if psf_spectrum is not None else fwd2d_t(psf_pad, psf_rows)
     # Channel packing (see _pack_channel_pairs): 3 channels ride 2
     # complex transforms through the whole fwd->filter->inv chain.
     packed = channels.ndim >= 3 and channels.shape[-3] >= 2
@@ -425,6 +459,8 @@ def _restore_core(
     img_f32: jnp.ndarray,
     angle_deg: jnp.ndarray,
     K: jnp.ndarray,
+    h_re: jnp.ndarray | None = None,
+    h_im: jnp.ndarray | None = None,
     *,
     psf_length: int,
     fft_backend: str,
@@ -451,6 +487,7 @@ def _restore_core(
     restored = restore_planes(
         chans, psf, K, fft_backend=fft_backend, filter_name=filter_name,
         fft_engine=fft_engine, img_rows=h,
+        psf_spectrum=None if h_re is None else (h_re, h_im),
     )
     restored = restored[..., :h, :w]
 
@@ -500,6 +537,7 @@ class WienerDeblurPipeline:
         device: Optional[object] = None,
         donate_input: bool = True,
         fft_engine: str = "mxu",
+        cache_psf_spectrum: bool = True,
     ):
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
@@ -511,10 +549,18 @@ class WienerDeblurPipeline:
         # reference demonstrates by hoisting buffers out of the channel
         # loop (wienerDeblur_RGB_optimized vs _naive, fft_gpu.cu:279,400).
         self.donate_input = donate_input
+        # Fixed-PSF serving: the PSF's own 2D transform (~0.15 ms at
+        # 2048^2, one full-plane pass) is keyed on (shape, length, angle)
+        # and computed once; the restore graph consumes the cached
+        # spectrum planes. PSF sweeps with VARYING angles still reuse
+        # one executable (the spectrum graph is the tiny one).
+        self.cache_psf_spectrum = cache_psf_spectrum
         self._cache = {}
+        self._psf_cache = {}
+        self._psf_fns = {}
 
-    def _compiled(self, h: int, w: int, psf_length: int):
-        key = (h, w, psf_length)
+    def _compiled(self, h: int, w: int, psf_length: int, with_h: bool = False):
+        key = (h, w, psf_length, with_h)
         if key not in self._cache:
             fn = functools.partial(
                 _restore_core,
@@ -527,6 +573,32 @@ class WienerDeblurPipeline:
             donate = (0,) if self.donate_input else ()
             self._cache[key] = jax.jit(fn, donate_argnums=donate)
         return self._cache[key]
+
+    def _uses_psf_cache(self) -> bool:
+        return self.cache_psf_spectrum and self.fft_backend == "pallas"
+
+    def _psf_spectrum(self, h: int, w: int, psf_length: int, angle: float):
+        from fft_restoration_tpu.models.pipeline import psf_spectrum_planes
+
+        hp, wp = next_power_of_two(h), next_power_of_two(w)
+        key = (hp, wp, psf_length, float(angle))
+        if key not in self._psf_cache:
+            fkey = (hp, wp, psf_length)
+            if fkey not in self._psf_fns:
+                def make_h(ang, _hp=hp, _wp=wp, _len=psf_length):
+                    psf = motion_blur_kernel(_len, ang)
+                    return psf_spectrum_planes(
+                        psf, _hp, _wp, engine=self.fft_engine, psf_rows=_len
+                    )
+
+                self._psf_fns[fkey] = jax.jit(make_h)
+            # bound the device-memory footprint: each spectrum is
+            # 2 * hp * wp float32 (33.5 MB at 2048^2); angle sweeps
+            # evict oldest-first
+            if len(self._psf_cache) >= 8:
+                self._psf_cache.pop(next(iter(self._psf_cache)))
+            self._psf_cache[key] = self._psf_fns[fkey](jnp.float32(angle))
+        return self._psf_cache[key]
 
     def _check_psf_fits(self, h: int, w: int, psf_length: int) -> None:
         hp, wp = next_power_of_two(h), next_power_of_two(w)
@@ -567,8 +639,19 @@ class WienerDeblurPipeline:
         self._check_psf_fits(img.shape[0], img.shape[1], int(psf_length))
         if self.device is not None:
             img = jax.device_put(img, self.device)
-        fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
-        out, restored = fn(img, jnp.float32(psf_angle), jnp.float32(K))
+        if self._uses_psf_cache():
+            H = self._psf_spectrum(
+                img.shape[0], img.shape[1], int(psf_length), float(psf_angle)
+            )
+            fn = self._compiled(
+                img.shape[0], img.shape[1], int(psf_length), with_h=True
+            )
+            out, restored = fn(
+                img, jnp.float32(psf_angle), jnp.float32(K), H[0], H[1]
+            )
+        else:
+            fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
+            out, restored = fn(img, jnp.float32(psf_angle), jnp.float32(K))
         return np.asarray(out), np.asarray(restored)
 
     def restore_channels(

@@ -272,6 +272,7 @@ def wiener_spectral_rows_t(
     block_rows: int = 128,
     interpret: bool | None = None,
     engine: str = "mxu",
+    vmem_budget_mb: int = 24,
 ) -> SoA:
     """Full fused middle with TRANSPOSED block writes:
     colIFFT(wiener(colFFT(A), H)) -> (..., N, M).
@@ -312,7 +313,7 @@ def wiener_spectral_rows_t(
 
     # ~16 live (rows, n) planes through the fused body + transposed
     # staging copies
-    max_rows = max(128, ((24 << 20) // (n * 4 * 16)) // 128 * 128)
+    max_rows = max(128, ((vmem_budget_mb << 20) // (n * 4 * 16)) // 128 * 128)
     rows = min(block_rows // 128 * 128, max_rows)
     if rows == 0 or m % rows:
         single = -(-m // 128) * 128
