@@ -62,3 +62,20 @@ def test_non_square_non_pow2(rng):
     img = (rng.random((33, 70, 3)) * 255).astype(np.uint8)
     out = WienerDeblurPipeline().restore(img, 7, 15.0)
     assert out.shape == img.shape
+
+
+def test_psf_spectrum_cache_matches_uncached(rng):
+    """Fixed-PSF serving path: the precomputed spectrum (psf_spectrum_
+    planes) must reproduce the in-graph PSF transform bit-for-bit."""
+    img = (rng.random((96, 160, 3)) * 255).astype(np.uint8)
+    on = WienerDeblurPipeline(fft_backend="pallas", cache_psf_spectrum=True)
+    off = WienerDeblurPipeline(fft_backend="pallas", cache_psf_spectrum=False)
+    a = on.restore(img, 9, 30.0)
+    b = off.restore(img, 9, 30.0)
+    np.testing.assert_array_equal(a, b)
+    # angle sweep reuses the executable, new spectra are cached per angle
+    c = on.restore(img, 9, 45.0)
+    d = off.restore(img, 9, 45.0)
+    np.testing.assert_array_equal(c, d)
+    assert len(on._psf_cache) == 2
+    assert len(on._psf_fns) == 1
