@@ -501,6 +501,12 @@ def _restore_core(
             luminance_l_planar,
         )
 
+        # NOTE measured negative result (docs/PERF.md): a transcendental-
+        # free "fast color" mode (polynomial sRGB + Newton rcbrt,
+        # ops/color.py *_fast) benched SLOWER on v5e (2.067 vs 2.041 ms
+        # device) — the VPU's exp/log are already cheap and this segment
+        # is bandwidth/fusion-bound, not math-bound. Exact cv2-parity
+        # math is both the accuracy and the speed choice here.
         L, a_, b_ = bgr_to_lab_planar(restored[0], restored[1], restored[2])
         # only the ORIGINAL image's mean L feeds the gain (utils.hpp:55-71)
         l_orig_mean = jnp.mean(

@@ -32,6 +32,74 @@ def _f_cbrt(t):
     return jnp.where(t > _T0, jnp.cbrt(t), _CBRT_A * t + _CBRT_B)
 
 
+# ---------------------------------------------------------------------------
+# Fast companding: transcendental-free sRGB/Lab math.
+#
+# MEASURED NEGATIVE RESULT (docs/PERF.md): these approximations benched
+# SLOWER than the exact path on the v5e pipeline (2.067 vs 2.041 ms
+# device at 2048^2) — the VPU's exp/log transcendentals are already
+# cheap, and the color segment is bandwidth/fusion-bound. Kept (with
+# accuracy tests) as the recorded experiment: degree-10 polynomial of
+# u^0.4 evaluated in a [-1,1]-mapped variable (power coefficients in u
+# itself cancel catastrophically in f32), a bit-trick + two-Newton-step
+# reciprocal cube root, and hardware sqrt: x^(1/3) = x*rcbrt(x)^2 and
+# x^(1/2.4) = sqrt(x)*sqrt(sqrt(rcbrt(x))). Max |error| ~2e-5 in linear
+# space (<=0.25 uint8 counts through the full Lab round trip).
+
+# minimax-ish fit of u^0.4 over the companding branch's domain
+# u = (x + 0.055)/1.055, x in [0.04045, 1] -> u in [0.0905, 1].
+# The polynomial is fit and evaluated in t = map(u) in [-1, 1]: power
+# coefficients in u itself are huge (+-100) and cancel catastrophically
+# in float32.
+_U04_LO, _U04_HI = 0.0905, 1.0
+
+
+def _fit_u04():
+    u = np.linspace(_U04_LO, _U04_HI, 4096)
+    t = (2.0 * u - (_U04_LO + _U04_HI)) / (_U04_HI - _U04_LO)
+    return np.polyfit(t, u**0.4, 10).astype(np.float32)
+
+
+_U04_COEF = _fit_u04()
+
+
+def _rcbrt_fast(x):
+    """x^(-1/3) for x > 0: exponent bit trick + 2 Newton steps
+    (division-free: r <- r * (4 - x*r^3) / 3)."""
+    i = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    r = jax.lax.bitcast_convert_type(
+        jnp.int32(0x54A21D2A) - i // 3, jnp.float32
+    )
+    for _ in range(2):
+        r = r * (4.0 - x * r * r * r) * (1.0 / 3.0)
+    return r
+
+
+def _cbrt_fast(x):
+    x = jnp.maximum(x, 1e-30)
+    r = _rcbrt_fast(x)
+    return x * r * r
+
+
+def _f_cbrt_fast(t):
+    return jnp.where(t > _T0, _cbrt_fast(t), _CBRT_A * t + _CBRT_B)
+
+
+def _srgb_to_linear_fast(x):
+    u = (x + 0.055) * (1.0 / 1.055)
+    t = (2.0 * u - (_U04_LO + _U04_HI)) * (1.0 / (_U04_HI - _U04_LO))
+    poly = jnp.polyval(jnp.asarray(_U04_COEF), t)
+    return jnp.where(x <= 0.04045, x * (1.0 / 12.92), u * u * poly)
+
+
+def _linear_to_srgb_fast(x):
+    x = jnp.maximum(x, 0.0)
+    xs = jnp.maximum(x, 1e-30)
+    # x^(5/12) = sqrt(x) * x^(-1/12) = sqrt(x) * sqrt(sqrt(rcbrt(x)))
+    p = jnp.sqrt(xs) * jnp.sqrt(jnp.sqrt(_rcbrt_fast(xs)))
+    return jnp.where(x <= 0.0031308, 12.92 * x, 1.055 * p - 0.055)
+
+
 def bgr_to_lab(img_bgr: jnp.ndarray) -> jnp.ndarray:
     """float BGR in [0,1], (..., 3) -> Lab float32 (L in [0,100])."""
     # channel order is absorbed into the 3x3 constant (columns flipped)
@@ -81,17 +149,21 @@ def lab_to_bgr(lab: jnp.ndarray) -> jnp.ndarray:
 # final uint8 conversion.
 
 
-def bgr_to_lab_planar(b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray):
+def bgr_to_lab_planar(
+    b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray, fast: bool = False
+):
     """(H, W) float BGR planes in [0,1] -> (L, a, b) float32 planes."""
+    to_lin = _srgb_to_linear_fast if fast else _srgb_to_linear
+    fc = _f_cbrt_fast if fast else _f_cbrt
     m = np.asarray(_SRGB2XYZ_N, np.float32)
-    lb = _srgb_to_linear(jnp.clip(b.astype(jnp.float32), 0.0, 1.0))
-    lg = _srgb_to_linear(jnp.clip(g.astype(jnp.float32), 0.0, 1.0))
-    lr = _srgb_to_linear(jnp.clip(r.astype(jnp.float32), 0.0, 1.0))
+    lb = to_lin(jnp.clip(b.astype(jnp.float32), 0.0, 1.0))
+    lg = to_lin(jnp.clip(g.astype(jnp.float32), 0.0, 1.0))
+    lr = to_lin(jnp.clip(r.astype(jnp.float32), 0.0, 1.0))
     # rgb-ordered rows applied to bgr planes
     tx = m[0, 2] * lb + m[0, 1] * lg + m[0, 0] * lr
     ty = m[1, 2] * lb + m[1, 1] * lg + m[1, 0] * lr
     tz = m[2, 2] * lb + m[2, 1] * lg + m[2, 0] * lr
-    fx, fy, fz = _f_cbrt(tx), _f_cbrt(ty), _f_cbrt(tz)
+    fx, fy, fz = fc(tx), fc(ty), fc(tz)
     L = jnp.where(ty > _T0, 116.0 * fy - 16.0, 903.3 * ty)
     return (
         L.astype(jnp.float32),
@@ -100,8 +172,11 @@ def bgr_to_lab_planar(b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray):
     )
 
 
-def lab_to_bgr_planar(L: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
+def lab_to_bgr_planar(
+    L: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, fast: bool = False
+):
     """(L, a, b) planes -> (b, g, r) float planes in [0,1]."""
+    to_srgb = _linear_to_srgb_fast if fast else _linear_to_srgb
     fy = (L.astype(jnp.float32) + 16.0) / 116.0
     fx = fy + a.astype(jnp.float32) / 500.0
     fz = fy - b.astype(jnp.float32) / 200.0
@@ -119,19 +194,23 @@ def lab_to_bgr_planar(L: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
     lg = m[1, 0] * x + m[1, 1] * y + m[1, 2] * z
     lb = m[2, 0] * x + m[2, 1] * y + m[2, 2] * z
     out = tuple(
-        jnp.clip(_linear_to_srgb(v), 0.0, 1.0) for v in (lb, lg, lr)
+        jnp.clip(to_srgb(v), 0.0, 1.0) for v in (lb, lg, lr)
     )
     return out
 
 
-def luminance_l_planar(b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray):
+def luminance_l_planar(
+    b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray, fast: bool = False
+):
     """Lab L plane only (the white-balance gain's input)."""
+    to_lin = _srgb_to_linear_fast if fast else _srgb_to_linear
+    fc = _f_cbrt_fast if fast else _f_cbrt
     m = np.asarray(_SRGB2XYZ_N, np.float32)
-    lb = _srgb_to_linear(jnp.clip(b.astype(jnp.float32), 0.0, 1.0))
-    lg = _srgb_to_linear(jnp.clip(g.astype(jnp.float32), 0.0, 1.0))
-    lr = _srgb_to_linear(jnp.clip(r.astype(jnp.float32), 0.0, 1.0))
+    lb = to_lin(jnp.clip(b.astype(jnp.float32), 0.0, 1.0))
+    lg = to_lin(jnp.clip(g.astype(jnp.float32), 0.0, 1.0))
+    lr = to_lin(jnp.clip(r.astype(jnp.float32), 0.0, 1.0))
     y = m[1, 2] * lb + m[1, 1] * lg + m[1, 0] * lr
-    fy = _f_cbrt(y)
+    fy = fc(y)
     return jnp.where(y > _T0, 116.0 * fy - 16.0, 903.3 * y).astype(jnp.float32)
 
 
