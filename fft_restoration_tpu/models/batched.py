@@ -55,6 +55,63 @@ def _batched_core(
     return restored[..., :h, :w]
 
 
+def _batched_images_core(
+    imgs: jnp.ndarray,
+    angle_deg: jnp.ndarray,
+    K: jnp.ndarray,
+    *,
+    psf_length: int,
+    fft_backend: str,
+    filter_name: str,
+    white_balance: bool,
+):
+    """(B, H, W, 3) uint8/float BGR -> ((B, H, W, 3) uint8, (B, 3, H, W)
+    planes): the batched analog of pipeline._restore_core — ALL
+    post-processing (per-frame Lab white balance, uint8 encode) stays on
+    device. The planar color functions are elementwise, so they batch
+    over (B, H, W) planes directly; the per-frame means reduce over the
+    trailing axes."""
+    b, h, w = imgs.shape[:3]
+    chans0 = jnp.moveaxis(imgs, -1, 1)  # (B, 3, H, W)
+    if chans0.dtype == jnp.uint8:
+        chans0 = chans0.astype(jnp.float32) / jnp.float32(255.0)
+    restored = _batched_core(
+        jnp.moveaxis(chans0, 1, -1),
+        angle_deg,
+        K,
+        psf_length=psf_length,
+        fft_backend=fft_backend,
+        filter_name=filter_name,
+    )
+    if white_balance:
+        from fft_restoration_tpu.ops.color import (
+            bgr_to_lab_planar,
+            lab_to_bgr_planar,
+            luminance_l_planar,
+        )
+
+        L, a_, b_ = bgr_to_lab_planar(
+            restored[:, 0], restored[:, 1], restored[:, 2]
+        )
+        l_orig = jnp.mean(
+            luminance_l_planar(chans0[:, 0], chans0[:, 1], chans0[:, 2]),
+            axis=(-2, -1), keepdims=True,
+        )
+        gain = l_orig / (jnp.mean(L, axis=(-2, -1), keepdims=True) + 1e-6)
+        L = jnp.clip(L * gain, 0.0, 100.0)
+        planes_bgr = lab_to_bgr_planar(L, a_, b_)
+    else:
+        planes_bgr = (restored[:, 0], restored[:, 1], restored[:, 2])
+    out = jnp.stack(
+        [
+            jnp.clip(p * 255.0, 0.0, 255.0).astype(jnp.uint8)
+            for p in planes_bgr
+        ],
+        axis=-1,
+    )
+    return out, restored
+
+
 class BatchedWienerPipeline:
     """Restore a stack of same-shape images with one shared PSF."""
 
@@ -62,10 +119,13 @@ class BatchedWienerPipeline:
         self,
         fft_backend: str = "matmul",
         filter_name: str = "wiener",
+        white_balance: bool = True,
     ):
         self.fft_backend = fft_backend
         self.filter_name = filter_name
+        self.white_balance = white_balance
         self._cache = {}
+        self._img_cache = {}
 
     def _compiled(self, b: int, h: int, w: int, psf_length: int):
         key = (b, h, w, psf_length)
@@ -91,6 +151,37 @@ class BatchedWienerPipeline:
         imgs = jnp.asarray(np.asarray(imgs_bgr, np.float32) / np.float32(255.0))
         fn = self._compiled(*imgs.shape[:3], int(psf_length))
         return np.asarray(fn(imgs, jnp.float32(psf_angle), jnp.float32(K)))
+
+    def restore(
+        self,
+        imgs_bgr: np.ndarray,
+        psf_length: int,
+        psf_angle: float,
+        K: float = 0.01,
+    ) -> np.ndarray:
+        """(B, H, W, 3) uint8 -> (B, H, W, 3) uint8 restored, with
+        per-frame Lab white balance ON DEVICE (the host-side per-frame
+        NumPy color loop was the batch path's throughput ceiling)."""
+        arr = np.asarray(imgs_bgr)
+        imgs = jnp.asarray(
+            arr if arr.dtype == np.uint8
+            else arr.astype(np.float32) / np.float32(255.0)
+        )
+        key = (imgs.shape[:3], int(psf_length))
+        if key not in self._img_cache:
+            self._img_cache[key] = jax.jit(
+                functools.partial(
+                    _batched_images_core,
+                    psf_length=int(psf_length),
+                    fft_backend=self.fft_backend,
+                    filter_name=self.filter_name,
+                    white_balance=self.white_balance,
+                )
+            )
+        out, _ = self._img_cache[key](
+            imgs, jnp.float32(psf_angle), jnp.float32(K)
+        )
+        return np.asarray(out)
 
 
 def psf_grid_sweep(

@@ -46,3 +46,26 @@ def test_psf_grid_sweep_pallas(rng):
     assert out.shape == (2, 2, 3, 16, 16)
     ref = psf_grid_sweep(img, [3, 5], [0.0, 45.0], fft_backend="matmul")
     assert np.abs(out - ref).max() < 1e-3
+
+
+def test_batched_device_white_balance_matches_single(rng):
+    """restore() (device-side per-frame WB) vs the single-image pipeline
+    frame by frame: same WB semantics, within uint8 rounding of the
+    cross-image-packed FFT path."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+    stack = (rng.random((4, 40, 56, 3)) * 255).astype(np.uint8)
+    outs = BatchedWienerPipeline(fft_backend="matmul").restore(stack, 9, 30.0)
+    single = WienerDeblurPipeline(fft_backend="matmul")
+    for i in range(stack.shape[0]):
+        want = single.restore(stack[i], 9, 30.0)
+        diff = np.abs(outs[i].astype(int) - want.astype(int)).max()
+        assert diff <= 1, diff
+
+
+def test_batched_restore_no_white_balance(rng):
+    stack = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+    outs = BatchedWienerPipeline(
+        fft_backend="matmul", white_balance=False
+    ).restore(stack, 7, 20.0)
+    assert outs.shape == stack.shape and outs.dtype == np.uint8
