@@ -28,6 +28,9 @@ from fft_restoration_tpu.utils.verify import channels_equal
 
 MODES = ("oracle", "jit", "sharded")
 
+# HBM budget for one batched device call (see _restore_group chunking)
+_BATCH_CHUNK_BYTES = 8 << 30
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -232,12 +235,32 @@ def _restore_group(args, group, out_dir, single) -> None:
     import numpy as np
 
     from fft_restoration_tpu.models.batched import BatchedWienerPipeline
-    from fft_restoration_tpu.utils.imageio import imread, imread_batch, imwrite
+    from fft_restoration_tpu.utils.imageio import (
+        imread,
+        imread_batch,
+        imwrite,
+        probe_size,
+    )
 
     def _dst(p):
         return os.path.join(
             out_dir, os.path.basename(p).rsplit(".", 1)[0] + "_restored.png"
         )
+
+    # HBM safety: a directory group is restored in chunks bounded by the
+    # padded working set (~12 float32 plane-equivalents per frame in
+    # flight through the batched graph), so arbitrarily large
+    # directories never OOM the device. 2048^2 frames chunk at ~42.
+    if len(group) > 1:
+        from fft_restoration_tpu.utils.padding import next_power_of_two
+
+        h0, w0 = probe_size(group[0])
+        frame_bytes = next_power_of_two(h0) * next_power_of_two(w0) * 4 * 12
+        chunk = max(2, int(_BATCH_CHUNK_BYTES // frame_bytes))
+        if len(group) > chunk:
+            for i in range(0, len(group), chunk):
+                _restore_group(args, group[i : i + chunk], out_dir, single)
+            return
 
     if len(group) > 1:
         stack = imread_batch(group)

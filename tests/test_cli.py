@@ -145,3 +145,35 @@ def test_cli_batch_sharded_2d_mesh(tmp_path):
         a = imread(str(out_s / f"f{i}_restored.png"))
         b = imread(str(out_j / f"f{i}_restored.png"))
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_batch_chunking(tmp_path, monkeypatch):
+    """Oversized same-size groups are restored in bounded chunks (no
+    single giant device batch)."""
+    import fft_restoration_tpu.cli as cli
+    import numpy as np
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(5):
+        imwrite(str(d / f"f{i}.png"),
+                (rng.random((32, 48, 3)) * 255).astype(np.uint8))
+    # force a tiny chunk budget so 5 frames split into 3 device batches
+    calls = []
+    real = cli._restore_group
+
+    def spy(args, group, out_dir, single):
+        calls.append(len(group))
+        return real(args, group, out_dir, single)
+
+    monkeypatch.setattr(cli, "_restore_group", spy)
+    # shrink the chunk budget so 5 tiny frames split into multiple calls
+    monkeypatch.setattr(cli, "_BATCH_CHUNK_BYTES", 32 * 64 * 4 * 12 * 2)
+    r = cli.main([str(d), "5", "30", "-o", str(tmp_path / "out")])
+    assert r == 0
+    outs = sorted((tmp_path / "out").glob("*_restored.png"))
+    assert len(outs) == 5
+    # top-level call saw 5, then chunked recursive calls each <= chunk
+    assert max(calls) == 5 and len(calls) > 1
