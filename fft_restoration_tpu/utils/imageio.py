@@ -460,13 +460,18 @@ def imread_batch(paths, threads: int = 8) -> np.ndarray:
 def imwrite(path: str, img_bgr: np.ndarray) -> None:
     """Write a BGR uint8 (H, W, 3) or gray (H, W) image, format by extension.
 
-    `.png` (default for unknown extensions), `.bmp`, `.ppm`/`.pgm`/`.pnm`,
-    `.tif`/`.tiff` — mirroring cv::imwrite's extension dispatch."""
+    `.png` (default for unknown extensions), `.jpg`/`.jpeg` (baseline,
+    quality 90), `.bmp`, `.ppm`/`.pgm`/`.pnm`, `.tif`/`.tiff` —
+    mirroring cv::imwrite's extension dispatch."""
     img = np.asarray(img_bgr, dtype=np.uint8)
     if img.ndim == 3:
         img = img[..., ::-1]  # BGR -> RGB
     ext = Path(path).suffix.lower()
-    if ext == ".bmp":
+    if ext in (".jpg", ".jpeg"):
+        from fft_restoration_tpu.utils.jpeg_encode import encode_jpeg
+
+        blob = encode_jpeg(img)
+    elif ext == ".bmp":
         from fft_restoration_tpu.utils import formats
 
         blob = formats.encode_bmp(img)

@@ -157,3 +157,63 @@ def test_gray_nonunit_sampling_factors(photo):
     ours = decode_jpeg(patched)
     theirs = cv2.imdecode(np.frombuffer(patched, np.uint8), cv2.IMREAD_GRAYSCALE)
     assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+
+class TestEncoder:
+    """Baseline JPEG encoder (utils/jpeg_encode.py): round trips through
+    our own decoder AND OpenCV's."""
+
+    def _smooth(self, rng, shape):
+        import scipy.ndimage as ndi
+
+        return (ndi.gaussian_filter(rng.random(shape), 3) * 255).astype(np.uint8)
+
+    def test_roundtrip_own_decoder(self, rng):
+        from fft_restoration_tpu.utils.jpeg import decode_jpeg
+        from fft_restoration_tpu.utils.jpeg_encode import encode_jpeg
+
+        img = np.stack([self._smooth(rng, (48, 56))] * 3, -1)
+        back = decode_jpeg(encode_jpeg(img, quality=95))
+        mse = np.mean((img.astype(float) - back.astype(float)) ** 2)
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 35
+
+    def test_cv2_decodes_our_jpeg(self, rng):
+        cv2 = pytest.importorskip("cv2")
+        from fft_restoration_tpu.utils.jpeg_encode import encode_jpeg
+
+        img = np.stack([self._smooth(rng, (33, 41, 3))[..., c] for c in range(3)], -1)
+        blob = encode_jpeg(img, quality=90)
+        ref = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)[..., ::-1]
+        assert ref.shape == img.shape
+        mse = np.mean((img.astype(float) - ref.astype(float)) ** 2)
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 30
+
+    def test_gray_and_odd_sizes(self, rng):
+        cv2 = pytest.importorskip("cv2")
+        from fft_restoration_tpu.utils.jpeg_encode import encode_jpeg
+
+        g = self._smooth(rng, (17, 23))  # not multiples of 8
+        ref = cv2.imdecode(
+            np.frombuffer(encode_jpeg(g, quality=90), np.uint8),
+            cv2.IMREAD_GRAYSCALE,
+        )
+        assert ref.shape == g.shape
+        assert np.abs(ref.astype(int) - g.astype(int)).mean() < 6
+
+    def test_quality_knob_changes_size(self, rng):
+        from fft_restoration_tpu.utils.jpeg_encode import encode_jpeg
+
+        img = np.stack([self._smooth(rng, (64, 64))] * 3, -1)
+        hi = len(encode_jpeg(img, quality=95))
+        lo = len(encode_jpeg(img, quality=20))
+        assert lo < hi
+
+    def test_imwrite_jpg_dispatch(self, rng, tmp_path):
+        from fft_restoration_tpu.utils.imageio import imread, imwrite
+
+        img_bgr = np.stack([self._smooth(rng, (32, 40))] * 3, -1)
+        p = tmp_path / "x.jpg"
+        imwrite(str(p), img_bgr)
+        back = imread(str(p))  # our own baseline decoder
+        assert back.shape == img_bgr.shape
+        assert np.abs(back.astype(int) - img_bgr.astype(int)).mean() < 6
