@@ -86,7 +86,7 @@ def main(backend="matmul"):
     import jax
     import jax.numpy as jnp
 
-    from fft_restoration_tpu.models.batched import _batched_core
+    from fft_restoration_tpu.models.batched import _batched_images_core
     from fft_restoration_tpu.models.pipeline import _restore_core
     from fft_restoration_tpu.utils.imageio import imread
 
@@ -121,15 +121,17 @@ def main(backend="matmul"):
     # config 3: 64-image 256^2 stack, shared PSF
     rng = np.random.default_rng(0)
     stack = (rng.random((64, 256, 256, 3)) * 255).astype(np.uint8)
+    # full serving path: restore + per-frame device white balance + uint8
     bfn = jax.jit(
         functools.partial(
-            _batched_core,
+            _batched_images_core,
             psf_length=25,
             fft_backend=backend,
             filter_name="wiener",
+            white_balance=True,
         )
     )
-    xs = jax.device_put(jnp.asarray(stack.astype(np.float32) / 255.0))
+    xs = jax.device_put(jnp.asarray(stack))
     ba = (xs, jnp.float32(30.0), jnp.float32(0.01))
     ms = bench_call(bfn, ba, iters=5)
     mp = 64 * 256 * 256 * 3 / 1e6
