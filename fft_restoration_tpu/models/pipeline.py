@@ -317,17 +317,13 @@ def _restore_planes_pallas_fused(
                 channels, None, False, ordering="revorder",
                 transposed_output=True, engine=engine,
             )
-    # Image: first row pass (transposed writes), then the HALF-FUSED
-    # kernel — second forward pass + Wiener filter in one VMEM
-    # residency, so the image's unfiltered 2D spectrum never round-trips
-    # HBM. (The FULLY fused fwd+filter+inv megakernel spills VMEM and
-    # loses — measured notes in ops/pallas/wiener_spectral.py.)
-    # Fully fused middle (one kernel: col-FFT + Wiener + col-IFFT with
-    # transposed writes) — the filtered 2D spectrum never touches HBM.
-    # Viable since the MXU engine shrank the stage body (measured A/B in
-    # docs/PERF.md); wiener_spectral_rows_t returns None where its
-    # alignment constraints don't hold, falling back to the half-fused
-    # pair.
+    # Middle of the 2D restore. Wiener gets the fully fused spectral
+    # kernel (col-FFT + filter + col-IFFT with transposed writes — the
+    # filtered 2D spectrum never touches HBM), viable since the MXU
+    # engine shrank the stage body; gated by measured shape
+    # profitability, with the half-fused fwd_wiener + inverse-T-write
+    # pair as the fallback. Other filters run the pair with an XLA
+    # elementwise filter (order-agnostic).
     from fft_restoration_tpu.ops.pallas.wiener_spectral import (
         wiener_spectral_rows_t,
     )
