@@ -251,3 +251,42 @@ def test_imread_unknown_format(tmp_path):
     p.write_bytes(b"\x00\x01\x02\x03 not an image")
     with pytest.raises(ValueError, match="unrecognised image format"):
         imread(str(p))
+
+
+# ---------------------------------------------------------------------------
+# robustness: corrupt/truncated inputs raise ValueError, never crash
+
+
+def test_truncation_fuzz():
+    """Every prefix-truncation of a valid file either decodes or raises
+    ValueError — no IndexError/struct.error/segfault escapes."""
+    img = _rgb(9, 11)
+    blobs = [
+        formats.encode_bmp(img),
+        formats.encode_pnm(img),
+        formats.encode_tiff(img),
+    ]
+    for blob in blobs:
+        for cut in range(0, len(blob), max(1, len(blob) // 37)):
+            try:
+                formats.decode(blob[:cut])
+            except ValueError:
+                pass
+
+
+def test_random_bytes_fuzz():
+    rng = np.random.default_rng(5)
+    for i in range(200):
+        blob = rng.integers(0, 256, rng.integers(1, 200), dtype=np.uint8).tobytes()
+        try:
+            formats.decode(blob)
+        except ValueError:
+            pass
+    # forced magics with garbage bodies
+    for magic in (b"BM", b"P5\n", b"II*\x00", b"MM\x00*"):
+        for i in range(50):
+            blob = magic + rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+            try:
+                formats.decode(blob)
+            except ValueError:
+                pass
