@@ -204,6 +204,7 @@ def _run_batch(args) -> int:
             fft_backend=args.fft_backend,
             filter_name=args.filter,
             white_balance=not args.no_white_balance,
+            fft_engine=args.fft_engine,
         )
     else:
         single = WienerDeblurPipeline(
@@ -228,7 +229,7 @@ def _run_batch(args) -> int:
     return 0
 
 
-def _restore_group(args, group, out_dir, single) -> None:
+def _restore_group(args, group, out_dir, single, batched=None) -> None:
     """Restore one same-size group of frames (len>1 batched, else single)."""
     import os
 
@@ -241,6 +242,14 @@ def _restore_group(args, group, out_dir, single) -> None:
         imwrite,
         probe_size,
     )
+
+    if batched is None:
+        batched = BatchedWienerPipeline(
+            fft_backend=args.fft_backend,
+            filter_name=args.filter,
+            white_balance=not args.no_white_balance,
+            fft_engine=args.fft_engine,
+        )
 
     def _dst(p):
         return os.path.join(
@@ -258,8 +267,12 @@ def _restore_group(args, group, out_dir, single) -> None:
         frame_bytes = next_power_of_two(h0) * next_power_of_two(w0) * 4 * 12
         chunk = max(2, int(_BATCH_CHUNK_BYTES // frame_bytes))
         if len(group) > chunk:
+            # chunks share ONE batched pipeline so the identical batched
+            # graph compiles once, not once per chunk
             for i in range(0, len(group), chunk):
-                _restore_group(args, group[i : i + chunk], out_dir, single)
+                _restore_group(
+                    args, group[i : i + chunk], out_dir, single, batched
+                )
             return
 
     if len(group) > 1:
@@ -293,6 +306,7 @@ def _restore_group(args, group, out_dir, single) -> None:
                 mesh=make_mesh2d(n_b, n_dev // n_b),
                 fft_backend=args.fft_backend,
                 filter_name=args.filter,
+                fft_engine=args.fft_engine,
             )[..., :h, :w]
             merged = np.moveaxis(planes, 1, -1)  # (B, H, W, 3) in [0,1]
             if not args.no_white_balance:
@@ -318,11 +332,9 @@ def _restore_group(args, group, out_dir, single) -> None:
             # whole batch INCLUDING per-frame white balance runs on
             # device (models/batched._batched_images_core) — the former
             # host-side NumPy color loop was ~100 ms/frame at 2048^2
-            outs = BatchedWienerPipeline(
-                fft_backend=args.fft_backend,
-                filter_name=args.filter,
-                white_balance=not args.no_white_balance,
-            ).restore(stack, args.psf_length, args.psf_angle, args.K)
+            outs = batched.restore(
+                stack, args.psf_length, args.psf_angle, args.K
+            )
         for p, o in zip(group, outs):
             imwrite(_dst(p), o)
     else:
@@ -408,6 +420,7 @@ def main(argv=None) -> int:
                 fft_backend=args.fft_backend,
                 filter_name=args.filter,
                 white_balance=wb,
+                fft_engine=args.fft_engine,
             )
 
         # warm-up run (compile), then timed — the gpu.cpp:96-104 pattern.

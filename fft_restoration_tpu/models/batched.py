@@ -32,6 +32,7 @@ def _batched_core(
     psf_length: int,
     fft_backend: str,
     filter_name: str,
+    fft_engine: str = "mxu",
 ):
     """(B, H, W, 3) float32 in [0,1] -> (B, 3, H, W) restored planes."""
     b, h, w = imgs_f32.shape[:3]
@@ -50,6 +51,7 @@ def _batched_core(
         K,
         fft_backend=fft_backend,
         filter_name=filter_name,
+        fft_engine=fft_engine,
         img_rows=h,
     ).reshape(b, 3, hp, wp)
     return restored[..., :h, :w]
@@ -64,6 +66,7 @@ def _batched_images_core(
     fft_backend: str,
     filter_name: str,
     white_balance: bool,
+    fft_engine: str = "mxu",
 ):
     """(B, H, W, 3) uint8/float BGR -> ((B, H, W, 3) uint8, (B, 3, H, W)
     planes): the batched analog of pipeline._restore_core — ALL
@@ -82,6 +85,7 @@ def _batched_images_core(
         psf_length=psf_length,
         fft_backend=fft_backend,
         filter_name=filter_name,
+        fft_engine=fft_engine,
     )
     if white_balance:
         from fft_restoration_tpu.ops.color import (
@@ -120,8 +124,10 @@ class BatchedWienerPipeline:
         fft_backend: str = "matmul",
         filter_name: str = "wiener",
         white_balance: bool = True,
+        fft_engine: str = "mxu",
     ):
         self.fft_backend = fft_backend
+        self.fft_engine = fft_engine
         self.filter_name = filter_name
         self.white_balance = white_balance
         self._cache = {}
@@ -136,6 +142,7 @@ class BatchedWienerPipeline:
                     psf_length=psf_length,
                     fft_backend=self.fft_backend,
                     filter_name=self.filter_name,
+                    fft_engine=self.fft_engine,
                 )
             )
         return self._cache[key]
@@ -176,6 +183,7 @@ class BatchedWienerPipeline:
                     fft_backend=self.fft_backend,
                     filter_name=self.filter_name,
                     white_balance=self.white_balance,
+                    fft_engine=self.fft_engine,
                 )
             )
         out, _ = self._img_cache[key](

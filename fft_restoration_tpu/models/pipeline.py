@@ -576,8 +576,17 @@ class WienerDeblurPipeline:
             self._cache[key] = jax.jit(fn, donate_argnums=donate)
         return self._cache[key]
 
-    def _uses_psf_cache(self) -> bool:
-        return self.cache_psf_spectrum and self.fft_backend == "pallas"
+    def _uses_psf_cache(self, h: int, w: int) -> bool:
+        # mirror restore_planes' small-frame guard: below one (8,128)
+        # tile the pallas path reroutes to matmul on hardware, which
+        # ignores psf_spectrum — computing it would ALSO run the sub-128
+        # pallas kernels Mosaic rejects
+        hp, wp = next_power_of_two(h), next_power_of_two(w)
+        return (
+            self.cache_psf_spectrum
+            and self.fft_backend == "pallas"
+            and min(hp, wp) >= 128
+        )
 
     def _psf_spectrum(self, h: int, w: int, psf_length: int, angle: float):
         from fft_restoration_tpu.models.pipeline import psf_spectrum_planes
@@ -599,7 +608,12 @@ class WienerDeblurPipeline:
             # evict oldest-first
             if len(self._psf_cache) >= 8:
                 self._psf_cache.pop(next(iter(self._psf_cache)))
-            self._psf_cache[key] = self._psf_fns[fkey](jnp.float32(angle))
+            H = self._psf_fns[fkey](jnp.float32(angle))
+            if self.device is not None:
+                # pin to the pipeline's device: jit rejects mixed
+                # committed-device inputs
+                H = tuple(jax.device_put(p, self.device) for p in H)
+            self._psf_cache[key] = H
         return self._psf_cache[key]
 
     def _check_psf_fits(self, h: int, w: int, psf_length: int) -> None:
@@ -641,7 +655,7 @@ class WienerDeblurPipeline:
         self._check_psf_fits(img.shape[0], img.shape[1], int(psf_length))
         if self.device is not None:
             img = jax.device_put(img, self.device)
-        if self._uses_psf_cache():
+        if self._uses_psf_cache(img.shape[0], img.shape[1]):
             H = self._psf_spectrum(
                 img.shape[0], img.shape[1], int(psf_length), float(psf_angle)
             )

@@ -95,6 +95,7 @@ def sharded_fft2d_conv_fwd(
     axis_name: str = ROWS_AXIS,
     true_w: int | None = None,
     true_h: int | None = None,
+    engine: str = "mxu",
 ) -> SoA:
     """Forward 2D DFT that STOPS in the transposed, column-sharded
     layout: local block (..., H/D, W) -> spectrum block (..., W/D, H).
@@ -112,12 +113,14 @@ def sharded_fft2d_conv_fwd(
     true_w/true_h: logical (pow2) extents when the global layout is
     padded for a non-power-of-two mesh (see _fft_true).
     """
-    re, im = _fft_true(re, im, False, backend, true_w, conv_layout=True)
+    re, im = _fft_true(re, im, False, backend, true_w, conv_layout=True,
+                       engine=engine)
     re = _reshard_rows_to_cols(re, axis_name)
     im = _reshard_rows_to_cols(im, axis_name)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
-    return _fft_true(re, im, False, backend, true_h, conv_layout=True)
+    return _fft_true(re, im, False, backend, true_h, conv_layout=True,
+                     engine=engine)
 
 
 def sharded_fft2d_conv_inv(
@@ -127,15 +130,18 @@ def sharded_fft2d_conv_inv(
     axis_name: str = ROWS_AXIS,
     true_w: int | None = None,
     true_h: int | None = None,
+    engine: str = "mxu",
 ) -> SoA:
     """Inverse of sharded_fft2d_conv_fwd: spectrum block (..., W/D, H)
     -> spatial block (..., H/D, W), unscaled. One all_to_all."""
-    re, im = _fft_true(re, im, True, backend, true_h, conv_layout=True)
+    re, im = _fft_true(re, im, True, backend, true_h, conv_layout=True,
+                       engine=engine)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
     re = _reshard_cols_to_rows(re, axis_name)
     im = _reshard_cols_to_rows(im, axis_name)
-    return _fft_true(re, im, True, backend, true_w, conv_layout=True)
+    return _fft_true(re, im, True, backend, true_w, conv_layout=True,
+                     engine=engine)
 
 
 def sharded_fft2d(

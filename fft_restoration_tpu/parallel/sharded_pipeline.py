@@ -51,6 +51,7 @@ def _local_restore_planes(
     fft_backend: str,
     filter_name: str,
     axis_name: str = ROWS_AXIS,
+    fft_engine: str = "mxu",
 ) -> jnp.ndarray:
     """Per-device body (inside shard_map). Blocks: ch (C, Hpad/D, Wpad),
     psf/lap (Hpad/D, Wpad). Returns normalized restored block.
@@ -81,6 +82,7 @@ def _local_restore_planes(
     else:
         n_chan = None
         p_re, p_im = ch_blk, jnp.zeros_like(ch_blk)
+    tw["engine"] = fft_engine
     G = sharded_fft2d_conv_fwd(p_re, p_im, fft_backend, axis_name, **tw)
     H = sharded_fft2d_conv_fwd(psf_blk, zero_p, fft_backend, axis_name, **tw)
     if filter_name == "wiener":
@@ -132,6 +134,7 @@ def _sharded_core(
     fft_backend: str,
     filter_name: str,
     white_balance: bool,
+    fft_engine: str = "mxu",
 ):
     """(H, W, 3) float32 BGR global -> (uint8 image, restored planes)."""
     h, w = img_f32.shape[:2]
@@ -171,6 +174,7 @@ def _sharded_core(
         _local_restore_planes,
         hp=hp,
         wp=wp,
+        fft_engine=fft_engine,
         fft_backend=fft_backend,
         filter_name=filter_name,
     )
@@ -219,6 +223,7 @@ def sharded_restore_planes(
     mesh: Optional[Mesh] = None,
     fft_backend: str = "matmul",
     filter_name: str = "wiener",
+    fft_engine: str = "mxu",
 ) -> np.ndarray:
     """Mid-level API: restore (C, Hp, Wp) pow-2 planes with an explicit
     (S, S) PSF on a row-sharded mesh. Returns normalized planes.
@@ -244,6 +249,7 @@ def sharded_restore_planes(
         _local_restore_planes,
         hp=hp,
         wp=wp,
+        fft_engine=fft_engine,
         fft_backend=fft_backend,
         filter_name=filter_name,
     )
@@ -277,6 +283,7 @@ def sharded_batched_restore_planes(
     mesh: Optional[Mesh] = None,
     fft_backend: str = "matmul",
     filter_name: str = "wiener",
+    fft_engine: str = "mxu",
 ) -> np.ndarray:
     """Batch-AND-row-sharded restoration over a 2D (batch, rows) mesh.
 
@@ -308,6 +315,7 @@ def sharded_batched_restore_planes(
         _local_restore_planes,
         hp=hp,
         wp=wp,
+        fft_engine=fft_engine,
         fft_backend=fft_backend,
         filter_name=filter_name,
     )
@@ -445,9 +453,11 @@ class ShardedWienerPipeline:
         fft_backend: str = "matmul",
         filter_name: str = "wiener",
         white_balance: bool = True,
+        fft_engine: str = "mxu",
     ):
         self.mesh = mesh or make_mesh()
         self.fft_backend = fft_backend
+        self.fft_engine = fft_engine
         self.filter_name = filter_name
         self.white_balance = white_balance
         self._cache = {}
@@ -462,6 +472,7 @@ class ShardedWienerPipeline:
                 fft_backend=self.fft_backend,
                 filter_name=self.filter_name,
                 white_balance=self.white_balance,
+                fft_engine=self.fft_engine,
             )
             self._cache[key] = jax.jit(fn)
         return self._cache[key]

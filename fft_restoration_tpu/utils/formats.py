@@ -53,8 +53,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if w <= 0 or h == 0:
         raise ValueError(f"corrupt BMP: bad dimensions {w}x{h}")
     if compression == 3 and bpp in (16, 32):
-        # BI_BITFIELDS: only the canonical byte-aligned masks are supported
-        masks = struct.unpack("<III", data[hdr_size + 14 : hdr_size + 26]) if hdr_size == 40 else struct.unpack("<III", data[54:66])
+        # BI_BITFIELDS: only the canonical byte-aligned masks are
+        # supported. The masks sit at absolute offset 54 for every
+        # supported header (BITMAPINFOHEADER appends them after the
+        # 40-byte header; V4/V5 embed them at the same file offset).
+        masks = struct.unpack("<III", data[54:66])
         if bpp == 32 and masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
             raise ValueError("BMP BI_BITFIELDS with non-standard masks not supported")
         if bpp == 16:
@@ -84,6 +87,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     if bpp == 8:
+        if rows.max(initial=0) >= len(palette):
+            raise ValueError(
+                f"corrupt BMP: palette index {int(rows.max())} >= "
+                f"palette size {len(palette)}"
+            )
         return palette[rows]
     img = rows.reshape(h, w, nbytes_px)
     if nbytes_px == 3:
@@ -157,11 +165,22 @@ def decode_pnm(data: bytes) -> np.ndarray:
     body = data[2 + end :]
 
     if kind in (1, 2, 3):  # ASCII formats
+        # comments run from '#' to end of line and are legal anywhere
+        # in plain PNM, including mid-raster
+        body = re.sub(rb"#[^\n]*", b"", body)
         try:
-            vals = np.array(
-                [int(t) for t in _PNM_WS.split(body.strip()) if t and not t.startswith(b"#")],
-                dtype=np.int64,
-            )
+            if kind == 1:
+                # plain PBM needs NO separators between digits
+                # (spec-conformant writers emit rows like '0110')
+                digits = re.sub(rb"\s+", b"", body)
+                if digits and not re.fullmatch(rb"[01]+", digits):
+                    raise ValueError(f"non-bit byte in P1 raster")
+                vals = np.frombuffer(digits, np.uint8).astype(np.int64) - ord("0")
+            else:
+                vals = np.array(
+                    [int(t) for t in _PNM_WS.split(body.strip()) if t],
+                    dtype=np.int64,
+                )
         except ValueError as e:
             raise ValueError(f"corrupt PNM: bad ASCII sample: {e}") from e
         if kind == 1:
@@ -275,6 +294,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if one(284, 1) != 1:
         raise ValueError("TIFF PlanarConfiguration=2 (planar) not supported")
     photometric = one(262, 1)
+    if photometric not in (0, 1, 2):
+        raise ValueError(
+            f"TIFF PhotometricInterpretation {photometric} not supported "
+            "(gray/RGB only)"
+        )
     offsets = tags.get(273)
     if not offsets:
         raise ValueError("corrupt TIFF: missing StripOffsets")

@@ -6,10 +6,11 @@ surface (/root/reference/serial.cpp writes via OpenCV, which accepts
 layout that every decoder accepts), standard Annex-K quantization
 tables scaled by the libjpeg quality formula, standard Huffman tables.
 
-Vectorized throughout: the forward DCT is one einsum over all 8x8
-blocks of a component; entropy coding packs (run, size) symbols with a
-NumPy bit-accumulator per block row. Round-trips through our own
-decoder and cv2 at > 30 dB for natural images at quality 90.
+The forward DCT is one einsum over all 8x8 blocks of a component;
+entropy coding is a per-block Python loop over nonzero coefficients
+with a truncating bit accumulator (linear in output size). Round-trips
+through our own decoder and cv2 at > 30 dB for natural images at
+quality 90.
 """
 
 from __future__ import annotations
@@ -128,6 +129,10 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
+        # truncate drained bits: without this the accumulator grows into
+        # one ever-larger bigint and every shift becomes O(total bits) —
+        # quadratic in output size (a 2048^2 encode would take hours)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:

@@ -164,9 +164,9 @@ def test_batch_chunking(tmp_path, monkeypatch):
     calls = []
     real = cli._restore_group
 
-    def spy(args, group, out_dir, single):
+    def spy(args, group, out_dir, single, batched=None):
         calls.append(len(group))
-        return real(args, group, out_dir, single)
+        return real(args, group, out_dir, single, batched)
 
     monkeypatch.setattr(cli, "_restore_group", spy)
     # shrink the chunk budget so 5 tiny frames split into multiple calls

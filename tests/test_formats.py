@@ -290,3 +290,45 @@ def test_random_bytes_fuzz():
                 formats.decode(blob)
             except ValueError:
                 pass
+
+
+def test_pnm_p1_unseparated_and_raster_comments():
+    """Code-review regressions: P1 digits need no separators, and '#'
+    comments are legal mid-raster in every plain format."""
+    got = formats.decode_pnm(b"P1\n4 2\n0110\n1001\n")
+    np.testing.assert_array_equal(
+        got, [[255, 0, 0, 255], [0, 255, 255, 0]]
+    )
+    got = formats.decode_pnm(b"P2\n2 2\n255\n0 64\n# note 99\n128 255\n")
+    np.testing.assert_array_equal(got, [[0, 64], [128, 255]])
+
+
+def test_bmp_palette_index_out_of_range():
+    import struct as _s
+
+    img = _gray(4, 4)
+    # hand-build an 8-bit BMP with a 2-entry palette but index 200
+    pal = b"\x00\x00\x00\x00" + b"\xff\xff\xff\x00"
+    stride = (4 + 3) & ~3
+    pix = bytes([200] * stride * 4)
+    info = _s.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, len(pix), 0, 0, 2, 0)
+    hdr = _s.pack("<2sIHHI", b"BM", 14 + 40 + len(pal) + len(pix), 0, 0,
+                  14 + 40 + len(pal))
+    with pytest.raises(ValueError, match="palette index"):
+        formats.decode_bmp(hdr + info + pal + pix)
+
+
+def test_tiff_unsupported_photometric():
+    blob = bytearray(formats.encode_tiff(_gray(4, 4)))
+    tags = formats._tiff_ifd(bytes(blob), "<")
+    # rewrite the Photometric tag value to 3 (palette)
+    import struct as _s
+
+    n = _s.unpack("<H", blob[8:10])[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        tag = _s.unpack("<H", blob[e : e + 2])[0]
+        if tag == 262:
+            blob[e + 8 : e + 10] = _s.pack("<H", 3)
+    with pytest.raises(ValueError, match="PhotometricInterpretation"):
+        formats.decode_tiff(bytes(blob))
