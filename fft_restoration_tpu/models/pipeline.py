@@ -162,6 +162,29 @@ def _spectral_megakernel_profitable(m: int, n: int) -> bool:
     return n >= 512
 
 
+def _fwd_rows_t_live(re, im, live_rows, engine, **kw):
+    """Forward row pass with transposed block writes, transforming only
+    the first `live_rows` rows (rows beyond are all-zero padding — a row
+    FFT of zeros is zeros) and zero-refilling the transposed LANE axis.
+    The shared primitive behind the PSF's live-row trick and the image's
+    padded-frame slicing (all first-pass variants of the fused path)."""
+    from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+
+    m = re.shape[-2]
+    slicing = live_rows is not None and live_rows < m
+    if slicing:
+        re = re[..., :live_rows, :]
+        im = None if im is None else im[..., :live_rows, :]
+    lre, lim = fft_rows_pallas(
+        re, im, False, ordering="revorder", transposed_output=True,
+        engine=engine, **kw,
+    )
+    if slicing:
+        pad = [(0, 0)] * (lre.ndim - 1) + [(0, m - live_rows)]
+        lre, lim = jnp.pad(lre, pad), jnp.pad(lim, pad)
+    return lre, lim
+
+
 def psf_spectrum_planes(psf, hp, wp, engine="mxu", psf_rows=None):
     """2D forward transform of the corner-anchored padded PSF in the
     pallas fast path's layout (transposed orientation, revorder/hybrid
@@ -172,19 +195,7 @@ def psf_spectrum_planes(psf, hp, wp, engine="mxu", psf_rows=None):
 
     psf_pad = _pad2d(psf, hp, wp)
     rows = psf.shape[-2] if psf_rows is None else psf_rows
-    if rows < hp:
-        live = psf_pad[..., :rows, :]
-        lre, lim = fft_rows_pallas(
-            live, None, False, ordering="revorder", transposed_output=True,
-            engine=engine,
-        )
-        pad = [(0, 0)] * (lre.ndim - 1) + [(0, hp - rows)]
-        re, im = jnp.pad(lre, pad), jnp.pad(lim, pad)
-    else:
-        re, im = fft_rows_pallas(
-            psf_pad, None, False, ordering="revorder", transposed_output=True,
-            engine=engine,
-        )
+    re, im = _fwd_rows_t_live(psf_pad, None, rows, engine)
     return fft_rows_pallas(re, im, False, ordering="revorder", engine=engine)
 
 
@@ -222,24 +233,8 @@ def _restore_planes_pallas_fused(
         # rows pass with TRANSPOSED block writes (the XLA transpose's
         # HBM round trip happens inside the kernel's VMEM instead —
         # measured 11% faster, tools/perf_ab.py twrite) -> cols-as-rows
-        # pass; STAY transposed.
-        # nonzero_rows: rows beyond it are all-zero (the PSF occupies
-        # psf_length rows of its padded plane) — a row FFT of zeros is
-        # zeros, so transform only the live rows and zero-refill.
-        if nonzero_rows is not None and nonzero_rows < re.shape[-2]:
-            live = re[..., :nonzero_rows, :]
-            lre, lim = fft_rows_pallas(
-                live, None, False, ordering="revorder", transposed_output=True,
-                engine=engine,
-            )
-            # transposed layout: pad the LANE axis (former rows)
-            pad = [(0, 0)] * (re.ndim - 1) + [(0, re.shape[-2] - nonzero_rows)]
-            re, im = jnp.pad(lre, pad), jnp.pad(lim, pad)
-        else:
-            re, im = fft_rows_pallas(
-                re, None, False, ordering="revorder", transposed_output=True,
-                engine=engine,
-            )
+        # pass; STAY transposed. nonzero_rows: see _fwd_rows_t_live.
+        re, im = _fwd_rows_t_live(re, None, nonzero_rows, engine)
         return fft_rows_pallas(re, im, False, ordering="revorder", engine=engine)
 
     # PSF spectrum: plain two-pass forward (1 plane), or the caller's
@@ -261,62 +256,17 @@ def _restore_planes_pallas_fused(
                     [channels, jnp.zeros_like(channels[:1])], axis=0
                 )
             )
-            # img_rows: like the PSF's live-row slice, the rows beyond
-            # the original image height are all-zero padding — transform
-            # only the live rows and zero-refill the transposed lane
-            # axis (UHD pads 2160 -> 4096: −47% of this pass)
-            if img_rows is not None and img_rows < pk.shape[-2]:
-                live = pk[..., :img_rows, :]
-                lre, lim = fft_rows_pallas(
-                    live, None, False, ordering="revorder",
-                    transposed_output=True, packed_planes=True, engine=engine,
-                )
-                padw = [(0, 0)] * (lre.ndim - 1) + [
-                    (0, pk.shape[-2] - img_rows)
-                ]
-                a_re, a_im = jnp.pad(lre, padw), jnp.pad(lim, padw)
-            else:
-                a_re, a_im = fft_rows_pallas(
-                    pk,
-                    None,
-                    False,
-                    ordering="revorder",
-                    transposed_output=True,
-                    packed_planes=True,
-                    engine=engine,
-                )
+            # img_rows: the image's padded rows are all-zero, exactly
+            # like the PSF's — slice the live rows (UHD pads
+            # 2160 -> 4096: −47% of this pass)
+            a_re, a_im = _fwd_rows_t_live(
+                pk, None, img_rows, engine, packed_planes=True
+            )
         else:
-            a_re, a_im = _pack_channel_pairs(channels)
-            if img_rows is not None and img_rows < a_re.shape[-2]:
-                lre, lim = fft_rows_pallas(
-                    a_re[..., :img_rows, :], a_im[..., :img_rows, :],
-                    False, ordering="revorder", transposed_output=True,
-                    engine=engine,
-                )
-                padw = [(0, 0)] * (lre.ndim - 1) + [
-                    (0, a_re.shape[-2] - img_rows)
-                ]
-                a_re, a_im = jnp.pad(lre, padw), jnp.pad(lim, padw)
-            else:
-                a_re, a_im = fft_rows_pallas(
-                    a_re, a_im, False, ordering="revorder",
-                    transposed_output=True, engine=engine,
-                )
+            p_re, p_im = _pack_channel_pairs(channels)
+            a_re, a_im = _fwd_rows_t_live(p_re, p_im, img_rows, engine)
     else:
-        if img_rows is not None and img_rows < channels.shape[-2]:
-            lre, lim = fft_rows_pallas(
-                channels[..., :img_rows, :], None, False, ordering="revorder",
-                transposed_output=True, engine=engine,
-            )
-            padw = [(0, 0)] * (lre.ndim - 1) + [
-                (0, channels.shape[-2] - img_rows)
-            ]
-            a_re, a_im = jnp.pad(lre, padw), jnp.pad(lim, padw)
-        else:
-            a_re, a_im = fft_rows_pallas(
-                channels, None, False, ordering="revorder",
-                transposed_output=True, engine=engine,
-            )
+        a_re, a_im = _fwd_rows_t_live(channels, None, img_rows, engine)
     # Middle of the 2D restore. Wiener gets the fully fused spectral
     # kernel (col-FFT + filter + col-IFFT with transposed writes — the
     # filtered 2D spectrum never touches HBM), viable since the MXU
