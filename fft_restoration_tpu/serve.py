@@ -1,0 +1,218 @@
+"""Minimal production serving endpoint (stdlib HTTP, no dependencies).
+
+The reference is a single-shot CLI (serial.cpp:9); this is the serving
+counterpart the framework is built for: one process per chip behind a
+load balancer (docs/SERVING.md), compiled executables warmed at startup,
+uint8 ingest straight to the device.
+
+    python -m fft_restoration_tpu.serve --port 8571 \\
+        --psf-length 50 --psf-angle 30 --backend pallas \\
+        --warmup 2048x2048 782x1920
+
+API:
+  POST /restore            body = image bytes (PNG/JPEG/BMP/PNM/TIFF);
+                           query params psf_length, psf_angle, K
+                           override the defaults. Response: PNG bytes.
+  GET  /healthz            JSON liveness + device + compiled-shape list.
+
+Concurrency: requests are served on a thread pool but restoration is
+serialized per process around the single device context — scale out
+with processes/chips, not threads (docs/SERVING.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fft_restoration_tpu.serve")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8571)
+    p.add_argument("--psf-length", type=int, default=50)
+    p.add_argument("--psf-angle", type=float, default=30.0)
+    p.add_argument("-K", type=float, default=0.01)
+    p.add_argument(
+        "--backend",
+        choices=("radix2", "matmul", "naive", "xla", "pallas"),
+        default="pallas",
+    )
+    p.add_argument("--fft-engine", choices=("mxu", "roll"), default="mxu")
+    p.add_argument("--no-white-balance", action="store_true")
+    p.add_argument(
+        "--warmup",
+        nargs="*",
+        default=[],
+        metavar="HxW",
+        help="frame geometries (HEIGHTxWIDTH) to pre-compile at startup",
+    )
+    return p
+
+
+class RestorationService:
+    """Pipeline + lock + stats; shared by all request threads."""
+
+    def __init__(self, args):
+        from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+        self.args = args
+        self.pipe = WienerDeblurPipeline(
+            fft_backend=args.backend,
+            white_balance=not args.no_white_balance,
+            fft_engine=args.fft_engine,
+        )
+        self.lock = threading.Lock()
+        self.n_served = 0
+        self.started = time.time()
+
+    def warm(self, shapes) -> None:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        for spec in shapes:
+            h, w = (int(v) for v in spec.lower().split("x"))
+            t0 = time.perf_counter()
+            with self.lock:
+                self.pipe.restore(
+                    (rng.random((h, w, 3)) * 255).astype("uint8"),
+                    self.args.psf_length,
+                    self.args.psf_angle,
+                    self.args.K,
+                )
+            print(
+                f"[serve] warmed H={h} W={w} in "
+                f"{time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+
+    def restore(self, blob: bytes, length: int, angle: float, K: float) -> bytes:
+        import numpy as np
+
+        from fft_restoration_tpu.utils import formats
+        from fft_restoration_tpu.utils.imageio import (
+            _PNG_SIG,
+            decode_png,
+            encode_png,
+        )
+
+        if blob[:2] == b"\xff\xd8":
+            from fft_restoration_tpu.utils.jpeg import decode_jpeg
+
+            img = decode_jpeg(blob)
+        elif blob[:8] == _PNG_SIG:
+            img = decode_png(blob)
+        elif formats.sniff(blob):
+            img = formats.decode(blob)
+        else:
+            raise ValueError("unrecognised image format")
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        img = img[..., :3][..., ::-1]  # RGB(A) -> BGR
+        with self.lock:
+            out = self.pipe.restore(np.ascontiguousarray(img), length, angle, K)
+            self.n_served += 1
+        return encode_png(out[..., ::-1])  # BGR -> RGB PNG
+
+    def health(self) -> dict:
+        import jax
+
+        return {
+            "status": "ok",
+            "backend": self.args.backend,
+            "device": str(jax.devices()[0]),
+            "compiled_shapes": sorted(
+                f"{h}x{w}" for (h, w, *_rest) in self.pipe._cache
+            ),
+            "served": self.n_served,
+            "uptime_s": round(time.time() - self.started, 1),
+        }
+
+
+def make_handler(service: RestorationService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet access log to stderr
+            print("[serve]", fmt % a, file=sys.stderr)
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path != "/healthz":
+                self._send(404, b'{"error": "not found"}', "application/json")
+                return
+            self._send(
+                200,
+                json.dumps(service.health()).encode(),
+                "application/json",
+            )
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/restore":
+                self._send(404, b'{"error": "not found"}', "application/json")
+                return
+            q = parse_qs(url.query)
+
+            def one(name, cast, default):
+                try:
+                    return cast(q[name][0]) if name in q else default
+                except (TypeError, ValueError):
+                    raise ValueError(f"bad query param {name!r}")
+
+            try:
+                length = one("psf_length", int, service.args.psf_length)
+                angle = one("psf_angle", float, service.args.psf_angle)
+                K = one("K", float, service.args.K)
+                n = int(self.headers.get("Content-Length", 0))
+                if n <= 0:
+                    raise ValueError("empty body")
+                blob = self.rfile.read(n)
+                png = service.restore(blob, length, angle, K)
+            except ValueError as e:
+                self._send(
+                    400,
+                    json.dumps({"error": str(e)}).encode(),
+                    "application/json",
+                )
+                return
+            self._send(200, png, "image/png")
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from fft_restoration_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+    service = RestorationService(args)
+    if args.warmup:
+        service.warm(args.warmup)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    print(
+        f"[serve] listening on {args.host}:{server.server_address[1]} "
+        f"(backend={args.backend}, PSF {args.psf_length}@{args.psf_angle})",
+        file=sys.stderr,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
