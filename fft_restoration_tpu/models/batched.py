@@ -192,6 +192,24 @@ class BatchedWienerPipeline:
         return np.asarray(out)
 
 
+def _sweep_one_length(
+    chans, angles, K, *, h, w, psf_length, fft_backend
+):
+    def one_angle(angle):
+        psf = motion_blur_kernel(psf_length, angle)
+        return restore_planes(
+            chans, psf, K, fft_backend=fft_backend, filter_name="wiener"
+        )[..., :h, :w]
+
+    return jax.vmap(one_angle)(angles)
+
+
+# jitted sweep executables keyed on (shape, length, backend): fresh
+# closures per call would RE-TRACE every sweep (measured 10.4 s of host
+# overhead for a 16-point car sweep whose device work is ~3 ms)
+_SWEEP_JIT_CACHE = {}
+
+
 def psf_grid_sweep(
     img_bgr: np.ndarray,
     psf_lengths,
@@ -213,11 +231,16 @@ def psf_grid_sweep(
     results = []
     angles = jnp.asarray(np.asarray(psf_angles, np.float32))
     for length in psf_lengths:
-        def one_angle(angle, length=int(length)):
-            psf = motion_blur_kernel(length, angle)
-            return restore_planes(
-                chans, psf, K, fft_backend=fft_backend, filter_name="wiener"
-            )[..., :h, :w]
-
-        results.append(jax.jit(jax.vmap(one_angle))(angles))
+        key = (h, w, int(length), fft_backend)
+        if key not in _SWEEP_JIT_CACHE:
+            _SWEEP_JIT_CACHE[key] = jax.jit(
+                functools.partial(
+                    _sweep_one_length,
+                    h=h,
+                    w=w,
+                    psf_length=int(length),
+                    fft_backend=fft_backend,
+                )
+            )
+        results.append(_SWEEP_JIT_CACHE[key](chans, angles, jnp.float32(K)))
     return np.asarray(jnp.stack(results, axis=0))
