@@ -216,6 +216,20 @@ def _sharded_core(
     return out, cropped
 
 
+# jitted shard_map executables for the mid-level plane APIs, keyed on
+# (mesh, shapes, config): fresh jit objects per call would re-trace the
+# whole sharded graph on every invocation (the class-based pipelines
+# already cache; these module-level APIs are called per CLI size-group)
+_SHARDED_JIT_CACHE = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (
+        tuple(mesh.shape.items()),
+        tuple(int(d.id) for d in mesh.devices.flat),
+    )
+
+
 def sharded_restore_planes(
     channels: np.ndarray,
     psf: np.ndarray,
@@ -245,28 +259,34 @@ def sharded_restore_planes(
     lap[0, 0] = 4.0
     lap[0, 1] = lap[1, 0] = lap[0, wp - 1] = lap[hp - 1, 0] = -1.0
 
-    local_fn = functools.partial(
-        _local_restore_planes,
-        hp=hp,
-        wp=wp,
-        fft_engine=fft_engine,
-        fft_backend=fft_backend,
-        filter_name=filter_name,
+    key = (
+        "planes", _mesh_key(mesh), channels.shape, hp, wp,
+        fft_backend, filter_name, fft_engine,
     )
-    fn = jax.jit(
-        jax.shard_map(
-            local_fn,
-            mesh=mesh,
-            check_vma=False,
-            in_specs=(
-                P(None, ROWS_AXIS, None),
-                P(ROWS_AXIS, None),
-                P(ROWS_AXIS, None),
-                P(),
-            ),
-            out_specs=P(None, ROWS_AXIS, None),
+    if key not in _SHARDED_JIT_CACHE:
+        local_fn = functools.partial(
+            _local_restore_planes,
+            hp=hp,
+            wp=wp,
+            fft_engine=fft_engine,
+            fft_backend=fft_backend,
+            filter_name=filter_name,
         )
-    )
+        _SHARDED_JIT_CACHE[key] = jax.jit(
+            jax.shard_map(
+                local_fn,
+                mesh=mesh,
+                check_vma=False,
+                in_specs=(
+                    P(None, ROWS_AXIS, None),
+                    P(ROWS_AXIS, None),
+                    P(ROWS_AXIS, None),
+                    P(),
+                ),
+                out_specs=P(None, ROWS_AXIS, None),
+            )
+        )
+    fn = _SHARDED_JIT_CACHE[key]
     out = fn(
         jnp.asarray(channels, jnp.float32),
         jnp.asarray(psf_pad),
@@ -311,28 +331,34 @@ def sharded_batched_restore_planes(
     lap[0, 0] = 4.0
     lap[0, 1] = lap[1, 0] = lap[0, wp - 1] = lap[hp - 1, 0] = -1.0
 
-    local_fn = functools.partial(
-        _local_restore_planes,
-        hp=hp,
-        wp=wp,
-        fft_engine=fft_engine,
-        fft_backend=fft_backend,
-        filter_name=filter_name,
+    key = (
+        "batch", _mesh_key(mesh), stack.shape, hp, wp,
+        fft_backend, filter_name, fft_engine,
     )
-    fn = jax.jit(
-        jax.shard_map(
-            local_fn,
-            mesh=mesh,
-            check_vma=False,
-            in_specs=(
-                P(BATCH_AXIS, None, ROWS_AXIS, None),
-                P(ROWS_AXIS, None),
-                P(ROWS_AXIS, None),
-                P(),
-            ),
-            out_specs=P(BATCH_AXIS, None, ROWS_AXIS, None),
+    if key not in _SHARDED_JIT_CACHE:
+        local_fn = functools.partial(
+            _local_restore_planes,
+            hp=hp,
+            wp=wp,
+            fft_engine=fft_engine,
+            fft_backend=fft_backend,
+            filter_name=filter_name,
         )
-    )
+        _SHARDED_JIT_CACHE[key] = jax.jit(
+            jax.shard_map(
+                local_fn,
+                mesh=mesh,
+                check_vma=False,
+                in_specs=(
+                    P(BATCH_AXIS, None, ROWS_AXIS, None),
+                    P(ROWS_AXIS, None),
+                    P(ROWS_AXIS, None),
+                    P(),
+                ),
+                out_specs=P(BATCH_AXIS, None, ROWS_AXIS, None),
+            )
+        )
+    fn = _SHARDED_JIT_CACHE[key]
     out = fn(
         jnp.asarray(stack),
         jnp.asarray(psf_pad),
