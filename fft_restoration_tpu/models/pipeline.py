@@ -151,15 +151,22 @@ def restore_planes(
     return _minmax_normalize(restored)
 
 
-def _spectral_megakernel_profitable(m: int, n: int) -> bool:
+def _spectral_megakernel_profitable(m: int, n: int, engine: str = "auto") -> bool:
     """Shape gate for the fused spectral middle (wiener_spectral_rows_t).
 
     Per-config same-process A/B (docs/PERF.md): the one-kernel middle is
     even-to-slightly-better than the half-fused pair at every
     single-frame config (2048² −0.03 ms, cat n=1024 −0.014, car n=512
     −0.001, UHD n=4096 −0.062) and a hair worse on small batched stacks
-    (batch64 n=256: +0.024 ms). Gate to n >= 512 where it never loses."""
-    return n >= 512
+    (batch64 n=256: +0.024 ms). Gate to n >= 512 where it never loses.
+
+    Only the MXU engine keeps the 2·log2(n)-stage fused body inside
+    VMEM; the all-roll body spills and loses (module notes in
+    wiener_spectral.py), so the gate also requires the resolved engine
+    to be 'mxu'."""
+    from fft_restoration_tpu.ops.pallas.fft_kernel import _resolve_engine
+
+    return n >= 512 and _resolve_engine(engine, n, "revorder") == "mxu"
 
 
 def _fwd_rows_t_live(re, im, live_rows, engine, **kw):
@@ -279,7 +286,7 @@ def _restore_planes_pallas_fused(
     )
 
     if filter_name == "wiener" and _spectral_megakernel_profitable(
-        a_re.shape[-2], a_re.shape[-1]
+        a_re.shape[-2], a_re.shape[-1], engine
     ):
         r = wiener_spectral_rows_t((a_re, a_im), H, K, engine=engine)
     else:

@@ -17,13 +17,16 @@ forward path, and the output leaves in spatial-domain transposed
 orientation ready for the final row IFFT. Elementwise filtering is
 order-agnostic so the bit-reversed order is free (fft_kernel.py).
 
-Measured note (v5e, 2048sq x3): the fused pipeline ran 11.96 ms vs
-3.13 ms for the unfused three-kernel sequence — the 22 unrolled stages
-plus filter in one body exceed the VMEM working set Mosaic can keep
-resident, and spills eat the saved HBM passes. Kept as an op (correct,
-parity 5e-7 vs the matmul backend); models/pipeline.py uses the unfused
-sequence. Revisit with scratch-buffer staging if a future round wants
-the last ~25% of HBM traffic back.
+Measured history (v5e, 2048sq x3): with the all-roll stage bodies the
+fused pipeline ran 11.96 ms vs 3.13 ms unfused — 22 unrolled roll
+stages plus filter in one body exceeded the VMEM working set and
+spills ate the saved HBM passes. The MXU-hybrid engine (docs/
+MXU_ENGINE.md) shrank the stage body enough to flip that: the fused
+middle now wins or ties at every single-frame config (2048² −0.03 ms,
+UHD −0.062; docs/PERF.md), and models/pipeline.py USES this kernel for
+n >= 512 when the resolved engine is 'mxu'
+(_spectral_megakernel_profitable). The roll engine keeps the unfused
+three-kernel fallback.
 """
 
 from __future__ import annotations

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="pallas",
     )
     p.add_argument("--fft-engine", choices=("mxu", "roll"), default="mxu")
+    p.add_argument(
+        "--max-body-mb",
+        type=float,
+        default=64.0,
+        help="reject request bodies above this size with HTTP 413",
+    )
     p.add_argument("--no-white-balance", action="store_true")
     p.add_argument(
         "--warmup",
@@ -71,6 +77,7 @@ class RestorationService:
         self.lock = threading.Lock()
         self.n_served = 0
         self.started = time.time()
+        self.max_body = int(args.max_body_mb * 1024 * 1024)
 
     def warm(self, shapes) -> None:
         import numpy as np
@@ -95,26 +102,12 @@ class RestorationService:
     def restore(self, blob: bytes, length: int, angle: float, K: float) -> bytes:
         import numpy as np
 
-        from fft_restoration_tpu.utils import formats
-        from fft_restoration_tpu.utils.imageio import (
-            _PNG_SIG,
-            decode_png,
-            encode_png,
-        )
+        from fft_restoration_tpu.utils.imageio import decode_image_bgr, encode_png
 
-        if blob[:2] == b"\xff\xd8":
-            from fft_restoration_tpu.utils.jpeg import decode_jpeg
-
-            img = decode_jpeg(blob)
-        elif blob[:8] == _PNG_SIG:
-            img = decode_png(blob)
-        elif formats.sniff(blob):
-            img = formats.decode(blob)
-        else:
-            raise ValueError("unrecognised image format")
-        if img.ndim == 2:
-            img = np.repeat(img[..., None], 3, axis=-1)
-        img = img[..., :3][..., ::-1]  # RGB(A) -> BGR
+        # Shared decoder with cli/imread: same format dispatch, same
+        # channel canonicalisation (gray / gray+alpha / RGBA -> 3ch BGR),
+        # decoder-internal failures normalised to ValueError -> HTTP 400.
+        img = decode_image_bgr(blob)
         with self.lock:
             out = self.pipe.restore(np.ascontiguousarray(img), length, angle, K)
             self.n_served += 1
@@ -177,6 +170,15 @@ def make_handler(service: RestorationService):
                 n = int(self.headers.get("Content-Length", 0))
                 if n <= 0:
                     raise ValueError("empty body")
+                if n > service.max_body:
+                    self._send(
+                        413,
+                        json.dumps(
+                            {"error": f"body exceeds {service.max_body} bytes"}
+                        ).encode(),
+                        "application/json",
+                    )
+                    return
                 blob = self.rfile.read(n)
                 png = service.restore(blob, length, angle, K)
             except ValueError as e:

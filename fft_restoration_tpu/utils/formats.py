@@ -303,7 +303,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if not offsets:
         raise ValueError("corrupt TIFF: missing StripOffsets")
     rows_per_strip = one(278, h)
-    counts = tags.get(279, [w * spp * min(rows_per_strip, h)] * len(offsets))
+    # Absent StripByteCounts (tag 279): derive per-strip sizes, clamping
+    # the final strip to the rows actually remaining so a short last
+    # strip doesn't trip the truncation check below.
+    counts = tags.get(279) or [
+        w * spp * max(0, min(rows_per_strip, h - i * rows_per_strip))
+        for i in range(len(offsets))
+    ]
 
     chunks = []
     for off, cnt in zip(offsets, counts):

@@ -380,28 +380,35 @@ def probe_size(path: str) -> tuple:
     raise ValueError("unrecognised image format (PNG/JPEG/BMP/PNM/TIFF supported)")
 
 
-def imread(path: str) -> np.ndarray:
-    """Read an image file as BGR uint8 (H, W, 3), like cv::imread(IMREAD_COLOR).
+def decode_image_bgr(data: bytes) -> np.ndarray:
+    """Decode image bytes to BGR uint8 (H, W, 3), like cv::imread(IMREAD_COLOR).
 
     Formats, dispatched on magic bytes: PNG (this codec), baseline JPEG
     (utils/jpeg.py), BMP, PBM/PGM/PPM, and uncompressed TIFF
     (utils/formats.py) — the common cv::imread surface the reference's
-    drivers accept (/root/reference/serial.cpp:22)."""
-    data = Path(path).read_bytes()
-    if data[:2] == b"\xff\xd8":
-        from fft_restoration_tpu.utils.jpeg import decode_jpeg
+    drivers accept (/root/reference/serial.cpp:22). Channel
+    canonicalisation: gray and gray+alpha replicate to 3 channels, RGBA
+    drops alpha. Decoder-internal failures (truncated/garbage streams)
+    are normalised to ValueError."""
+    try:
+        if data[:2] == b"\xff\xd8":
+            from fft_restoration_tpu.utils.jpeg import decode_jpeg
 
-        img = decode_jpeg(data)
-    elif data[:8] == _PNG_SIG:
-        img = decode_png(data)
-    else:
-        from fft_restoration_tpu.utils import formats
+            img = decode_jpeg(data)
+        elif data[:8] == _PNG_SIG:
+            img = decode_png(data)
+        else:
+            from fft_restoration_tpu.utils import formats
 
-        if formats.sniff(data) is None:
-            raise ValueError(
-                "unrecognised image format (PNG/JPEG/BMP/PNM/TIFF supported)"
-            )
-        img = formats.decode(data)
+            if formats.sniff(data) is None:
+                raise ValueError(
+                    "unrecognised image format (PNG/JPEG/BMP/PNM/TIFF supported)"
+                )
+            img = formats.decode(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"corrupt image data: {e}") from e
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
     elif img.shape[-1] == 2:  # grayscale + alpha (color type 4)
@@ -409,6 +416,11 @@ def imread(path: str) -> np.ndarray:
     elif img.shape[-1] == 4:
         img = img[..., :3]
     return img[..., ::-1].copy()  # RGB -> BGR
+
+
+def imread(path: str) -> np.ndarray:
+    """Read an image file as BGR uint8 (H, W, 3) — see decode_image_bgr."""
+    return decode_image_bgr(Path(path).read_bytes())
 
 
 def imread_batch(paths, threads: int = 8) -> np.ndarray:
