@@ -286,6 +286,8 @@ def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
     if img.ndim == 2:
         color_type, channels = 0, 1
         img = img[..., None]
+    elif img.shape[-1] == 2:  # grayscale + alpha (color type 4)
+        color_type, channels = 4, 2
     elif img.shape[-1] == 3:
         color_type, channels = 2, 3
     elif img.shape[-1] == 4:

@@ -29,6 +29,7 @@ def server():
     yield srv.server_address
     srv.shutdown()
     srv.server_close()
+    service.batcher.shutdown()
 
 
 def _post(addr, path, body):
@@ -104,3 +105,128 @@ def test_health_after_serving(server):
     conn.close()
     assert body["served"] >= 1
     assert any("x" in s for s in body["compiled_shapes"])
+
+
+def test_restore_gray_alpha_png(server):
+    """2-channel gray+alpha PNG (color type 4) restores instead of 500ing:
+    serve shares imread's channel canonicalisation (advisor finding)."""
+    rng = np.random.default_rng(3)
+    ga = (rng.random((16, 24, 2)) * 255).astype(np.uint8)
+    status, data = _post(server, "/restore", encode_png(ga))
+    assert status == 200
+    assert decode_png(data).shape == (16, 24, 3)
+
+
+def test_restore_truncated_bmp_is_400(server):
+    """Decoder-internal failures (struct/IndexError) surface as HTTP 400,
+    not a dropped connection."""
+    rng = np.random.default_rng(4)
+    img = (rng.random((16, 32, 3)) * 255).astype(np.uint8)
+    blob = formats.encode_bmp(img)[:60]  # header sniffs as BMP, body gone
+    status, data = _post(server, "/restore", blob)
+    assert status == 400 and b"error" in data
+
+
+def test_body_too_large_is_413():
+    args = build_parser().parse_args(
+        ["--backend", "matmul", "--max-body-mb", "0.001"]
+    )
+    service = RestorationService(args)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, data = _post(srv.server_address, "/restore", b"x" * 4096)
+        assert status == 413 and b"error" in data
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        service.batcher.shutdown()
+
+
+@pytest.fixture(scope="module")
+def batch_server():
+    args = build_parser().parse_args(
+        [
+            "--backend",
+            "matmul",
+            "--psf-length",
+            "5",
+            "--max-batch",
+            "8",
+            "--batch-wait-ms",
+            "60",
+        ]
+    )
+    service = RestorationService(args)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address, service
+    srv.shutdown()
+    srv.server_close()
+    service.batcher.shutdown()
+
+
+def test_dynamic_batching_under_load(batch_server):
+    """N concurrent same-shape requests are grouped into device batches:
+    healthz occupancy shows >1 frame/dispatch, every response matches the
+    single-request output, and warm concurrent wall-clock stays well
+    under N x the warm single-request latency."""
+    import time
+
+    addr, service = batch_server
+    rng = np.random.default_rng(5)
+    img = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    blob = encode_png(img)
+
+    # warm: one single (compiles the single-frame graph), one concurrent
+    # burst (compiles the pow2 batched buckets it lands in)
+    status, single_out = _post(addr, "/restore", blob)
+    assert status == 200
+
+    n = 8
+
+    def burst():
+        results = [None] * n
+        statuses = [None] * n
+
+        def worker(i):
+            statuses[i], results[i] = _post(addr, "/restore", blob)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(n)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return time.perf_counter() - t0, statuses, results
+
+    burst()  # warm the batched executables
+    # warm single-request latency
+    t0 = time.perf_counter()
+    status, single_out = _post(addr, "/restore", blob)
+    t_single = time.perf_counter() - t0
+    assert status == 200
+
+    t_burst, statuses, results = burst()
+    assert all(s == 200 for s in statuses)
+    want = decode_png(single_out).astype(np.int16)
+    for data in results:
+        got = decode_png(data).astype(np.int16)
+        # batched packing pairs planes across images; parity within the
+        # reference's own INF tier (1e-3 of [0,1] ~ 0.26 uint8 levels)
+        assert np.abs(got - want).max() <= 1
+
+    conn = http.client.HTTPConnection(*addr, timeout=30)
+    conn.request("GET", "/healthz")
+    health = json.loads(conn.getresponse().read())
+    conn.close()
+    assert health["batches_dispatched"] >= 1
+    assert health["frames_batched"] >= 2
+    assert health["batch_occupancy"] > 1.0
+    # the batch path must beat naive serialization by a wide margin;
+    # allow generous CI slack vs the ideal t_single + epsilon
+    assert t_burst < max(n * t_single * 0.6, t_single + 1.0)
