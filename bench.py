@@ -241,12 +241,16 @@ def main():
     # would deliver; host-observed `value` additionally pays the shared
     # tunnel. Best-effort: tracing can fail on the remote backend.
     device_ms = None
+    phases_ms = None
     try:
         from fft_restoration_tpu.utils.trace_profile import device_trace
 
         rep = device_trace(fn, (x, ang, k), n_iters=10)
         if rep.device_total_ms > 0:
             device_ms = rep.device_total_ms
+            phases_ms = {
+                k2: round(v, 3) for k2, v in rep.phases_ms.items()
+            }
             print(
                 f"device timeline: {device_ms:.2f} ms/frame busy "
                 f"(span {rep.device_span_ms:.2f})",
@@ -299,6 +303,10 @@ def main():
                     if device_ms
                     else None
                 ),
+                # reference 6-phase taxonomy from the device timeline
+                # (fphase_* named scopes; 'spectral_fused' = colFFT+
+                # Wiener+colIFFT in one Mosaic kernel)
+                "phases_device_ms": phases_ms,
             }
         )
     )

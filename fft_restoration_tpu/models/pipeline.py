@@ -246,34 +246,43 @@ def _restore_planes_pallas_fused(
 
     # PSF spectrum: plain two-pass forward (1 plane), or the caller's
     # precomputed planes (psf_spectrum_planes) for fixed-PSF serving.
-    H = psf_spectrum if psf_spectrum is not None else fwd2d_t(psf_pad, psf_rows)
+    # (named_scope phase labels feed trace_profile.phase_breakdown —
+    # the device-timeline analog of the reference's 6-phase tables,
+    # fft_serial.cpp:249-258 / fft_gpu.cu:45-56.)
+    with jax.named_scope("fphase_fft_psf"):
+        H = (
+            psf_spectrum
+            if psf_spectrum is not None
+            else fwd2d_t(psf_pad, psf_rows)
+        )
     # Channel packing (see _pack_channel_pairs): 3 channels ride 2
     # complex transforms through the whole fwd->filter->inv chain.
     packed = channels.ndim >= 3 and channels.shape[-3] >= 2
-    if packed:
-        c = channels.shape[-3]
-        if channels.ndim == 3:
-            # read the channel-major array directly through even/odd
-            # plane-index maps (packed_planes): the strided pack slices
-            # never materialize as XLA copies
-            pk = (
-                channels
-                if c % 2 == 0
-                else jnp.concatenate(
-                    [channels, jnp.zeros_like(channels[:1])], axis=0
+    with jax.named_scope("fphase_fft_image"):
+        if packed:
+            c = channels.shape[-3]
+            if channels.ndim == 3:
+                # read the channel-major array directly through even/odd
+                # plane-index maps (packed_planes): the strided pack
+                # slices never materialize as XLA copies
+                pk = (
+                    channels
+                    if c % 2 == 0
+                    else jnp.concatenate(
+                        [channels, jnp.zeros_like(channels[:1])], axis=0
+                    )
                 )
-            )
-            # img_rows: the image's padded rows are all-zero, exactly
-            # like the PSF's — slice the live rows (UHD pads
-            # 2160 -> 4096: −47% of this pass)
-            a_re, a_im = _fwd_rows_t_live(
-                pk, None, img_rows, engine, packed_planes=True
-            )
+                # img_rows: the image's padded rows are all-zero, exactly
+                # like the PSF's — slice the live rows (UHD pads
+                # 2160 -> 4096: −47% of this pass)
+                a_re, a_im = _fwd_rows_t_live(
+                    pk, None, img_rows, engine, packed_planes=True
+                )
+            else:
+                p_re, p_im = _pack_channel_pairs(channels)
+                a_re, a_im = _fwd_rows_t_live(p_re, p_im, img_rows, engine)
         else:
-            p_re, p_im = _pack_channel_pairs(channels)
-            a_re, a_im = _fwd_rows_t_live(p_re, p_im, img_rows, engine)
-    else:
-        a_re, a_im = _fwd_rows_t_live(channels, None, img_rows, engine)
+            a_re, a_im = _fwd_rows_t_live(channels, None, img_rows, engine)
     # Middle of the 2D restore. Wiener gets the fully fused spectral
     # kernel (col-FFT + filter + col-IFFT with transposed writes — the
     # filtered 2D spectrum never touches HBM), viable since the MXU
@@ -288,19 +297,25 @@ def _restore_planes_pallas_fused(
     if filter_name == "wiener" and _spectral_megakernel_profitable(
         a_re.shape[-2], a_re.shape[-1], engine
     ):
-        r = wiener_spectral_rows_t((a_re, a_im), H, K, engine=engine)
+        # one kernel spanning three reference phases: FFT Image (cols),
+        # Wiener Filter, IFFT (cols) — phase_breakdown reports it under
+        # the fused label rather than splitting it by guesswork
+        with jax.named_scope("fphase_spectral_fused"):
+            r = wiener_spectral_rows_t((a_re, a_im), H, K, engine=engine)
     else:
         r = None
     if r is not None:
         r_re, r_im = r
     elif filter_name == "wiener":
-        F = fwd_wiener_rows_pallas((a_re, a_im), H, K, engine=engine)
+        with jax.named_scope("fphase_spectral_fused"):
+            F = fwd_wiener_rows_pallas((a_re, a_im), H, K, engine=engine)
         # inverse col pass with transposed writes: back to natural
         # orientation with zero XLA transpose passes in the whole restore
-        r_re, r_im = fft_rows_pallas(
-            F[0], F[1], True, ordering="revorder", transposed_output=True,
-            engine=engine,
-        )
+        with jax.named_scope("fphase_ifft"):
+            r_re, r_im = fft_rows_pallas(
+                F[0], F[1], True, ordering="revorder",
+                transposed_output=True, engine=engine,
+            )
     else:
         # inverse / cls: same revorder plumbing, elementwise filter in
         # the transposed hybrid-spectrum orientation (order-agnostic);
@@ -346,10 +361,11 @@ def _restore_planes_pallas_fused(
                 fft_rows_packed_out,
             )
 
-            out, mm = fft_rows_packed_out(
-                r_re, r_im, True, ordering="revorder", emit_minmax=True,
-                engine=engine,
-            )
+            with jax.named_scope("fphase_ifft"):
+                out, mm = fft_rows_packed_out(
+                    r_re, r_im, True, ordering="revorder", emit_minmax=True,
+                    engine=engine,
+                )
             restored = out[:c]
             per = mm.reshape(n_planes, -1, 4)
 
@@ -366,15 +382,16 @@ def _restore_planes_pallas_fused(
             scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
             return (restored - lo) * scale
         if fuse_mm:
-            r_re, r_im, mm = fft_rows_pallas(
-                r_re,
-                r_im,
-                True,
-                block_rows=blk,
-                ordering="revorder",
-                emit_minmax=True,
-                engine=engine,
-            )
+            with jax.named_scope("fphase_ifft"):
+                r_re, r_im, mm = fft_rows_pallas(
+                    r_re,
+                    r_im,
+                    True,
+                    block_rows=blk,
+                    ordering="revorder",
+                    emit_minmax=True,
+                    engine=engine,
+                )
             lead = r_re.shape[:-2]  # (..., P)
             per = mm.reshape(n_planes, -1, 4)
 
@@ -392,20 +409,23 @@ def _restore_planes_pallas_fused(
             restored = _unpack_channel_pairs(r_re, r_im, c)
             scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
             return (restored - lo) * scale
-        r_re, r_im = fft_rows_pallas(
-            r_re, r_im, True, ordering="revorder", engine=engine
-        )
+        with jax.named_scope("fphase_ifft"):
+            r_re, r_im = fft_rows_pallas(
+                r_re, r_im, True, ordering="revorder", engine=engine
+            )
         restored = _unpack_channel_pairs(r_re, r_im, c)
     else:
         # single plane: only the real part is kept, so skip the
         # imaginary plane's HBM write (real_output) — ≙ the CUDA
         # postprocess_kernel extracting real only (fft_gpu.cu:187-201)
-        restored, _ = fft_rows_pallas(
-            r_re, r_im, True, ordering="revorder", real_output=True,
-            engine=engine,
-        )
+        with jax.named_scope("fphase_ifft"):
+            restored, _ = fft_rows_pallas(
+                r_re, r_im, True, ordering="revorder", real_output=True,
+                engine=engine,
+            )
     # unscaled + normalize, as in the oracle (see restore_planes note)
-    return _minmax_normalize(restored)
+    with jax.named_scope("fphase_post_process"):
+        return _minmax_normalize(restored)
 
 
 def _restore_core(
@@ -430,13 +450,14 @@ def _restore_core(
     h, w = img_f32.shape[:2]
     hp, wp = next_power_of_two(h), next_power_of_two(w)
 
-    psf = motion_blur_kernel(psf_length, angle_deg)
-    chans0 = jnp.moveaxis(img_f32, -1, 0)  # (3, H, W) BGR planes
-    if chans0.dtype == jnp.uint8:
-        # exact division (not reciprocal multiply): bit-matches the
-        # historical host-side np.float32 conversion
-        chans0 = chans0.astype(jnp.float32) / jnp.float32(255.0)
-    chans = _pad2d(chans0, hp, wp)
+    with jax.named_scope("fphase_pre_process"):
+        psf = motion_blur_kernel(psf_length, angle_deg)
+        chans0 = jnp.moveaxis(img_f32, -1, 0)  # (3, H, W) BGR planes
+        if chans0.dtype == jnp.uint8:
+            # exact division (not reciprocal multiply): bit-matches the
+            # historical host-side np.float32 conversion
+            chans0 = chans0.astype(jnp.float32) / jnp.float32(255.0)
+        chans = _pad2d(chans0, hp, wp)
     restored = restore_planes(
         chans, psf, K, fft_backend=fft_backend, filter_name=filter_name,
         fft_engine=fft_engine, img_rows=h,
@@ -447,36 +468,41 @@ def _restore_core(
     # Post-processing stays PLANAR — (H, W, 3) interleaved color math
     # wastes 125 of 128 VPU lanes (4.1x slower measured, ops/color.py);
     # channels interleave exactly once, at the final uint8 stack.
-    if white_balance:
-        from fft_restoration_tpu.ops.color import (
-            bgr_to_lab_planar,
-            lab_to_bgr_planar,
-            luminance_l_planar,
-        )
+    with jax.named_scope("fphase_post_process"):
+        if white_balance:
+            from fft_restoration_tpu.ops.color import (
+                bgr_to_lab_planar,
+                lab_to_bgr_planar,
+                luminance_l_planar,
+            )
 
-        # NOTE measured negative result (docs/PERF.md): a transcendental-
-        # free "fast color" mode (polynomial sRGB + Newton rcbrt,
-        # ops/color.py *_fast) benched SLOWER on v5e (2.067 vs 2.041 ms
-        # device) — the VPU's exp/log are already cheap and this segment
-        # is bandwidth/fusion-bound, not math-bound. Exact cv2-parity
-        # math is both the accuracy and the speed choice here.
-        L, a_, b_ = bgr_to_lab_planar(restored[0], restored[1], restored[2])
-        # only the ORIGINAL image's mean L feeds the gain (utils.hpp:55-71)
-        l_orig_mean = jnp.mean(
-            luminance_l_planar(chans0[0], chans0[1], chans0[2])
+            # NOTE measured negative result (docs/PERF.md): a
+            # transcendental-free "fast color" mode (polynomial sRGB +
+            # Newton rcbrt, ops/color.py *_fast) benched SLOWER on v5e
+            # (2.067 vs 2.041 ms device) — the VPU's exp/log are already
+            # cheap and this segment is bandwidth/fusion-bound, not
+            # math-bound. Exact cv2-parity math is both the accuracy and
+            # the speed choice here.
+            L, a_, b_ = bgr_to_lab_planar(
+                restored[0], restored[1], restored[2]
+            )
+            # only the ORIGINAL image's mean L feeds the gain
+            # (utils.hpp:55-71)
+            l_orig_mean = jnp.mean(
+                luminance_l_planar(chans0[0], chans0[1], chans0[2])
+            )
+            gain = l_orig_mean / (jnp.mean(L) + 1e-6)
+            L = jnp.clip(L * gain, 0.0, 100.0)
+            planes_bgr = lab_to_bgr_planar(L, a_, b_)
+        else:
+            planes_bgr = (restored[0], restored[1], restored[2])
+        out = jnp.stack(
+            [
+                jnp.clip(p * 255.0, 0.0, 255.0).astype(jnp.uint8)
+                for p in planes_bgr
+            ],
+            axis=-1,
         )
-        gain = l_orig_mean / (jnp.mean(L) + 1e-6)
-        L = jnp.clip(L * gain, 0.0, 100.0)
-        planes_bgr = lab_to_bgr_planar(L, a_, b_)
-    else:
-        planes_bgr = (restored[0], restored[1], restored[2])
-    out = jnp.stack(
-        [
-            jnp.clip(p * 255.0, 0.0, 255.0).astype(jnp.uint8)
-            for p in planes_bgr
-        ],
-        axis=-1,
-    )
     return out, restored
 
 

@@ -166,6 +166,12 @@ def _fft_stages(x_re, x_im, cos_ref, sin_ref, mask_ref, dif):
 
 _MXU_INNER = 128
 
+# Matmul precision for the group DFTs (None -> Precision.HIGHEST, the
+# 6-pass f32 emulation). Overridable for the tools/perf_ab.py precision
+# A/B (DEFAULT = 1-pass bf16, HIGH = 3-pass); the adopted setting and
+# its measured cost/parity trade is recorded in docs/PERF.md.
+_MXU_PRECISION = None
+
 
 def _group_dft_matmul(x_re, x_im, wc, ws):
     """Multiply each contiguous 128-lane group of (R, n) planes by the
@@ -173,7 +179,7 @@ def _group_dft_matmul(x_re, x_im, wc, ws):
     slices per group — no relayout, 16 pipelined (R,128)@(128,128)
     matmuls for n=2048."""
     n = x_re.shape[-1]
-    prec = jax.lax.Precision.HIGHEST
+    prec = _MXU_PRECISION or jax.lax.Precision.HIGHEST
     out_re, out_im = [], []
     for g in range(n // _MXU_INNER):
         lo = g * _MXU_INNER
@@ -484,6 +490,7 @@ def _fft_rows_transposed(
         interpret=(
             jax.default_backend() == "cpu" if interpret is None else interpret
         ),
+        name=f"fftr_rows_T_{'inv' if inverse else 'fwd'}",
     )(*operands, *[jnp.asarray(a) for a in tbl_arrays])
 
     if pad:
@@ -587,6 +594,7 @@ def fft_rows_packed_out(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
+        name=f"fftr_rows_packed_{'inv' if inverse else 'fwd'}",
     )(re, im, *[jnp.asarray(a) for a in tbl_arrays])
     if emit_minmax:
         return out[0], out[1]
@@ -666,6 +674,7 @@ def fft_cols_pallas(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
+        name=f"fftr_cols_{'inv' if inverse else 'fwd'}",
     )(re3, im3, jnp.asarray(cos_t), jnp.asarray(sin_t), jnp.asarray(mask_t))
 
     if pad:
@@ -846,6 +855,7 @@ def fft_rows_pallas(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
+        name=f"fftr_rows_{'inv' if inverse else 'fwd'}",
     )(*operands, *[jnp.asarray(a) for a in tbl_arrays])
     out_re = out[0]
     out_im = None if real_output else out[1]

@@ -202,6 +202,7 @@ def fft_rows_radix4_fwd(
     operands = (re2,) if real_input else (re2, im2)
     out_re, out_im = pl.pallas_call(
         kernel,
+        name="fftr_radix4_fwd",
         grid=(total // rows,),
         in_specs=in_specs,
         out_specs=[row_spec, row_spec],

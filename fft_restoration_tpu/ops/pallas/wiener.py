@@ -87,6 +87,7 @@ def wiener_pallas(
 
     fr, fi = pl.pallas_call(
         kernel,
+        name="fftr_wiener_elem",
         grid=(chans, mt // rows),
         in_specs=[k_spec, g_spec, g_spec, h_spec, h_spec],
         out_specs=[g_spec, g_spec],

@@ -174,6 +174,7 @@ def fwd_wiener_rows_pallas(
 
     f_re, f_im = pl.pallas_call(
         kernel,
+        name="fftr_fwd_wiener",
         grid=(chans, mt // rows),
         in_specs=[k_spec, a_spec, a_spec, h_spec, h_spec] + tbl_specs,
         out_specs=[a_spec, a_spec],
@@ -241,6 +242,7 @@ def wiener_spectral_rows_pallas(
 
     out_re, out_im = pl.pallas_call(
         _kernel,
+        name="fftr_spectral_mid",
         grid=(total // rows,),
         in_specs=[k_spec, spec, spec, spec, spec, tbl, tbl, tbl, tbl, tbl],
         out_specs=[spec, spec],
@@ -363,6 +365,7 @@ def wiener_spectral_rows_t(
 
     out_re, out_im = pl.pallas_call(
         kernel,
+        name="fftr_spectral_mid_T",
         grid=(chans, m // rows),
         in_specs=[k_spec, a_spec, a_spec, h_spec, h_spec] + tbl_specs,
         out_specs=[o_spec, o_spec],

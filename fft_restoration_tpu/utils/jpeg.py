@@ -210,6 +210,59 @@ def _decode_entropy(segments, comps, comp_tables, plan, n_mcu, restart_interval)
     return out
 
 
+def _native_backend(
+    blocks, comps, qtables, plan, mcux, mcuy, hmax, vmax, h, w
+):
+    """Full native back half (dequant + IDCT + upsample + color) via
+    native/png_codec.cpp jpeg_backend_rgb. Returns the decoded image, or
+    None to fall back to the NumPy path (no .so, unusual layout, or a
+    native error). Bitwise-matched to the NumPy path: same float32 DCT
+    basis, fancy 2x upsample, BT.601 coefficients, round-half-even."""
+    from fft_restoration_tpu.utils.imageio import _load_native
+
+    lib = _load_native()
+    if not lib or not hasattr(lib, "jpeg_backend_rgb") or len(comps) not in (1, 3):
+        return None
+    import ctypes
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    block_comp = np.ascontiguousarray([p[0] for p in plan], np.int32)
+    block_v = np.ascontiguousarray([p[1] for p in plan], np.int32)
+    block_h = np.ascontiguousarray([p[2] for p in plan], np.int32)
+    comp_h = np.ascontiguousarray([c["h"] for c in comps], np.int32)
+    comp_v = np.ascontiguousarray([c["v"] for c in comps], np.int32)
+    qtab = np.ascontiguousarray(
+        np.stack([qtables[c["tq"]] for c in comps]), np.int32
+    )
+    out = (
+        np.empty((h, w, 3), np.uint8)
+        if len(comps) == 3
+        else np.empty((h, w), np.uint8)
+    )
+    blocks = np.ascontiguousarray(blocks, np.int32)
+    rc = lib.jpeg_backend_rgb(
+        blocks.ctypes.data_as(i32p),
+        ctypes.c_int64(blocks.shape[0]),
+        int(blocks.shape[1]),
+        block_comp.ctypes.data_as(i32p),
+        block_v.ctypes.data_as(i32p),
+        block_h.ctypes.data_as(i32p),
+        len(comps),
+        comp_h.ctypes.data_as(i32p),
+        comp_v.ctypes.data_as(i32p),
+        qtab.ctypes.data_as(i32p),
+        mcux,
+        mcuy,
+        hmax,
+        vmax,
+        h,
+        w,
+        out.ctypes.data_as(u8p),
+    )
+    return out if rc == 0 else None
+
+
 def _upsample(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
     """Chroma upsampling. factor 2 = libjpeg 'fancy' triangular filter
     (jdsample.c h2v1/h2v2): out[2i] = (3*s[i] + s[i-1])/4,
@@ -306,14 +359,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan_comps.append({"id": cs, "dc": tdta >> 4, "ac": tdta & 15})
             scan_start = pos + seglen
-            # entropy data runs until the next non-RST marker
-            p = scan_start
-            while p < len(data) - 1:
-                if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
-                    0xD0 <= data[p + 1] <= 0xD7
-                ):
-                    break
-                p += 1
+            # entropy data runs until the next non-RST, non-stuffing
+            # marker; vectorized scan (a per-byte Python loop here was
+            # ~45% of the whole decode on a 1 MP image)
+            arr = np.frombuffer(data, np.uint8)
+            ff = np.flatnonzero(arr[scan_start : len(data) - 1] == 0xFF)
+            if ff.size:
+                nxt = arr[scan_start + ff + 1]
+                real = ff[
+                    (nxt != 0x00) & ~((nxt >= 0xD0) & (nxt <= 0xD7))
+                ]
+                p = scan_start + int(real[0]) if real.size else len(data) - 1
+            else:
+                p = len(data) - 1
             scan = (scan_comps, data[scan_start:p])
             pos = p
             continue
@@ -346,25 +404,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
         )
 
-    # split on restart markers (byte-aligned in the raw stream)
-    segments = []
+    # split on restart markers (byte-aligned in the raw stream);
+    # vectorized: stuffing (FF 00) means a bare FF Dn is always a real
+    # RST marker, so slicing at those positions is exact
     if restart_interval:
-        segp = 0
-        cur = bytearray()
-        p = 0
-        while p < len(entropy):
-            if (
-                entropy[p] == 0xFF
-                and p + 1 < len(entropy)
-                and 0xD0 <= entropy[p + 1] <= 0xD7
-            ):
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            cur.append(entropy[p])
-            p += 1
-        segments.append(bytes(cur))
+        earr = np.frombuffer(entropy, np.uint8)
+        ff = np.flatnonzero(earr[: len(entropy) - 1] == 0xFF)
+        marks = ff[(earr[ff + 1] >= 0xD0) & (earr[ff + 1] <= 0xD7)] if ff.size else ff
+        segments = []
+        start = 0
+        for m in marks.tolist():
+            segments.append(entropy[start:m])
+            start = m + 2
+        segments.append(entropy[start:])
     else:
         segments = [entropy]
 
@@ -384,6 +436,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     blocks = _decode_entropy(
         segments, comps, comp_tables, plan, n_mcu, restart_interval
     )
+    native_out = _native_backend(
+        blocks, comps, qtables, plan, mcux, mcuy, hmax, vmax, h, w
+    )
+    if native_out is not None:
+        return native_out
     # scatter MCU-ordered blocks into per-component grids (vectorized)
     mcu = np.arange(n_mcu)
     my, mx = np.divmod(mcu, mcux)

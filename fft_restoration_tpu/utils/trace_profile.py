@@ -32,6 +32,13 @@ class DeviceTraceReport:
     device_span_ms: float  # (last end - first start) / n_iters
     ops_ms: dict = field(default_factory=dict)  # op name -> total ms (all iters)
     trace_dir: str = ""
+    # reference phase taxonomy (fft_serial.cpp:249-258 / fft_gpu.cu:45-56)
+    # per iteration, from the fphase_* named scopes in models/pipeline.py.
+    # Fused kernels spanning several reference phases report under
+    # 'spectral_fused' (colFFT+Wiener+colIFFT in one Mosaic kernel)
+    # rather than being split by guesswork; ops outside any scope (psf
+    # synthesis glue, copies) land in 'unattributed'.
+    phases_ms: dict = field(default_factory=dict)
 
     def report(self, top: int = 12) -> str:
         if not self.ops_ms and self.device_total_ms == 0.0:
@@ -44,8 +51,14 @@ class DeviceTraceReport:
             f"(jax.profiler trace; excludes host RTT and other tenants):",
             f"  device busy : {self.device_total_ms:.3f} ms/iter",
             f"  device span : {self.device_span_ms:.3f} ms/iter",
-            "  top ops (total across iters):",
         ]
+        if self.phases_ms:
+            lines.append("  phases (ms/iter, reference taxonomy):")
+            for name, ms in sorted(
+                self.phases_ms.items(), key=lambda kv: -kv[1]
+            ):
+                lines.append(f"    {ms:10.3f} ms  {name}")
+        lines.append("  top ops (total across iters):")
         for name, ms in sorted(self.ops_ms.items(), key=lambda kv: -kv[1])[:top]:
             lines.append(f"    {ms:10.3f} ms  {name[:80]}")
         if self.trace_dir:
@@ -121,4 +134,25 @@ def device_trace(fn, args, n_iters: int = 10, trace_dir: str | None = None):
         device_span_ms=span_us / 1e3 / n_iters,
         ops_ms=agg,
         trace_dir=trace_dir,
+        phases_ms=phase_breakdown(ops, n_iters),
     )
+
+
+def phase_breakdown(ops, n_iters: int = 1) -> dict:
+    """Bucket device op events into the reference's phase taxonomy via
+    the fphase_* jax.named_scope labels models/pipeline.py wraps around
+    each pipeline section (the scope path arrives in each trace event's
+    'tf_op' arg). Returns {phase: ms_per_iter}; ops outside any fphase
+    scope aggregate under 'unattributed'. The reference prints this
+    table on every run (fft_serial.cpp:249-258, fft_gpu.cu:45-56); here
+    it comes from the device timeline, so it excludes host RTT and other
+    pool tenants."""
+    phases = {}
+    for e in ops:
+        tf_op = str(e.get("args", {}).get("tf_op", ""))
+        key = "unattributed"
+        i = tf_op.find("fphase_")
+        if i >= 0:
+            key = tf_op[i + len("fphase_"):].split("/")[0].split(":")[0]
+        phases[key] = phases.get(key, 0.0) + e["dur"] / 1e3 / n_iters
+    return phases

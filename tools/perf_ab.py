@@ -24,7 +24,7 @@ Usage: python tools/perf_ab.py [select realout donate twrite megakernel radix4 |
 """
 
 EXPERIMENTS = {"select", "realout", "donate", "twrite", "megakernel",
-               "radix4", "engine", "megamxu"}
+               "radix4", "engine", "megamxu", "precision"}
 
 import functools
 import os
@@ -146,6 +146,46 @@ def main():
             )
         finally:
             ws.wiener_spectral_rows_t = real_t
+
+    if "precision" in which:
+        # VERDICT r2 weak-1: every _group_dft_matmul runs
+        # Precision.HIGHEST (6-pass bf16 emulation) while the parity
+        # contract is the reference's loose tiers. A/B DEFAULT (1-pass
+        # bf16) against HIGHEST on the full fused pipeline + parity cost
+        # in uint8 levels. (Precision.HIGH is not lowerable by Mosaic:
+        # "Unsupported dot precision: HIGH", measured 2026-08-17.)
+        outs = {}
+        for prec_name in ("HIGHEST", "DEFAULT"):
+            fk._MXU_PRECISION = getattr(jax.lax.Precision, prec_name)
+            try:
+                pipe = compile_guarded(lambda: pallas_pipe())
+                outs[prec_name] = np.asarray(pipe(img, ang, k)[0])
+                results[f"prec_{prec_name}"] = measure(
+                    f"pallas MXU precision={prec_name}", pipe, (img, ang, k)
+                )
+            finally:
+                fk._MXU_PRECISION = None
+        for prec_name in ("DEFAULT",):
+            if prec_name in outs:
+                diff = np.max(
+                    np.abs(
+                        outs[prec_name].astype(np.int32)
+                        - outs["HIGHEST"].astype(np.int32)
+                    )
+                )
+                print(
+                    f"precision parity {prec_name} vs HIGHEST "
+                    f"(uint8 max abs diff): {diff}"
+                )
+        # interleaved re-measure to bracket drift
+        fk._MXU_PRECISION = jax.lax.Precision.HIGHEST
+        try:
+            pipe = compile_guarded(lambda: pallas_pipe())
+            results["prec_HIGHEST2"] = measure(
+                "pallas MXU precision=HIGHEST (re)", pipe, (img, ang, k)
+            )
+        finally:
+            fk._MXU_PRECISION = None
 
     if "engine" in which:
         mxu = compile_guarded(lambda: pallas_pipe(fft_engine="mxu"))
