@@ -81,6 +81,11 @@ def _compile_pipeline(x, ang, k):
     import jax
 
     from fft_restoration_tpu.models.pipeline import _restore_core
+    from fft_restoration_tpu.ops.pallas.fft_kernel import set_mxu_precision
+
+    # flagship precision: bf16 MXU group DFTs (-31% device time, passes
+    # the reference's gpu tier at PSNR ~53 dB — docs/PERF.md round 3)
+    set_mxu_precision("default")
 
     for backend, budget_s in (("pallas", 420), ("matmul", 240)):
         try:
@@ -289,6 +294,7 @@ def main():
                 "unit": "MP/s",
                 "vs_baseline": round(speedup, 2),
                 "backend": backend,
+                "mxu_precision": "default",
                 "rtt_ms": round(min(rtts) * 1e3, 2),
                 "rounds_ms": [round(r, 2) for r in rounds],
                 "spread": round(spread, 2),

@@ -83,6 +83,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="verification tolerance tier (reference: simd/mpi=l2, openmp=inf, gpu=gpu)",
     )
     p.add_argument(
+        "--mxu-precision",
+        choices=("default", "highest"),
+        default=None,
+        help="matmul precision of the pallas MXU group DFTs. 'default' "
+        "(bf16, the flagship: -31%% device time, passes the reference's "
+        "gpu tier at PSNR ~53 dB) or 'highest' (6-pass f32 emulation, "
+        "~122 dB oracle parity). Unset: follows --tier — gpu tier gets "
+        "'default', the strict l2/inf tiers get 'highest'.",
+    )
+    p.add_argument(
         "--profile",
         nargs="?",
         const="phases",
@@ -350,6 +360,17 @@ def main(argv=None) -> int:
         print(f"[Error] psf-length must be >= 1, got {args.psf_length}")
         return 2
     _enable_compile_cache()
+
+    # MXU matmul precision: follow the requested verification tier
+    # unless pinned — the strict tiers need the f32-emulation DFTs
+    # (ops/pallas/fft_kernel.py set_mxu_precision docstring).
+    from fft_restoration_tpu.ops.pallas.fft_kernel import set_mxu_precision
+
+    set_mxu_precision(
+        args.mxu_precision
+        if args.mxu_precision
+        else ("highest" if args.tier in ("l2", "inf") else "default")
+    )
 
     from fft_restoration_tpu.utils.imageio import imread, imwrite
 

@@ -166,11 +166,32 @@ def _fft_stages(x_re, x_im, cos_ref, sin_ref, mask_ref, dif):
 
 _MXU_INNER = 128
 
-# Matmul precision for the group DFTs (None -> Precision.HIGHEST, the
-# 6-pass f32 emulation). Overridable for the tools/perf_ab.py precision
-# A/B (DEFAULT = 1-pass bf16, HIGH = 3-pass); the adopted setting and
-# its measured cost/parity trade is recorded in docs/PERF.md.
-_MXU_PRECISION = None
+# Matmul precision for the MXU group DFTs. Measured A/B on v5e
+# (tools/perf_ab.py precision, docs/PERF.md round 3): DEFAULT (1-pass
+# bf16-input matmul) cuts the full-pipeline device time 31% vs HIGHEST
+# (the 6-pass f32 emulation) — 1.48 vs 2.14 ms at 2048²x3 — at a parity
+# cost of INF 9.2e-3 / PSNR 53 dB vs the serial oracle (car fixture):
+# fails the strict l2/inf tiers, comfortably passes the reference's own
+# accelerator-mode acceptance (gpu tier: INF<=1e-3 OR PSNR>=30 dB,
+# /root/reference/gpu.cpp:28-52). DEFAULT is therefore the flagship
+# precision, exactly as the reference's gpu mode trades exactness under
+# its relaxed tier; set_mxu_precision('highest') restores 122 dB parity
+# (and is auto-selected by the CLI for the strict tiers). On CPU
+# (tests/interpret) both settings are plain f32 — parity tests are
+# unaffected. (Precision.HIGH is not lowerable by Mosaic.)
+_MXU_PRECISION = None  # None -> the flagship default (Precision.DEFAULT)
+
+
+def set_mxu_precision(name: str | None) -> None:
+    """Set the process-wide matmul precision for the MXU group DFTs:
+    'default' (bf16 fast path, the flagship), 'highest' (6-pass f32
+    emulation, strict-tier parity), or None to restore the flagship
+    default. Takes effect at trace time — call before compiling."""
+    global _MXU_PRECISION
+    if name is None:
+        _MXU_PRECISION = None
+    else:
+        _MXU_PRECISION = getattr(jax.lax.Precision, name.upper())
 
 
 def _group_dft_matmul(x_re, x_im, wc, ws):
@@ -179,7 +200,7 @@ def _group_dft_matmul(x_re, x_im, wc, ws):
     slices per group — no relayout, 16 pipelined (R,128)@(128,128)
     matmuls for n=2048."""
     n = x_re.shape[-1]
-    prec = _MXU_PRECISION or jax.lax.Precision.HIGHEST
+    prec = _MXU_PRECISION or jax.lax.Precision.DEFAULT
     out_re, out_im = [], []
     for g in range(n // _MXU_INNER):
         lo = g * _MXU_INNER

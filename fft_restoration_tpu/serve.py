@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--fft-engine", choices=("mxu", "roll"), default="mxu")
     p.add_argument(
+        "--mxu-precision",
+        choices=("default", "highest"),
+        default="default",
+        help="pallas MXU group-DFT precision: 'default' (bf16 flagship, "
+        "reference gpu-tier parity) or 'highest' (f32 emulation)",
+    )
+    p.add_argument(
         "--max-body-mb",
         type=float,
         default=64.0,
@@ -228,7 +235,9 @@ class RestorationService:
     def __init__(self, args):
         from fft_restoration_tpu.models.batched import BatchedWienerPipeline
         from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+        from fft_restoration_tpu.ops.pallas.fft_kernel import set_mxu_precision
 
+        set_mxu_precision(getattr(args, "mxu_precision", None))
         self.args = args
         self.pipe = WienerDeblurPipeline(
             fft_backend=args.backend,

@@ -46,6 +46,18 @@ def test_cli_jit_mode(small_png, tmp_path):
     assert os.path.exists(out)
 
 
+def test_cli_mxu_precision_flag_and_strict_tier(small_png, tmp_path):
+    """--mxu-precision parses, and the strict inf tier (which auto-
+    selects the f32-emulation DFTs on hardware) passes on CPU."""
+    out = str(tmp_path / "out.png")
+    r = _run(
+        [small_png, "5", "30", "--mode", "jit", "--tier", "inf",
+         "--mxu-precision", "highest", "-o", out]
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "[Success]" in r.stdout
+
+
 def test_cli_sharded_mode(small_png, tmp_path):
     out = str(tmp_path / "out.png")
     r = _run(

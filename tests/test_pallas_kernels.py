@@ -196,3 +196,49 @@ def test_wiener_pallas_matches_jnp(rng):
     ref = wiener_filter(G, H, 0.01)
     assert np.abs(np.asarray(ours[0]) - np.asarray(ref[0])).max() < 1e-4
     assert np.abs(np.asarray(ours[1]) - np.asarray(ref[1])).max() < 1e-4
+
+
+def test_set_mxu_precision_knob():
+    """The precision knob resolves names to jax.lax.Precision and the
+    group DFTs keep oracle-exact f32 parity on CPU under every setting
+    (CPU dots ignore the bf16 fast path — the perf/parity trade exists
+    only on the MXU; docs/PERF.md round-3 precision A/B)."""
+    import jax
+    import pytest
+
+    from fft_restoration_tpu.ops.pallas import fft_kernel as fk
+
+    try:
+        fk.set_mxu_precision("highest")
+        assert fk._MXU_PRECISION == jax.lax.Precision.HIGHEST
+        fk.set_mxu_precision("default")
+        assert fk._MXU_PRECISION == jax.lax.Precision.DEFAULT
+        with pytest.raises(AttributeError):
+            fk.set_mxu_precision("bogus")
+    finally:
+        fk.set_mxu_precision(None)
+    assert fk._MXU_PRECISION is None
+
+
+def test_mxu_precision_cpu_parity_both_settings():
+    """On CPU both precision settings produce identical spectra (f32
+    either way), so the strict parity suite covers the flagship config
+    regardless of the knob."""
+    import numpy as np
+
+    from fft_restoration_tpu.ops.pallas import fft_kernel as fk
+
+    rng = np.random.default_rng(0)
+    x = rng.random((8, 256), np.float32)
+    outs = {}
+    for name in ("highest", "default"):
+        fk.set_mxu_precision(name)
+        try:
+            re, im = fk.fft_rows_pallas(
+                x, None, False, ordering="revorder", engine="mxu"
+            )
+            outs[name] = (np.asarray(re), np.asarray(im))
+        finally:
+            fk.set_mxu_precision(None)
+    np.testing.assert_array_equal(outs["highest"][0], outs["default"][0])
+    np.testing.assert_array_equal(outs["highest"][1], outs["default"][1])

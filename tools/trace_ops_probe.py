@@ -50,6 +50,10 @@ def main(h=2048, w=2048):
     fn = lambda xx, a, kk: raw(xx, a, kk, hre, him)
     rep = device_trace(fn, (x, ang, k), n_iters=10)
     print(f"device busy {rep.device_total_ms:.3f} ms/iter", file=sys.stderr)
+    print("phases (ms/iter):")
+    for name, ms in sorted(rep.phases_ms.items(), key=lambda kv: -kv[1]):
+        print(f"{ms:9.4f} ms/iter  {name}")
+    print("ops (ms/iter):")
     for name, ms in sorted(rep.ops_ms.items(), key=lambda kv: -kv[1]):
         print(f"{ms / rep.n_iters:9.4f} ms/iter  {name}")
 
