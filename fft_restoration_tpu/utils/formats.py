@@ -372,17 +372,35 @@ def encode_tiff(img: np.ndarray) -> bytes:
 
 
 def sniff(data: bytes):
-    """Return 'bmp' | 'pnm' | 'tiff' | None from magic bytes."""
+    """Return 'bmp' | 'pnm' | 'tiff' | 'webp' | None from magic bytes."""
     if data[:2] == b"BM":
         return "bmp"
     if len(data) >= 2 and data[0:1] == b"P" and data[1] in b"123456":
         return "pnm"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
-_DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff}
+def decode_webp(data: bytes) -> np.ndarray:
+    """Intentional contract gap (documented, README \u00a7Ingest): WebP is
+    recognised but not decoded. cv::imread accepts it
+    (/root/reference/serial.cpp:22); a VP8/VP8L entropy decoder
+    (boolean arithmetic coder + intra prediction + loop filter) is out
+    of scope for this codec family. The error names the gap so callers
+    can transcode."""
+    kind = data[12:16].decode("ascii", "replace")
+    raise ValueError(
+        f"WebP ({kind.strip()}) is recognised but not supported: this "
+        "framework decodes PNG/JPEG/BMP/PNM/TIFF; transcode WebP to one "
+        "of those (e.g. `dwebp in.webp -o out.png`)"
+    )
+
+
+_DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
+             "webp": decode_webp}
 
 
 def decode(data: bytes) -> np.ndarray:

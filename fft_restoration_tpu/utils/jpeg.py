@@ -1,19 +1,25 @@
-"""Baseline JPEG (JFIF) decoder — pure Python/NumPy, no OpenCV/PIL.
+"""JPEG (JFIF) decoder — own codec, no OpenCV/PIL.
 
 The reference ingests images through cv::imread
 (/root/reference/serial.cpp:22), which accepts JPEG alongside PNG. This
 module brings the framework's own codec to driver parity for the JPEG
-case: baseline sequential DCT, 8-bit, grayscale or YCbCr (any common
-subsampling), restart markers. Progressive/arithmetic/12-bit streams
-raise ValueError with a clear message.
+case: baseline sequential AND progressive (T.81 Annex G: spectral
+selection + successive approximation) Huffman DCT, 8-bit, grayscale or
+YCbCr (any common subsampling), restart markers.
+Arithmetic/lossless/hierarchical/12-bit streams raise ValueError with a
+clear message naming the spec gap.
 
-Decode pipeline: marker parse -> per-segment Huffman entropy decode
-(canonical mincode/maxcode walk over an unpacked bit array) ->
-dequantize + dezigzag -> batched 8x8 IDCT (one einsum over all blocks
-of a component) -> chroma upsample -> YCbCr->RGB (JFIF/BT.601).
+Decode pipeline: marker parse -> Huffman entropy decode -> dequantize +
+dezigzag -> batched 8x8 IDCT -> chroma upsample (libjpeg 'fancy'
+triangular for 2x) -> YCbCr->RGB (JFIF/BT.601).
 
-The entropy decode is a Python loop (inherently sequential); everything
-after it is vectorized NumPy. ~1s/MP — ingest-grade, not a hot path.
+Performance lanes: the BASELINE scan decode and the whole back half
+(dequant/IDCT/upsample/color) run in C++ when native/libpngfilt.so is
+built (~45 MP/s measured; jpeg_decode_scan + jpeg_backend_rgb), with
+this module's NumPy path as the transparent fallback. PROGRESSIVE
+entropy decode is pure-Python per-block loops (inherently sequential
+across bands/passes; an ingest path, not a hot path) feeding the same
+native back half.
 """
 
 from __future__ import annotations
@@ -281,8 +287,214 @@ def _upsample(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
     return np.moveaxis(out, 0, axis)
 
 
+def _split_restarts(entropy: bytes, restart_interval: int):
+    """Split entropy data on RSTn markers (byte-aligned; FF-00 stuffing
+    means a bare FF Dn is always a real marker, so slicing is exact)."""
+    if not restart_interval:
+        return [entropy]
+    earr = np.frombuffer(entropy, np.uint8)
+    ff = np.flatnonzero(earr[: len(entropy) - 1] == 0xFF)
+    marks = (
+        ff[(earr[ff + 1] >= 0xD0) & (earr[ff + 1] <= 0xD7)] if ff.size else ff
+    )
+    segments = []
+    start = 0
+    for m in marks.tolist():
+        segments.append(entropy[start:m])
+        start = m + 2
+    segments.append(entropy[start:])
+    return segments
+
+
+def _ac_first(reader, ac_t, blk, ss, se, al, eobrun):
+    """Progressive AC first pass (T.81 G.1.2.2): band ss..se (zigzag
+    indices), values shifted left al, EOBn run codes span blocks.
+    Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC band overflow")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, ac_t, blk, ss, se, al, eobrun):
+    """Progressive AC refinement (T.81 G.1.2.3): append one magnitude
+    bit (position al) to already-nonzero coefficients and introduce
+    newly-nonzero ones at ±(1<<al). Correction bits are read for EVERY
+    nonzero coefficient the scan passes over."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(ac_t)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: bad refinement size")
+                newval = p1 if reader.read_bits(1) else m1
+            while k <= se:
+                v = blk[k]
+                if v != 0:
+                    if reader.read_bits(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = blk[k]
+            if v != 0 and reader.read_bits(1) and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(scans, comps, by_id, h, w, hmax, vmax, mcux, mcuy):
+    """Decode all progressive scans (T.81 Annex G, Huffman: spectral
+    selection + successive approximation) into per-component coefficient
+    grids (blocks_y, blocks_x, 64), zigzag order.
+
+    Pure Python per-block loops — progressive entropy decode is
+    inherently sequential across bands and approximation passes, and is
+    an ingest path, not a hot path (the baseline path has the native
+    fast lane). cv::imread accepts these streams (serial.cpp:22)."""
+    coef = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32) for c in comps
+    ]
+    for scan in scans:
+        idxs = [by_id[sc["id"]] for sc in scan["comps"]]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        segments = _split_restarts(scan["entropy"], scan["ri"])
+        if ss == 0:
+            if se != 0:
+                raise ValueError("corrupt JPEG: DC scan with Se != 0")
+            dc_tables = {
+                by_id[sc["id"]]: scan["dc"].get(sc["dc"])
+                for sc in scan["comps"]
+            }
+            if len(idxs) > 1:
+                # interleaved DC scan: MCU walk over the full grid
+                plan = [
+                    (ci, v, hh)
+                    for ci in idxs
+                    for v in range(comps[ci]["v"])
+                    for hh in range(comps[ci]["h"])
+                ]
+                n_units = mcux * mcuy
+                unit = 0
+                for seg_data in segments:
+                    reader = _BitReader(_strip_stuffing(seg_data))
+                    preds = {ci: 0 for ci in idxs}
+                    limit = (
+                        min(unit + scan["ri"], n_units)
+                        if scan["ri"]
+                        else n_units
+                    )
+                    while unit < limit:
+                        uy, ux = divmod(unit, mcux)
+                        for ci, v, hh in plan:
+                            c = comps[ci]
+                            blk = coef[ci][uy * c["v"] + v, ux * c["h"] + hh]
+                            if ah == 0:
+                                s = reader.decode(dc_tables[ci])
+                                preds[ci] += _extend(reader.read_bits(s), s)
+                                blk[0] = preds[ci] << al
+                            elif reader.read_bits(1):
+                                blk[0] |= 1 << al
+                        unit += 1
+            else:
+                ci = idxs[0]
+                c = comps[ci]
+                cw = -(-(w * c["h"]) // hmax)
+                chh = -(-(h * c["v"]) // vmax)
+                bw, bh = -(-cw // 8), -(-chh // 8)
+                unit = 0
+                for seg_data in segments:
+                    reader = _BitReader(_strip_stuffing(seg_data))
+                    pred = 0
+                    limit = (
+                        min(unit + scan["ri"], bw * bh)
+                        if scan["ri"]
+                        else bw * bh
+                    )
+                    while unit < limit:
+                        uy, ux = divmod(unit, bw)
+                        blk = coef[ci][uy, ux]
+                        if ah == 0:
+                            s = reader.decode(dc_tables[ci])
+                            pred += _extend(reader.read_bits(s), s)
+                            blk[0] = pred << al
+                        elif reader.read_bits(1):
+                            blk[0] |= 1 << al
+                        unit += 1
+        else:
+            # AC scans are always single-component (T.81 G.1.1.1)
+            if len(idxs) != 1:
+                raise ValueError("corrupt JPEG: interleaved AC scan")
+            ci = idxs[0]
+            c = comps[ci]
+            ac_t = scan["ac"].get(scan["comps"][0]["ac"])
+            if ac_t is None:
+                raise ValueError("corrupt JPEG: missing AC table")
+            cw = -(-(w * c["h"]) // hmax)
+            chh = -(-(h * c["v"]) // vmax)
+            bw, bh = -(-cw // 8), -(-chh // 8)
+            unit = 0
+            for seg_data in segments:
+                reader = _BitReader(_strip_stuffing(seg_data))
+                eobrun = 0
+                limit = (
+                    min(unit + scan["ri"], bw * bh)
+                    if scan["ri"]
+                    else bw * bh
+                )
+                while unit < limit:
+                    uy, ux = divmod(unit, bw)
+                    blk = coef[ci][uy, ux]
+                    if ah == 0:
+                        eobrun = _ac_first(reader, ac_t, blk, ss, se, al, eobrun)
+                    else:
+                        eobrun = _ac_refine(reader, ac_t, blk, ss, se, al, eobrun)
+                    unit += 1
+    return coef
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes -> uint8 RGB (H, W, 3) or gray (H, W)."""
+    """Decode JPEG bytes -> uint8 RGB (H, W, 3) or gray (H, W).
+
+    Baseline sequential (with the native fast lane) and progressive
+    (spectral selection + successive approximation, Huffman) streams;
+    arithmetic/lossless/hierarchical modes raise ValueError."""
     try:
         return _decode_jpeg(data)
     except (IndexError, struct.error) as e:
@@ -300,7 +512,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac = {}
     frame = None
     restart_interval = 0
-    scan = None
+    scans = []
+    progressive = False
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -327,7 +540,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     np.int32
                 )
                 p += 64
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError(f"{precision}-bit JPEG not supported")
@@ -336,10 +550,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG is supported "
-                f"(SOF marker 0xFF{marker:02X})"
+                "only baseline and progressive Huffman JPEG are supported "
+                f"(SOF marker 0xFF{marker:02X}: lossless/arithmetic/"
+                "hierarchical modes, T.81 Annexes H/J)"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -358,6 +573,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan_comps.append({"id": cs, "dc": tdta >> 4, "ac": tdta & 15})
+            # progression parameters (baseline: 0, 63, 0, 0)
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
             scan_start = pos + seglen
             # entropy data runs until the next non-RST, non-stuffing
             # marker; vectorized scan (a per-byte Python loop here was
@@ -372,14 +589,27 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 p = scan_start + int(real[0]) if real.size else len(data) - 1
             else:
                 p = len(data) - 1
-            scan = (scan_comps, data[scan_start:p])
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": a >> 4,
+                    "al": a & 15,
+                    "entropy": data[scan_start:p],
+                    "ri": restart_interval,
+                    # DHT tables may be redefined between scans: snapshot
+                    "dc": dict(huff_dc),
+                    "ac": dict(huff_ac),
+                }
+            )
             pos = p
             continue
         pos += seglen
 
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("corrupt JPEG: missing SOF/SOS")
-    scan_comps, entropy = scan
+    scan_comps, entropy = scans[0]["comps"], scans[0]["entropy"]
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     if len(comps) == 1:
@@ -391,59 +621,57 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-
-    by_id = {c["id"]: i for i, c in enumerate(comps)}
-    order = [by_id[sc["id"]] for sc in scan_comps]
-    if sorted(order) != list(range(len(comps))):
-        raise ValueError("non-interleaved scans not supported")
-
-    # coefficient storage: (blocks_y, blocks_x, 64) per component
-    coef = []
-    for c in comps:
-        coef.append(
-            np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
-        )
-
-    # split on restart markers (byte-aligned in the raw stream);
-    # vectorized: stuffing (FF 00) means a bare FF Dn is always a real
-    # RST marker, so slicing at those positions is exact
-    if restart_interval:
-        earr = np.frombuffer(entropy, np.uint8)
-        ff = np.flatnonzero(earr[: len(entropy) - 1] == 0xFF)
-        marks = ff[(earr[ff + 1] >= 0xD0) & (earr[ff + 1] <= 0xD7)] if ff.size else ff
-        segments = []
-        start = 0
-        for m in marks.tolist():
-            segments.append(entropy[start:m])
-            start = m + 2
-        segments.append(entropy[start:])
-    else:
-        segments = [entropy]
-
     n_mcu = mcux * mcuy
-    # per-MCU block plan: (component, v, h) in interleave order
-    plan = []
-    for ci in order:
-        c = comps[ci]
-        for v in range(c["v"]):
-            for hh in range(c["h"]):
-                plan.append((ci, v, hh))
-    bpm = len(plan)
-    comp_tables = {}
-    for sc in scan_comps:
-        comp_tables[by_id[sc["id"]]] = (huff_dc[sc["dc"]], huff_ac[sc["ac"]])
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    mcu = np.arange(n_mcu)
+    my, mx = np.divmod(mcu, mcux)
 
-    blocks = _decode_entropy(
-        segments, comps, comp_tables, plan, n_mcu, restart_interval
-    )
+    if progressive:
+        coef = _decode_progressive(
+            scans, comps, by_id, h, w, hmax, vmax, mcux, mcuy
+        )
+        # gather per-component grids into MCU-ordered blocks for the
+        # shared (native/NumPy) back half
+        plan = []
+        for ci, c in enumerate(comps):
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    plan.append((ci, v, hh))
+        blocks = np.empty((n_mcu, len(plan), 64), np.int32)
+        for j, (ci, v, hh) in enumerate(plan):
+            c = comps[ci]
+            blocks[:, j] = coef[ci][my * c["v"] + v, mx * c["h"] + hh]
+    else:
+        order = [by_id[sc["id"]] for sc in scan_comps]
+        if sorted(order) != list(range(len(comps))):
+            raise ValueError("non-interleaved scans not supported")
+        segments = _split_restarts(entropy, scans[0]["ri"])
+        # per-MCU block plan: (component, v, h) in interleave order
+        plan = []
+        for ci in order:
+            c = comps[ci]
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    plan.append((ci, v, hh))
+        comp_tables = {}
+        for sc in scan_comps:
+            comp_tables[by_id[sc["id"]]] = (
+                scans[0]["dc"][sc["dc"]],
+                scans[0]["ac"][sc["ac"]],
+            )
+        blocks = _decode_entropy(
+            segments, comps, comp_tables, plan, n_mcu, scans[0]["ri"]
+        )
+    bpm = len(plan)
     native_out = _native_backend(
         blocks, comps, qtables, plan, mcux, mcuy, hmax, vmax, h, w
     )
     if native_out is not None:
         return native_out
     # scatter MCU-ordered blocks into per-component grids (vectorized)
-    mcu = np.arange(n_mcu)
-    my, mx = np.divmod(mcu, mcux)
+    coef = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32) for c in comps
+    ]
     for j, (ci, v, hh) in enumerate(plan):
         c = comps[ci]
         coef[ci][my * c["v"] + v, mx * c["h"] + hh] = blocks[:, j]

@@ -189,3 +189,42 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     compiled = jax.jit(fn).lower(*args).compile()
     assert compiled is not None
+
+
+def test_sharded_one_device_mesh_matches_single_chip():
+    """--devices 1 forces the FULL sharded graph (shard_map, degenerate
+    all_to_all, pallas kernels inside) through a 1-device mesh — the
+    config the real-TPU validation runs (docs/PERF.md round 3); parity
+    must be exact vs the single-chip pipeline on CPU."""
+    import functools
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fft_restoration_tpu.models.pipeline import _restore_core
+    from fft_restoration_tpu.parallel.mesh import make_mesh
+    from fft_restoration_tpu.parallel.sharded_pipeline import _sharded_core
+
+    rng = np.random.default_rng(7)
+    img = rng.random((48, 64, 3)).astype(np.float32)
+    mesh = make_mesh(1)
+    ang, k = jnp.float32(30.0), jnp.float32(0.01)
+    sh = jax.jit(
+        functools.partial(
+            _sharded_core, mesh=mesh, psf_length=7, fft_backend="pallas",
+            filter_name="wiener", white_balance=True,
+        )
+    )
+    single = jax.jit(
+        functools.partial(
+            _restore_core, psf_length=7, fft_backend="pallas",
+            filter_name="wiener", white_balance=True,
+        )
+    )
+    out_s, planes_s = sh(jnp.asarray(img), ang, k)
+    out_1, planes_1 = single(jnp.asarray(img), ang, k)
+    assert (
+        float(jnp.abs(planes_s - planes_1).max()) <= 1e-5
+    )
+    assert int(jnp.abs(out_s.astype(int) - out_1.astype(int)).max()) <= 1
