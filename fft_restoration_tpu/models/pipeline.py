@@ -133,6 +133,10 @@ def restore_planes(
             filter_name=filter_name, img_rows=img_rows,
             psf_spectrum=psf_spectrum,
         )
+    if channels.dtype == jnp.uint8:
+        # u8 kernel ingest exists only on the pallas fast path (incl.
+        # after the small-frame matmul reroute above)
+        channels = channels.astype(jnp.float32) / jnp.float32(255.0)
     if channels.ndim >= 3 and channels.shape[-3] >= 2:
         c = channels.shape[-3]
         p_re, p_im = _pack_channel_pairs(channels)
@@ -233,6 +237,12 @@ def _restore_planes_pallas_fused(
     from fft_restoration_tpu.ops.pallas.wiener_spectral import (
         fwd_wiener_rows_pallas,
     )
+
+    if channels.dtype == jnp.uint8 and not (
+        channels.ndim == 3 and channels.shape[-3] >= 2
+    ):
+        # u8 streams only through the packed_planes forward kernel
+        channels = channels.astype(jnp.float32) / jnp.float32(255.0)
 
     hp, wp = channels.shape[-2:]
 
@@ -453,9 +463,16 @@ def _restore_core(
     with jax.named_scope("fphase_pre_process"):
         psf = motion_blur_kernel(psf_length, angle_deg)
         chans0 = jnp.moveaxis(img_f32, -1, 0)  # (3, H, W) BGR planes
-        if chans0.dtype == jnp.uint8:
+        if chans0.dtype == jnp.uint8 and not (
+            fft_backend == "pallas"
+            and chans0.ndim == 3
+            and chans0.shape[0] >= 2
+        ):
             # exact division (not reciprocal multiply): bit-matches the
-            # historical host-side np.float32 conversion
+            # historical host-side np.float32 conversion. The pallas
+            # packed path skips this: its forward kernel converts u8 in
+            # VMEM (fft_kernel.py body), deleting the 50 MB f32
+            # intermediate per 2048² frame.
             chans0 = chans0.astype(jnp.float32) / jnp.float32(255.0)
         chans = _pad2d(chans0, hp, wp)
     restored = restore_planes(
@@ -487,9 +504,16 @@ def _restore_core(
                 restored[0], restored[1], restored[2]
             )
             # only the ORIGINAL image's mean L feeds the gain
-            # (utils.hpp:55-71)
+            # (utils.hpp:55-71). With u8 kernel ingest chans0 is still
+            # uint8 here: the convert fuses into this mean's reduction
+            # (one 12.6 MB u8 read instead of a 50 MB f32 one).
+            c32 = (
+                chans0.astype(jnp.float32) / jnp.float32(255.0)
+                if chans0.dtype == jnp.uint8
+                else chans0
+            )
             l_orig_mean = jnp.mean(
-                luminance_l_planar(chans0[0], chans0[1], chans0[2])
+                luminance_l_planar(c32[0], c32[1], c32[2])
             )
             gain = l_orig_mean / (jnp.mean(L) + 1e-6)
             L = jnp.clip(L * gain, 0.0, 100.0)

@@ -437,6 +437,9 @@ def _fft_rows_transposed(
             # bit-reversed above; the fallback call re-applies ordering)
             pk_re = re[0::2]
             pk_im = re[1::2]
+            if pk_re.dtype == jnp.uint8:  # u8 ingest: convert outside
+                pk_re = pk_re.astype(jnp.float32) / jnp.float32(255.0)
+                pk_im = pk_im.astype(jnp.float32) / jnp.float32(255.0)
             r, i = fft_rows_pallas(
                 pk_re, pk_im, inverse, block_rows, interpret, ordering,
                 engine=engine,
@@ -493,6 +496,14 @@ def _fft_rows_transposed(
         x_im = (
             jnp.zeros_like(x_re) if real_input else ins[1].at[0][:]
         )
+        if x_re.dtype == jnp.uint8:
+            # in-kernel uint8 ingest: the u8 planes stream straight into
+            # VMEM and convert there, deleting the XLA convert fusion's
+            # 50 MB f32 intermediate write + re-read per 2048² frame
+            # (same exact math as the pipeline's host contract:
+            # u8 -> f32 -> /255).
+            x_re = x_re.astype(jnp.float32) / jnp.float32(255.0)
+            x_im = x_im.astype(jnp.float32) / jnp.float32(255.0)
         tbls = ins[n_ins:]
         x_re, x_im = _run_stages(x_re, x_im, tbls, dif)
         outs[0].at[0][:] = jnp.swapaxes(x_re, 0, 1)

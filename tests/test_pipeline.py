@@ -79,3 +79,43 @@ def test_psf_spectrum_cache_matches_uncached(rng):
     np.testing.assert_array_equal(c, d)
     assert len(on._psf_cache) == 2
     assert len(on._psf_fns) == 1
+
+
+def test_u8_kernel_ingest_matches_f32_input():
+    """uint8 frames stream into the pallas forward kernel and convert
+    in VMEM. The in-kernel u8->f32->/255 can differ from the XLA-level
+    conversion by 1 ulp (different division lowering), so the contract
+    is ulp-scale agreement — far inside every verification tier."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fft_restoration_tpu.models.pipeline import _restore_core
+
+    rng = np.random.default_rng(11)
+    img_u8 = (rng.random((64, 128, 3)) * 255).astype(np.uint8)
+    img_f32 = img_u8.astype(np.float32) / np.float32(255.0)
+    mk = lambda: functools.partial(
+        _restore_core,
+        psf_length=9,
+        fft_backend="pallas",
+        filter_name="wiener",
+        white_balance=True,
+    )
+    out_u8, planes_u8 = jax.jit(mk())(
+        jnp.asarray(img_u8), jnp.float32(30.0), jnp.float32(0.01)
+    )
+    out_f, planes_f = jax.jit(mk())(
+        jnp.asarray(img_f32), jnp.float32(30.0), jnp.float32(0.01)
+    )
+    assert float(np.abs(np.asarray(planes_u8) - np.asarray(planes_f)).max()) <= 1e-5
+    assert (
+        int(
+            np.abs(
+                np.asarray(out_u8).astype(int) - np.asarray(out_f).astype(int)
+            ).max()
+        )
+        <= 1
+    )
