@@ -111,6 +111,14 @@ def build_parser() -> argparse.ArgumentParser:
         "against it (the prototype's compute_PSNR metric, "
         "others/fft_image_restoration.py:95-99)",
     )
+    p.add_argument(
+        "--show",
+        action="store_true",
+        help="render the restored image in the terminal (ANSI truecolor "
+        "half-blocks) — the headless analog of the reference's "
+        "imshow/waitKey display (serial.cpp:59-60); waits for Enter "
+        "only on a TTY",
+    )
     return p
 
 
@@ -548,6 +556,10 @@ def main(argv=None) -> int:
         args.img_path.rsplit(".", 1)[0] + f"_restored_{args.mode}.png"
     )
     imwrite(out_path, out)
+    if args.show:
+        from fft_restoration_tpu.utils.termview import show_image
+
+        show_image(out, title=f"[show] {out_path}")
     total_ms = (time.perf_counter() - total_start) * 1e3
     print(f"Total program time: {total_ms:.2f} ms")
     print(f"[INFO] wrote {out_path}")
