@@ -500,10 +500,12 @@ def _fft_rows_transposed(
             # in-kernel uint8 ingest: the u8 planes stream straight into
             # VMEM and convert there, deleting the XLA convert fusion's
             # 50 MB f32 intermediate write + re-read per 2048² frame
-            # (same exact math as the pipeline's host contract:
-            # u8 -> f32 -> /255).
-            x_re = x_re.astype(jnp.float32) / jnp.float32(255.0)
-            x_im = x_im.astype(jnp.float32) / jnp.float32(255.0)
+            # (same math as the pipeline's host contract: u8 -> f32 ->
+            # /255, exact for 0..255). Mosaic has no direct u8->f32
+            # cast ("Unsupported cast: uint8 -> float32", measured);
+            # the i32 hop lowers fine and is value-exact.
+            x_re = x_re.astype(jnp.int32).astype(jnp.float32) / jnp.float32(255.0)
+            x_im = x_im.astype(jnp.int32).astype(jnp.float32) / jnp.float32(255.0)
         tbls = ins[n_ins:]
         x_re, x_im = _run_stages(x_re, x_im, tbls, dif)
         outs[0].at[0][:] = jnp.swapaxes(x_re, 0, 1)
