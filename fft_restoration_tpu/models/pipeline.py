@@ -450,6 +450,7 @@ def _restore_core(
     filter_name: str,
     white_balance: bool,
     fft_engine: str = "mxu",
+    emit_planes: bool = True,
 ):
     """(H, W, 3) BGR image -> (H, W, 3) uint8 BGR restored.
 
@@ -485,8 +486,28 @@ def _restore_core(
     # Post-processing stays PLANAR — (H, W, 3) interleaved color math
     # wastes 125 of 128 VPU lanes (4.1x slower measured, ops/color.py);
     # channels interleave exactly once, at the final uint8 stack.
+    # Fused pallas post-processing (ops/pallas/postprocess.py): the XLA
+    # lowering of the WB+encode chain materializes a full f32 planes_bgr
+    # intermediate and splits the means into transcendental-heavy
+    # fusions (0.76 ms of the 1.38 ms frame at 2048²x3 — compiled-HLO
+    # analysis in docs/PERF.md). Two kernels collapse it to the two
+    # irreducible HBM passes. Same gate domain as the FFT kernel family
+    # (>= one (8,128) tile).
+    use_ppk = fft_backend == "pallas" and min(h, w) >= 128
     with jax.named_scope("fphase_post_process"):
-        if white_balance:
+        if white_balance and use_ppk:
+            from fft_restoration_tpu.ops.pallas.postprocess import (
+                lab_l_sum_partials,
+                wb_encode_u8,
+            )
+
+            parts = lab_l_sum_partials(restored, chans0)
+            npix = jnp.float32(h * w)
+            gain = (jnp.sum(parts[:, 1]) / npix) / (
+                jnp.sum(parts[:, 0]) / npix + 1e-6
+            )
+            out = jnp.moveaxis(wb_encode_u8(restored, gain), 0, -1)
+        elif white_balance:
             from fft_restoration_tpu.ops.color import (
                 bgr_to_lab_planar,
                 lab_to_bgr_planar,
@@ -520,13 +541,21 @@ def _restore_core(
             planes_bgr = lab_to_bgr_planar(L, a_, b_)
         else:
             planes_bgr = (restored[0], restored[1], restored[2])
-        out = jnp.stack(
-            [
-                jnp.clip(p * 255.0, 0.0, 255.0).astype(jnp.uint8)
-                for p in planes_bgr
-            ],
-            axis=-1,
-        )
+        if not (white_balance and use_ppk):
+            out = jnp.stack(
+                [
+                    jnp.clip(p * 255.0, 0.0, 255.0).astype(jnp.uint8)
+                    for p in planes_bgr
+                ],
+                axis=-1,
+            )
+    # emit_planes=False is the serving graph: the (3, H, W) f32
+    # diagnostic output is a 50 MB HBM materialization per 2048² frame
+    # that only verification consumes — callers that ship the uint8
+    # image alone skip it (the reference drivers likewise only ever
+    # output the image; verification re-runs separately, simd.cpp:66-99)
+    if not emit_planes:
+        return out
     return out, restored
 
 
