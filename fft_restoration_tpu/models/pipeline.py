@@ -95,8 +95,17 @@ def restore_planes(
     fft_engine: str = "mxu",
     img_rows: int | None = None,
     psf_spectrum=None,
+    return_norm: bool = False,
 ) -> jnp.ndarray:
     """Restore (..., Hp, Wp) power-of-two planes with a (S, S) PSF.
+
+    return_norm=True (pallas backend, (C, Hp, Wp) input only) returns
+    (raw_planes, lo, scale) with lo/scale per-channel (C,) arrays
+    instead of materializing the normalized planes — the fused
+    post-processing kernels apply (x - lo) * scale in VMEM
+    (ops/pallas/postprocess.py), saving the 50 MB normalize write at
+    2048². normalized == (raw - lo[:, None, None]) * scale[:, None,
+    None] bit-for-bit (same expression the XLA path evaluates).
 
     psf_spectrum: optional precomputed (H_re, H_im) in the pallas fast
     path's transposed/hybrid layout (psf_spectrum_planes) — serving with
@@ -131,8 +140,10 @@ def restore_planes(
         return _restore_planes_pallas_fused(
             channels, psf_pad, K, psf_rows, engine=fft_engine,
             filter_name=filter_name, img_rows=img_rows,
-            psf_spectrum=psf_spectrum,
+            psf_spectrum=psf_spectrum, return_norm=return_norm,
         )
+    if return_norm:
+        raise ValueError("return_norm requires the pallas backend")
     if channels.dtype == jnp.uint8:
         # u8 kernel ingest exists only on the pallas fast path (incl.
         # after the small-frame matmul reroute above)
@@ -212,7 +223,7 @@ def psf_spectrum_planes(psf, hp, wp, engine="mxu", psf_rows=None):
 
 def _restore_planes_pallas_fused(
     channels, psf_pad, K, psf_rows=None, engine="mxu", filter_name="wiener",
-    img_rows=None, psf_spectrum=None,
+    img_rows=None, psf_spectrum=None, return_norm=False,
 ):
     """Pallas fast path: revorder (DIF fwd / DIT inv, zero bit-reversal
     passes) row-FFT kernels + fused Wiener kernel, with the filter
@@ -390,6 +401,12 @@ def _restore_planes_pallas_fused(
                 jnp.max(per[..., 1], axis=-1), jnp.max(per[..., 3], axis=-1)
             )[..., None, None]
             scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+            if return_norm:
+                # hand back ALL 2P planes: the [:c] slice would
+                # materialize a full-size copy (measured 0.067 ms at
+                # 2048²) just to feed kernels whose block specs read
+                # the first 3 planes for free
+                return out, lo.reshape(-1), scale.reshape(-1)
             return (restored - lo) * scale
         if fuse_mm:
             with jax.named_scope("fphase_ifft"):
@@ -418,6 +435,12 @@ def _restore_planes_pallas_fused(
             )[..., None, None]
             restored = _unpack_channel_pairs(r_re, r_im, c)
             scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+            if return_norm:
+                if restored.ndim != 3:
+                    raise ValueError(
+                        "return_norm supports (C, Hp, Wp) input only"
+                    )
+                return restored, lo.reshape(-1), scale.reshape(-1)
             return (restored - lo) * scale
         with jax.named_scope("fphase_ifft"):
             r_re, r_im = fft_rows_pallas(
@@ -435,6 +458,13 @@ def _restore_planes_pallas_fused(
             )
     # unscaled + normalize, as in the oracle (see restore_planes note)
     with jax.named_scope("fphase_post_process"):
+        if return_norm:
+            if restored.ndim != 3:
+                raise ValueError("return_norm supports (C, Hp, Wp) input only")
+            lo = jnp.min(restored, axis=(-2, -1))
+            hi = jnp.max(restored, axis=(-2, -1))
+            scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+            return restored, lo, scale
         return _minmax_normalize(restored)
 
 
@@ -476,37 +506,54 @@ def _restore_core(
             # intermediate per 2048² frame.
             chans0 = chans0.astype(jnp.float32) / jnp.float32(255.0)
         chans = _pad2d(chans0, hp, wp)
-    restored = restore_planes(
-        chans, psf, K, fft_backend=fft_backend, filter_name=filter_name,
-        fft_engine=fft_engine, img_rows=h,
-        psf_spectrum=None if h_re is None else (h_re, h_im),
-    )
-    restored = restored[..., :h, :w]
-
-    # Post-processing stays PLANAR — (H, W, 3) interleaved color math
-    # wastes 125 of 128 VPU lanes (4.1x slower measured, ops/color.py);
-    # channels interleave exactly once, at the final uint8 stack.
     # Fused pallas post-processing (ops/pallas/postprocess.py): the XLA
     # lowering of the WB+encode chain materializes a full f32 planes_bgr
     # intermediate and splits the means into transcendental-heavy
     # fusions (0.76 ms of the 1.38 ms frame at 2048²x3 — compiled-HLO
     # analysis in docs/PERF.md). Two kernels collapse it to the two
-    # irreducible HBM passes. Same gate domain as the FFT kernel family
+    # irreducible HBM passes, with the min-max normalize fused in
+    # (return_norm) so the normalized planes only materialize when the
+    # caller asked for them. Same gate domain as the FFT kernel family
     # (>= one (8,128) tile).
-    use_ppk = fft_backend == "pallas" and min(h, w) >= 128
+    use_ppk = white_balance and fft_backend == "pallas" and min(h, w) >= 128
+    rp = restore_planes(
+        chans, psf, K, fft_backend=fft_backend, filter_name=filter_name,
+        fft_engine=fft_engine, img_rows=h,
+        psf_spectrum=None if h_re is None else (h_re, h_im),
+        return_norm=use_ppk,
+    )
+    if use_ppk:
+        raw, lo, scale = rp  # raw may carry a packed 4th plane, uncropped
+        restored = (
+            (raw[:3, :h, :w] - lo[:, None, None]) * scale[:, None, None]
+            if emit_planes
+            else None
+        )
+    else:
+        restored = rp[..., :h, :w]
+
+    # Post-processing stays PLANAR — (H, W, 3) interleaved color math
+    # wastes 125 of 128 VPU lanes (4.1x slower measured, ops/color.py);
+    # channels interleave exactly once, at the final uint8 stack.
     with jax.named_scope("fphase_post_process"):
-        if white_balance and use_ppk:
+        if use_ppk:
             from fft_restoration_tpu.ops.pallas.postprocess import (
                 lab_l_sum_partials,
                 wb_encode_u8,
             )
 
-            parts = lab_l_sum_partials(restored, chans0)
+            parts = lab_l_sum_partials(
+                raw, chans0, norm=(lo, scale), live_hw=(h, w)
+            )
             npix = jnp.float32(h * w)
             gain = (jnp.sum(parts[:, 1]) / npix) / (
                 jnp.sum(parts[:, 0]) / npix + 1e-6
             )
-            out = jnp.moveaxis(wb_encode_u8(restored, gain), 0, -1)
+            out = jnp.moveaxis(
+                wb_encode_u8(raw, gain, norm=(lo, scale), live_hw=(h, w)),
+                0,
+                -1,
+            )
         elif white_balance:
             from fft_restoration_tpu.ops.color import (
                 bgr_to_lab_planar,
@@ -541,7 +588,7 @@ def _restore_core(
             planes_bgr = lab_to_bgr_planar(L, a_, b_)
         else:
             planes_bgr = (restored[0], restored[1], restored[2])
-        if not (white_balance and use_ppk):
+        if not use_ppk:
             out = jnp.stack(
                 [
                     jnp.clip(p * 255.0, 0.0, 255.0).astype(jnp.uint8)
@@ -576,7 +623,14 @@ class WienerDeblurPipeline:
         donate_input: bool = True,
         fft_engine: str = "mxu",
         cache_psf_spectrum: bool = True,
+        emit_planes: bool = True,
     ):
+        # emit_planes=False compiles the SERVING graph: restore() skips
+        # the (3, H, W) f32 diagnostic planes output (a 50 MB HBM
+        # materialization per 2048² frame that only verification
+        # consumes); restore_with_planes()/restore_channels() then
+        # raise. The reference drivers likewise only output the image.
+        self.emit_planes = emit_planes
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
         self.filter_name = filter_name
@@ -607,6 +661,7 @@ class WienerDeblurPipeline:
                 filter_name=self.filter_name,
                 white_balance=self.white_balance,
                 fft_engine=self.fft_engine,
+                emit_planes=self.emit_planes,
             )
             donate = (0,) if self.donate_input else ()
             self._cache[key] = jax.jit(fn, donate_argnums=donate)
@@ -668,6 +723,9 @@ class WienerDeblurPipeline:
         K: float = 0.01,
     ) -> np.ndarray:
         """uint8 BGR (H, W, 3) -> restored uint8 BGR (H, W, 3)."""
+        if not self.emit_planes:
+            out = self._run(img_bgr, psf_length, psf_angle, K)
+            return np.asarray(out)
         out, _ = self.restore_with_planes(img_bgr, psf_length, psf_angle, K)
         return out
 
@@ -681,6 +739,15 @@ class WienerDeblurPipeline:
         """One device execution returning BOTH the final uint8 image and
         the restored float planes (3, H, W) — so callers that verify
         against the oracle don't re-run the whole graph."""
+        if not self.emit_planes:
+            raise ValueError(
+                "this pipeline was built with emit_planes=False (serving "
+                "graph); construct with emit_planes=True for diagnostics"
+            )
+        out, restored = self._run(img_bgr, psf_length, psf_angle, K)
+        return np.asarray(out), np.asarray(restored)
+
+    def _run(self, img_bgr, psf_length, psf_angle, K):
         arr = np.asarray(img_bgr)
         if arr.dtype == np.uint8:
             img = jnp.asarray(arr)  # device-side /255 (see _restore_core)
@@ -698,13 +765,12 @@ class WienerDeblurPipeline:
             fn = self._compiled(
                 img.shape[0], img.shape[1], int(psf_length), with_h=True
             )
-            out, restored = fn(
+            return fn(
                 img, jnp.float32(psf_angle), jnp.float32(K), H[0], H[1]
             )
         else:
             fn = self._compiled(img.shape[0], img.shape[1], int(psf_length))
-            out, restored = fn(img, jnp.float32(psf_angle), jnp.float32(K))
-        return np.asarray(out), np.asarray(restored)
+            return fn(img, jnp.float32(psf_angle), jnp.float32(K))
 
     def restore_channels(
         self,

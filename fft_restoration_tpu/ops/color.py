@@ -19,17 +19,32 @@ _CBRT_A = 7.787
 _CBRT_B = 16.0 / 116.0
 
 
+# Every power is lowered as exp2(log2(x)*p): on the v5e VPU the native
+# base-2 transcendentals halve the cost of XLA's pow/cbrt lowerings
+# (L-mean pass 0.153 -> 0.072 ms device at 2048², docs/PERF.md round 3;
+# same result measured inside Mosaic kernels). exp2(log2(x)*p) agrees
+# with x**p to ~1 ulp; all branches that use it have x > 0.
+
+
+def _pow2_pos(x, p):
+    return jnp.exp2(jnp.log2(jnp.maximum(x, 1e-30)) * p)
+
+
 def _srgb_to_linear(x):
-    return jnp.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+    return jnp.where(
+        x <= 0.04045, x / 12.92, _pow2_pos((x + 0.055) / 1.055, 2.4)
+    )
 
 
 def _linear_to_srgb(x):
     x = jnp.maximum(x, 0.0)
-    return jnp.where(x <= 0.0031308, 12.92 * x, 1.055 * x ** (1.0 / 2.4) - 0.055)
+    return jnp.where(
+        x <= 0.0031308, 12.92 * x, 1.055 * _pow2_pos(x, 1.0 / 2.4) - 0.055
+    )
 
 
 def _f_cbrt(t):
-    return jnp.where(t > _T0, jnp.cbrt(t), _CBRT_A * t + _CBRT_B)
+    return jnp.where(t > _T0, _pow2_pos(t, 1.0 / 3.0), _CBRT_A * t + _CBRT_B)
 
 
 # ---------------------------------------------------------------------------

@@ -227,35 +227,72 @@ def lab_l_sum_partials(
     interpret: bool | None = None,
     block_rows: int = 64,
     fast: bool = False,
+    norm=None,
+    live_hw=None,
 ):
     """Partial Lab-L sums of the restored and original images in one
     HBM pass each.
 
-    restored: (3, H, W) float32 BGR planes in [0,1] (normalized).
-    orig:     (3, H, W) uint8 or float32 BGR planes (the unpadded
+    restored: (C>=3, H0, W0) float32 BGR planes in [0,1] (normalized),
+              OR raw inverse-FFT planes with norm=(lo, scale)
+              per-channel (3,) arrays — the min-max normalize then
+              fuses into the kernel and the raw planes never
+              materialize normalized. Only the first 3 planes are read
+              (block specs skip a packed path's phantom 4th plane with
+              no slice copy), and with live_hw=(h, w) only that
+              top-left extent contributes (the pipeline passes its
+              power-of-two padded planes uncropped).
+    orig:     (3, h, w) uint8 or float32 BGR planes (the unpadded
               original frame; uint8 converts in VMEM).
     Returns (n_blocks, 4) float32 partials (the emit-minmax geometry,
     proven on hardware): column 0 = restored-L block sums, column 1 =
     original-L block sums. The caller sums the columns and divides by
-    H*W.
+    h*w.
     """
-    if restored.ndim != 3 or restored.shape[0] != 3:
-        raise ValueError(f"need (3, H, W) planes, got {restored.shape}")
-    if orig.shape != restored.shape:
-        raise ValueError(f"plane mismatch: {orig.shape} vs {restored.shape}")
-    h, w = restored.shape[-2:]
-    rows, hp, wp = _block_geometry(h, w, block_rows)
+    if restored.ndim != 3 or restored.shape[0] < 3:
+        raise ValueError(f"need (C>=3, H, W) planes, got {restored.shape}")
+    h0, w0 = restored.shape[-2:]
+    h, w = live_hw if live_hw is not None else (h0, w0)
+    if orig.shape != (3, h, w):
+        raise ValueError(f"orig must be (3, {h}, {w}), got {orig.shape}")
+    rows, hp, wp = _block_geometry(h0, w0, block_rows)
     restored = _pad_planes(restored, rows)
-    orig = _pad_planes(orig, rows)
+    if (h0, w0) != (hp, wp) and restored.shape[0] > 3:
+        # ragged + packed: keep the pad cheap by dropping phantom planes
+        restored = restored[:3]
+    orig = jnp.pad(
+        orig, ((0, 0), (0, hp - h), (0, wp - w))
+    ) if (h, w) != (hp, wp) else orig
     n_blocks = hp // rows
     interp = (
         jax.default_backend() == "cpu" if interpret is None else interpret
     )
 
-    def body(r_ref, o_ref, out_ref):
+    padded = hp != h or wp != w
+
+    def body(*refs):
+        if norm is not None:
+            lo_ref, sc_ref = refs[0], refs[1]
+            r_ref, o_ref, out_ref = refs[2], refs[3], refs[4]
+        else:
+            lo_ref = sc_ref = None
+            r_ref, o_ref, out_ref = refs
         i = pl.program_id(0)
         rb, rg, rr = r_ref.at[0][:], r_ref.at[1][:], r_ref.at[2][:]
+        if lo_ref is not None:
+            rb = (rb - lo_ref[0]) * sc_ref[0]
+            rg = (rg - lo_ref[1]) * sc_ref[1]
+            rr = (rr - lo_ref[2]) * sc_ref[2]
         l_deb = _l_from_bgr_block(rb, rg, rr, fast)
+        if padded and (lo_ref is not None or live_hw is not None):
+            # pixels beyond (h, w) are pad garbage (fused normalize
+            # makes zeros nonzero; uncropped pipeline planes carry FFT
+            # ringing): mask them out of the sum. The un-normed,
+            # full-extent path's zero pads contribute L=0 for free.
+            ri = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+            live = (ri + i * rows < h) & (ci < w)
+            l_deb = jnp.where(live, l_deb, 0.0)
         ob = _to_f32(o_ref.at[0][:])
         og = _to_f32(o_ref.at[1][:])
         orr = _to_f32(o_ref.at[2][:])
@@ -265,17 +302,24 @@ def lab_l_sum_partials(
         ).reshape(1, 4)
         out_ref[pl.dslice(i, 1), :] = vals
 
+    plane_spec = pl.BlockSpec(
+        (3, rows, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [plane_spec, plane_spec]
+    operands = [restored, orig]
+    if norm is not None:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + in_specs
+        operands = [
+            jnp.asarray(norm[0], jnp.float32).reshape(3),
+            jnp.asarray(norm[1], jnp.float32).reshape(3),
+        ] + operands
     out = pl.pallas_call(
         body,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(
-                (3, rows, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (3, rows, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (n_blocks, 4), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
@@ -283,7 +327,7 @@ def lab_l_sum_partials(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interp,
         name="ppk_lab_l_partials",
-    )(restored, orig)
+    )(*operands)
     return out
 
 
@@ -293,26 +337,43 @@ def wb_encode_u8(
     interpret: bool | None = None,
     block_rows: int = 64,
     fast: bool = False,
+    norm=None,
+    live_hw=None,
 ):
     """White-balanced uint8 encode in one HBM pass.
 
-    restored: (3, H, W) float32 BGR planes in [0,1] (normalized).
+    restored: (C>=3, H0, W0) float32 BGR planes in [0,1] (normalized),
+              OR raw planes with norm=(lo, scale) (3,) arrays (fused
+              min-max normalize). Only the first 3 planes are read;
+              live_hw=(h, w) crops the output to the true extent (pad
+              pixels compute garbage that never leaves the kernel's
+              output slice).
     gain: scalar L gain (mean(L_orig) / (mean(L_deblur) + 1e-6)).
-    Returns (3, H, W) uint8 planes — BGR->Lab, L*gain clamped [0,100],
+    Returns (3, h, w) uint8 planes — BGR->Lab, L*gain clamped [0,100],
     Lab->BGR, clip(p*255)->u8, all in VMEM.
     """
-    if restored.ndim != 3 or restored.shape[0] != 3:
-        raise ValueError(f"need (3, H, W) planes, got {restored.shape}")
-    h, w = restored.shape[-2:]
-    rows, hp, wp = _block_geometry(h, w, block_rows)
+    if restored.ndim != 3 or restored.shape[0] < 3:
+        raise ValueError(f"need (C>=3, H, W) planes, got {restored.shape}")
+    h0, w0 = restored.shape[-2:]
+    h, w = live_hw if live_hw is not None else (h0, w0)
+    rows, hp, wp = _block_geometry(h0, w0, block_rows)
     padded = _pad_planes(restored, rows)
     n_blocks = hp // rows
     interp = (
         jax.default_backend() == "cpu" if interpret is None else interpret
     )
 
-    def body(g_ref, r_ref, out_ref):
+    def body(*refs):
+        if norm is not None:
+            g_ref, lo_ref, sc_ref, r_ref, out_ref = refs
+        else:
+            lo_ref = sc_ref = None
+            g_ref, r_ref, out_ref = refs
         rb, rg, rr = r_ref.at[0][:], r_ref.at[1][:], r_ref.at[2][:]
+        if lo_ref is not None:
+            rb = (rb - lo_ref[0]) * sc_ref[0]
+            rg = (rg - lo_ref[1]) * sc_ref[1]
+            rr = (rr - lo_ref[2]) * sc_ref[2]
         L, a, b = _lab_from_bgr_block(rb, rg, rr, fast)
         L = jnp.clip(L * g_ref[0], 0.0, 100.0)
         ob, og, orr = _bgr_from_lab_block(L, a, b, fast)
@@ -325,15 +386,27 @@ def wb_encode_u8(
                 .astype(jnp.uint8)
             )
 
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands = [jnp.asarray([gain], jnp.float32).reshape(1)]
+    if norm is not None:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        operands += [
+            jnp.asarray(norm[0], jnp.float32).reshape(3),
+            jnp.asarray(norm[1], jnp.float32).reshape(3),
+        ]
+    in_specs.append(
+        pl.BlockSpec(
+            (3, rows, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+    )
+    operands.append(padded)
     out = pl.pallas_call(
         body,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (3, rows, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (3, rows, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
@@ -341,7 +414,7 @@ def wb_encode_u8(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interp,
         name="ppk_wb_encode",
-    )(jnp.asarray([gain], jnp.float32).reshape(1), padded)
+    )(*operands)
     if hp != h or wp != w:
         out = out[:, :h, :w]
     return out

@@ -243,6 +243,9 @@ class RestorationService:
             fft_backend=args.backend,
             white_balance=not args.no_white_balance,
             fft_engine=args.fft_engine,
+            # serving graph: ship the uint8 image only — skips the
+            # 50 MB/frame diagnostic planes materialization
+            emit_planes=False,
         )
         self.batched = BatchedWienerPipeline(
             fft_backend=args.backend,

@@ -164,3 +164,64 @@ def test_fast_color_matches_exact():
     d = np.abs(ee.astype(int) - ef.astype(int))
     assert d.max() <= 1
     assert (d > 0).mean() < 0.02
+
+
+@pytest.mark.parametrize("h,w", [(64, 128), (30, 140)])
+def test_norm_fusion_matches_pre_normalized(h, w):
+    """norm=(lo, scale) applies the min-max normalize in VMEM; results
+    must match feeding pre-normalized planes (incl. pad masking in the
+    partial sums for ragged shapes)."""
+    rng = np.random.default_rng(8)
+    raw = jnp.asarray(rng.random((3, h, w), np.float32) * 7.0 - 2.0)
+    orig = jnp.asarray((rng.random((3, h, w)) * 255).astype(np.uint8))
+    lo = jnp.min(raw, axis=(-2, -1))
+    hi = jnp.max(raw, axis=(-2, -1))
+    scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+    normed = (raw - lo[:, None, None]) * scale[:, None, None]
+
+    p_ref = np.asarray(lab_l_sum_partials(normed, orig, block_rows=16))
+    p_fus = np.asarray(
+        lab_l_sum_partials(raw, orig, block_rows=16, norm=(lo, scale))
+    )
+    assert abs(p_fus[:, 0].sum() / p_ref[:, 0].sum() - 1) < 1e-5
+    assert abs(p_fus[:, 1].sum() / p_ref[:, 1].sum() - 1) < 1e-6
+
+    e_ref = np.asarray(wb_encode_u8(normed, jnp.float32(1.1), block_rows=16))
+    e_fus = np.asarray(
+        wb_encode_u8(raw, jnp.float32(1.1), block_rows=16, norm=(lo, scale))
+    )
+    d = np.abs(e_ref.astype(int) - e_fus.astype(int))
+    assert d.max() <= 1
+
+
+def test_pipeline_ppk_ragged_shape():
+    """Non-pow2 frame >=128px: the ppk path reads the power-of-two
+    padded planes uncropped (live_hw masks the L sums, output crops
+    in-kernel) and must match the jnp path."""
+    import functools
+
+    from fft_restoration_tpu.models.pipeline import _restore_core
+
+    rng = np.random.default_rng(9)
+    img = (rng.random((200, 300, 3)) * 255).astype(np.uint8)
+
+    def run(backend):
+        fn = functools.partial(
+            _restore_core, psf_length=9, fft_backend=backend,
+            filter_name="wiener", white_balance=True,
+        )
+        return jax.jit(fn)(
+            jnp.asarray(img), jnp.float32(30.0), jnp.float32(0.01)
+        )
+
+    out_p, planes_p = run("pallas")
+    out_m, planes_m = run("matmul")
+    assert out_p.shape == img.shape
+    assert (
+        float(np.abs(np.asarray(planes_p) - np.asarray(planes_m)).max())
+        <= 1e-5
+    )
+    diff = np.abs(
+        np.asarray(out_p).astype(int) - np.asarray(out_m).astype(int)
+    )
+    assert diff.max() <= 1
