@@ -67,15 +67,59 @@ def _batched_images_core(
     filter_name: str,
     white_balance: bool,
     fft_engine: str = "mxu",
+    emit_planes: bool = True,
 ):
     """(B, H, W, 3) uint8/float BGR -> ((B, H, W, 3) uint8, (B, 3, H, W)
     planes): the batched analog of pipeline._restore_core — ALL
     post-processing (per-frame Lab white balance, uint8 encode) stays on
     device. The planar color functions are elementwise, so they batch
     over (B, H, W) planes directly; the per-frame means reduce over the
-    trailing axes."""
+    trailing axes. With the pallas backend at >=128px the WB+encode
+    runs through the batched fused kernels (ops/pallas/postprocess.py)
+    with fused per-plane normalize and per-image gains; uint8 stacks
+    then stream u8 into the forward FFT kernel (in-kernel ingest)."""
     b, h, w = imgs.shape[:3]
-    chans0 = jnp.moveaxis(imgs, -1, 1)  # (B, 3, H, W)
+    use_ppk = (
+        white_balance and fft_backend == "pallas" and min(h, w) >= 128
+    )
+    chans0 = jnp.moveaxis(imgs, -1, 1)  # (B, 3, H, W), u8 or f32
+    if use_ppk:
+        from fft_restoration_tpu.models.pipeline import restore_planes
+        from fft_restoration_tpu.ops.pallas.postprocess import (
+            lab_l_sum_partials_batched,
+            wb_encode_u8_batched,
+        )
+        from fft_restoration_tpu.utils.padding import next_power_of_two
+
+        hp, wp = next_power_of_two(h), next_power_of_two(w)
+        psf = motion_blur_kernel(psf_length, angle_deg)
+        chp = jnp.pad(
+            chans0, ((0, 0), (0, 0), (0, hp - h), (0, wp - w))
+        )
+        raw, lo, scale = restore_planes(
+            chp.reshape(b * 3, hp, wp), psf, K,
+            fft_backend=fft_backend, filter_name=filter_name,
+            fft_engine=fft_engine, img_rows=h, return_norm=True,
+        )
+        orig3b = chans0.reshape(b * 3, h, w)
+        parts = lab_l_sum_partials_batched(
+            raw, orig3b, b, norm=(lo, scale), live_hw=(h, w)
+        )
+        npix = jnp.float32(h * w)
+        gains = (jnp.sum(parts[:, :, 1], axis=1) / npix) / (
+            jnp.sum(parts[:, :, 0], axis=1) / npix + 1e-6
+        )
+        enc = wb_encode_u8_batched(
+            raw, gains, b, norm=(lo, scale), live_hw=(h, w)
+        )
+        out = jnp.moveaxis(enc.reshape(b, 3, h, w), 1, -1)
+        if not emit_planes:
+            return out, None
+        restored = (
+            (raw[: b * 3, :h, :w] - lo[:, None, None])
+            * scale[:, None, None]
+        ).reshape(b, 3, h, w)
+        return out, restored
     if chans0.dtype == jnp.uint8:
         chans0 = chans0.astype(jnp.float32) / jnp.float32(255.0)
     restored = _batched_core(

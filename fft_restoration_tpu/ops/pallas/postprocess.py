@@ -418,3 +418,190 @@ def wb_encode_u8(
     if hp != h or wp != w:
         out = out[:, :h, :w]
     return out
+
+
+def lab_l_sum_partials_batched(
+    restored: jnp.ndarray,
+    orig: jnp.ndarray,
+    batch: int,
+    interpret: bool | None = None,
+    block_rows: int = 64,
+    norm=None,
+    live_hw=None,
+):
+    """Batched Lab-L partial sums: one kernel over a whole image stack.
+
+    restored: (C >= 3*batch, H0, W0) channel-major planes — image i's
+              BGR channels at planes 3i..3i+2 (the batched pipeline's
+              (B*3, Hp, Wp) layout, models/batched.py). A packed path's
+              phantom tail plane is skipped by the block specs.
+    orig:     (3*batch, h, w) uint8/float32 planes, same channel order.
+    norm:     optional (lo, scale) arrays of shape (3*batch,) — fused
+              per-plane min-max normalize.
+    Returns (batch, n_blocks, 4) partials; [..., 0] sums restored-L,
+    [..., 1] sums original-L per image. Sum axis 1, divide by h*w.
+    """
+    if restored.ndim != 3 or restored.shape[0] < 3 * batch:
+        raise ValueError(
+            f"need (C>={3*batch}, H, W) planes, got {restored.shape}"
+        )
+    h0, w0 = restored.shape[-2:]
+    h, w = live_hw if live_hw is not None else (h0, w0)
+    if orig.shape != (3 * batch, h, w):
+        raise ValueError(
+            f"orig must be ({3*batch}, {h}, {w}), got {orig.shape}"
+        )
+    rows, hp, wp = _block_geometry(h0, w0, block_rows)
+    restored = _pad_planes(restored, rows)
+    orig = (
+        jnp.pad(orig, ((0, 0), (0, hp - h), (0, wp - w)))
+        if (h, w) != (hp, wp)
+        else orig
+    )
+    n_blocks = hp // rows
+    interp = (
+        jax.default_backend() == "cpu" if interpret is None else interpret
+    )
+    padded = hp != h or wp != w
+
+    def body(*refs):
+        if norm is not None:
+            lo_ref, sc_ref = refs[0], refs[1]
+            r_ref, o_ref, out_ref = refs[2], refs[3], refs[4]
+        else:
+            lo_ref = sc_ref = None
+            r_ref, o_ref, out_ref = refs
+        i = pl.program_id(0)  # image
+        j = pl.program_id(1)  # row block
+        rb, rg, rr = r_ref.at[0][:], r_ref.at[1][:], r_ref.at[2][:]
+        if lo_ref is not None:
+            rb = (rb - lo_ref[3 * i]) * sc_ref[3 * i]
+            rg = (rg - lo_ref[3 * i + 1]) * sc_ref[3 * i + 1]
+            rr = (rr - lo_ref[3 * i + 2]) * sc_ref[3 * i + 2]
+        l_deb = _l_from_bgr_block(rb, rg, rr)
+        if padded and (lo_ref is not None or live_hw is not None):
+            ri = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+            live = (ri + j * rows < h) & (ci < w)
+            l_deb = jnp.where(live, l_deb, 0.0)
+        ob = _to_f32(o_ref.at[0][:])
+        og = _to_f32(o_ref.at[1][:])
+        orr = _to_f32(o_ref.at[2][:])
+        l_org = _l_from_bgr_block(ob, og, orr)
+        vals = jnp.stack(
+            [jnp.sum(l_deb), jnp.sum(l_org), 0.0, 0.0]
+        ).reshape(1, 1, 4)
+        out_ref[pl.dslice(i, 1), pl.dslice(j, 1), :] = vals
+
+    plane_spec = pl.BlockSpec(
+        (3, rows, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [plane_spec, plane_spec]
+    operands = [restored, orig]
+    if norm is not None:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + in_specs
+        operands = [
+            jnp.asarray(norm[0], jnp.float32).reshape(-1)[: 3 * batch],
+            jnp.asarray(norm[1], jnp.float32).reshape(-1)[: 3 * batch],
+        ] + operands
+    out = pl.pallas_call(
+        body,
+        grid=(batch, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (batch, n_blocks, 4), lambda i, j: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, n_blocks, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interp,
+        name="ppk_lab_l_partials_b",
+    )(*operands)
+    return out
+
+
+def wb_encode_u8_batched(
+    restored: jnp.ndarray,
+    gains: jnp.ndarray,
+    batch: int,
+    interpret: bool | None = None,
+    block_rows: int = 64,
+    norm=None,
+    live_hw=None,
+):
+    """Batched white-balanced uint8 encode (one kernel per stack).
+
+    restored: (C >= 3*batch, H0, W0) channel-major planes (see
+              lab_l_sum_partials_batched). gains: (batch,) per-image L
+              gains. Returns (3*batch, h, w) uint8 planes.
+    """
+    if restored.ndim != 3 or restored.shape[0] < 3 * batch:
+        raise ValueError(
+            f"need (C>={3*batch}, H, W) planes, got {restored.shape}"
+        )
+    h0, w0 = restored.shape[-2:]
+    h, w = live_hw if live_hw is not None else (h0, w0)
+    rows, hp, wp = _block_geometry(h0, w0, block_rows)
+    padded = _pad_planes(restored, rows)
+    n_blocks = hp // rows
+    interp = (
+        jax.default_backend() == "cpu" if interpret is None else interpret
+    )
+
+    def body(*refs):
+        if norm is not None:
+            g_ref, lo_ref, sc_ref, r_ref, out_ref = refs
+        else:
+            lo_ref = sc_ref = None
+            g_ref, r_ref, out_ref = refs
+        i = pl.program_id(0)
+        rb, rg, rr = r_ref.at[0][:], r_ref.at[1][:], r_ref.at[2][:]
+        if lo_ref is not None:
+            rb = (rb - lo_ref[3 * i]) * sc_ref[3 * i]
+            rg = (rg - lo_ref[3 * i + 1]) * sc_ref[3 * i + 1]
+            rr = (rr - lo_ref[3 * i + 2]) * sc_ref[3 * i + 2]
+        L, a, b = _lab_from_bgr_block(rb, rg, rr)
+        L = jnp.clip(L * g_ref[i], 0.0, 100.0)
+        ob, og, orr = _bgr_from_lab_block(L, a, b)
+        for c, p in enumerate((ob, og, orr)):
+            out_ref.at[c][:] = (
+                jnp.clip(p * 255.0, 0.0, 255.0)
+                .astype(jnp.int32)
+                .astype(jnp.uint8)
+            )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands = [jnp.asarray(gains, jnp.float32).reshape(-1)[:batch]]
+    if norm is not None:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        operands += [
+            jnp.asarray(norm[0], jnp.float32).reshape(-1)[: 3 * batch],
+            jnp.asarray(norm[1], jnp.float32).reshape(-1)[: 3 * batch],
+        ]
+    in_specs.append(
+        pl.BlockSpec(
+            (3, rows, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        )
+    )
+    operands.append(padded)
+    out = pl.pallas_call(
+        body,
+        grid=(batch, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (3, rows, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3 * batch, hp, wp), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interp,
+        name="ppk_wb_encode_b",
+    )(*operands)
+    if hp != h or wp != w:
+        out = out[:, :h, :w]
+    return out

@@ -69,3 +69,37 @@ def test_batched_restore_no_white_balance(rng):
         fft_backend="matmul", white_balance=False
     ).restore(stack, 7, 20.0)
     assert outs.shape == stack.shape and outs.dtype == np.uint8
+
+
+def test_batched_ppk_path_matches_single_pipeline(rng):
+    """At >=128px the pallas batched path runs the fused WB+encode
+    kernels with per-image gains; frame-by-frame it must match the
+    single-image pipeline (which uses the single-image kernels)."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+    stack = (rng.random((3, 128, 128, 3)) * 255).astype(np.uint8)
+    outs = BatchedWienerPipeline(fft_backend="pallas").restore(
+        stack, 9, 30.0
+    )
+    single = WienerDeblurPipeline(fft_backend="pallas")
+    for i in range(stack.shape[0]):
+        want = single.restore(stack[i], 9, 30.0)
+        diff = np.abs(outs[i].astype(int) - want.astype(int)).max()
+        # cross-image channel packing perturbs the FFT rounding
+        assert diff <= 1, diff
+
+
+def test_batched_ppk_ragged(rng):
+    """Non-pow2 batched frames exercise live_hw masking per image."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+    stack = (rng.random((2, 150, 200, 3)) * 255).astype(np.uint8)
+    outs = BatchedWienerPipeline(fft_backend="pallas").restore(
+        stack, 9, 30.0
+    )
+    assert outs.shape == stack.shape
+    single = WienerDeblurPipeline(fft_backend="pallas")
+    for i in range(stack.shape[0]):
+        want = single.restore(stack[i], 9, 30.0)
+        diff = np.abs(outs[i].astype(int) - want.astype(int)).max()
+        assert diff <= 1, diff
