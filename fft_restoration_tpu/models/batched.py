@@ -157,7 +157,7 @@ def _batched_images_core(
         ],
         axis=-1,
     )
-    return out, restored
+    return out, (restored if emit_planes else None)
 
 
 class BatchedWienerPipeline:
@@ -169,11 +169,15 @@ class BatchedWienerPipeline:
         filter_name: str = "wiener",
         white_balance: bool = True,
         fft_engine: str = "mxu",
+        emit_planes: bool = True,
     ):
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
         self.filter_name = filter_name
         self.white_balance = white_balance
+        # serving graph: skip the (B, 3, H, W) diagnostic planes output
+        # (see pipeline.WienerDeblurPipeline emit_planes)
+        self.emit_planes = emit_planes
         self._cache = {}
         self._img_cache = {}
 
@@ -228,6 +232,7 @@ class BatchedWienerPipeline:
                     filter_name=self.filter_name,
                     white_balance=self.white_balance,
                     fft_engine=self.fft_engine,
+                    emit_planes=self.emit_planes,
                 )
             )
         out, _ = self._img_cache[key](

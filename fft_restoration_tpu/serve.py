@@ -251,6 +251,7 @@ class RestorationService:
             fft_backend=args.backend,
             white_balance=not args.no_white_balance,
             fft_engine=args.fft_engine,
+            emit_planes=False,
         )
         self.lock = threading.Lock()
         self.n_served = 0
