@@ -177,7 +177,7 @@ def _run_batch(args) -> int:
         for f in os.listdir(args.img_path)
         if f.lower().endswith(
             (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".pgm", ".pnm",
-             ".pbm", ".tif", ".tiff")
+             ".pbm", ".tif", ".tiff", ".webp")
         )
         and "_restored" not in f
     )

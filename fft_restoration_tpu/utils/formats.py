@@ -385,18 +385,13 @@ def sniff(data: bytes):
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Intentional contract gap (documented, README \u00a7Ingest): WebP is
-    recognised but not decoded. cv::imread accepts it
-    (/root/reference/serial.cpp:22); a VP8/VP8L entropy decoder
-    (boolean arithmetic coder + intra prediction + loop filter) is out
-    of scope for this codec family. The error names the gap so callers
-    can transcode."""
-    kind = data[12:16].decode("ascii", "replace")
-    raise ValueError(
-        f"WebP ({kind.strip()}) is recognised but not supported: this "
-        "framework decodes PNG/JPEG/BMP/PNM/TIFF; transcode WebP to one "
-        "of those (e.g. `dwebp in.webp -o out.png`)"
-    )
+    """WebP -> uint8 RGB/RGBA. Full in-repo decoder (utils/webp.py):
+    VP8L lossless and VP8 lossy keyframes, VP8X/ALPH alpha \u2014 the
+    cv::imread WebP surface (/root/reference/serial.cpp:22), bit-exact
+    against libwebp on both bitstreams."""
+    from fft_restoration_tpu.utils.webp import decode_webp as _dec
+
+    return _dec(data)
 
 
 _DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
@@ -429,4 +424,8 @@ def probe_size(data: bytes):
         if 256 not in tags or 257 not in tags:
             raise ValueError("corrupt TIFF: missing dimensions")
         return tags[257][0], tags[256][0]
+    if kind == "webp":
+        from fft_restoration_tpu.utils.webp import probe_webp_size
+
+        return probe_webp_size(data)
     raise ValueError("not a BMP/PNM/TIFF file")

@@ -334,20 +334,29 @@ def test_tiff_unsupported_photometric():
         formats.decode_tiff(bytes(blob))
 
 
-def test_webp_recognised_but_rejected_with_contract_error():
-    """cv::imread accepts WebP (serial.cpp:22); this framework's
-    documented contract gap: sniff recognises the container and the
-    error names the gap + a transcode path (VERDICT r2 missing-2)."""
+def test_webp_sniffed_and_routed_to_decoder():
+    """cv::imread accepts WebP (serial.cpp:22); sniff recognises the
+    container and formats.decode routes it to the in-repo VP8/VP8L
+    decoder (utils/webp.py). Garbage payloads fail with a clean
+    ValueError, full parity lives in tests/test_webp.py."""
     import pytest
 
     from fft_restoration_tpu.utils import formats
 
     blob = b"RIFF" + b"\x2a\x00\x00\x00" + b"WEBPVP8 " + b"\x00" * 20
     assert formats.sniff(blob) == "webp"
-    with pytest.raises(ValueError, match="WebP.*not supported.*transcode"):
+    with pytest.raises(ValueError, match="corrupt WebP"):
         formats.decode(blob)
+
+    img = _rgb(24, 16, seed=9)
+    ok, enc = cv2.imencode(".webp", img[..., ::-1])
+    assert ok
+    got = formats.decode(enc.tobytes())
+    ref = cv2.imdecode(enc, cv2.IMREAD_COLOR)[..., ::-1]
+    np.testing.assert_array_equal(got[..., :3], ref)
 
     from fft_restoration_tpu.utils.imageio import decode_image_bgr
 
-    with pytest.raises(ValueError, match="WebP"):
-        decode_image_bgr(blob)
+    np.testing.assert_array_equal(
+        decode_image_bgr(enc.tobytes()), ref[..., ::-1]
+    )
