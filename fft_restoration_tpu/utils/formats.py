@@ -12,6 +12,21 @@ here on magic bytes):
   (16-bit samples are big-endian per the spec and round to 8-bit).
 - TIFF: uncompressed (Compression=1) baseline strips, 8-bit grayscale or
   RGB(A), both byte orders, PlanarConfiguration=1.
+- PFM: 'PF' color / 'Pf' gray float maps, both endiannesses (scale sign),
+  bottom-up rows, cv::imread's value/|scale| then saturate-round to uint8
+  (semantics pinned against cv2 5.0, tests/test_formats_ext.py).
+- Radiance HDR (.hdr/.pic): '#?RADIANCE'/'#?RGBE', flat + new-style RLE +
+  old-style (1,1,1,count) RLE scanlines, RGBE -> c*2^(e-136) -> *255
+  saturate-round (cv::imread IMREAD_COLOR semantics, pinned vs cv2).
+- Sun Raster (.sr/.ras): standard (type 0/1) and byte-RLE (type 2),
+  depths 1/8/24/32, optional RGB colormap; 24/32-bit pixels are file-BGR
+  (pinned vs cv2 — whose build here rejects type 2; RLE follows the
+  published spec).
+
+JPEG 2000 and OpenEXR are recognised by magic and rejected with a
+one-line contract error (decoding them needs wavelet/half-float codecs
+far outside this framework's scope); every other cv::imread format the
+reference's drivers could load (/root/reference/serial.cpp:22) decodes.
 
 Everything decodes to uint8 gray (H, W) or RGB(A) (H, W, C) exactly like
 utils/imageio.decode_png, so imread's gray/alpha/BGR canonicalisation is
@@ -371,16 +386,281 @@ def encode_tiff(img: np.ndarray) -> bytes:
 # magic-byte probing shared with imageio.imread / probe_size
 
 
+# ---------------------------------------------------------------------------
+# PFM (portable float map)
+
+
+def decode_pfm(data: bytes) -> np.ndarray:
+    """Decode PFM to uint8 gray (H, W) or RGB (H, W, 3).
+
+    cv::imread(IMREAD_COLOR) semantics, pinned empirically against cv2
+    5.0 (tests/test_formats_ext.py): samples are stored bottom-up,
+    little-endian when scale < 0 / big-endian when scale > 0, divided by
+    |scale|, then saturate-rounded (round-half-even, clamp) to uint8.
+    """
+    m = re.match(rb"P([Ff])\s+(\d+)\s+(\d+)\s+(\S+)\s", data)
+    if not m:
+        raise ValueError("not a PFM file" if data[:2] not in (b"PF", b"Pf")
+                         else "corrupt PFM: bad header")
+    color = m.group(1) == b"F"
+    w, h = int(m.group(2)), int(m.group(3))
+    try:
+        scale = float(m.group(4))
+    except ValueError as e:
+        raise ValueError(f"corrupt PFM: bad scale: {e}") from e
+    if w <= 0 or h <= 0 or scale == 0.0 or not np.isfinite(scale):
+        raise ValueError(f"corrupt PFM: geometry {w}x{h} scale {scale}")
+    c = 3 if color else 1
+    dt = np.dtype("<f4" if scale < 0 else ">f4")
+    need = w * h * c * 4
+    body = data[m.end() : m.end() + need]
+    if len(body) < need:
+        raise ValueError("corrupt PFM: truncated raster")
+    v = np.frombuffer(body, dt).reshape(h, w, c)[::-1]  # rows bottom-up
+    v = np.nan_to_num(v.astype(np.float32) / abs(scale))
+    out = np.clip(np.rint(v), 0, 255).astype(np.uint8)
+    return out if color else out[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Radiance HDR (RGBE)
+
+
+def _hdr_scanline(data: bytes, pos: int, w: int):
+    """One RGBE scanline -> ((w, 4) uint8, new pos). Handles new-style
+    per-component RLE (0x02 0x02 marker), flat pixels, and old-style
+    (1,1,1,count) repeat pixels."""
+    row = np.empty((w, 4), np.uint8)
+    if (
+        8 <= w < 32768
+        and data[pos : pos + 2] == b"\x02\x02"
+        and ((data[pos + 2] << 8) | data[pos + 3]) == w
+    ):
+        pos += 4
+        comp = np.empty((4, w), np.uint8)
+        for ci in range(4):
+            x = 0
+            while x < w:
+                if pos >= len(data):
+                    raise ValueError("corrupt HDR: truncated RLE scanline")
+                n = data[pos]
+                pos += 1
+                if n > 128:  # run of n-128 copies of the next byte
+                    cnt = n - 128
+                    if x + cnt > w or pos >= len(data):
+                        raise ValueError("corrupt HDR: RLE run overflow")
+                    comp[ci, x : x + cnt] = data[pos]
+                    pos += 1
+                else:  # n literal bytes
+                    if x + n > w or pos + n > len(data):
+                        raise ValueError("corrupt HDR: RLE literal overflow")
+                    comp[ci, x : x + n] = np.frombuffer(
+                        data[pos : pos + n], np.uint8
+                    )
+                    pos += n
+                    cnt = n
+                x += cnt
+        return comp.T, pos
+    # flat read, falling back to the old-style repeat markers when present
+    flat = np.frombuffer(data[pos : pos + 4 * w], np.uint8)
+    if len(flat) == 4 * w:
+        px = flat.reshape(w, 4)
+        if not np.any(np.all(px[:, :3] == 1, axis=1)):
+            return px.copy(), pos + 4 * w
+    x, rshift = 0, 0
+    while x < w:
+        px4 = data[pos : pos + 4]
+        if len(px4) < 4:
+            raise ValueError("corrupt HDR: truncated scanline")
+        pos += 4
+        if px4[0] == 1 and px4[1] == 1 and px4[2] == 1:  # old-style repeat
+            if x == 0:
+                raise ValueError("corrupt HDR: repeat with no prior pixel")
+            cnt = px4[3] << rshift
+            if x + cnt > w:
+                raise ValueError("corrupt HDR: repeat overflow")
+            row[x : x + cnt] = row[x - 1]
+            x += cnt
+            rshift += 8
+        else:
+            row[x] = np.frombuffer(px4, np.uint8)
+            x += 1
+            rshift = 0
+    return row, pos
+
+
+def decode_hdr(data: bytes) -> np.ndarray:
+    """Decode Radiance HDR (.hdr/.pic) to uint8 RGB (H, W, 3).
+
+    cv::imread(IMREAD_COLOR) semantics, pinned against cv2 5.0: each
+    RGBE pixel decodes to c * 2^(e-136) (zero when e == 0), then
+    saturate-rounds v*255 to uint8. Only the standard '-Y h +X w'
+    orientation is supported.
+    """
+    if not (data[:10] == b"#?RADIANCE" or data[:6] == b"#?RGBE"):
+        raise ValueError("not a Radiance HDR file")
+    end = data.find(b"\n\n")
+    if end < 0:
+        raise ValueError("corrupt HDR: unterminated header")
+    for line in data[:end].split(b"\n")[1:]:
+        if line.startswith(b"FORMAT=") and line != b"FORMAT=32-bit_rle_rgbe":
+            raise ValueError(f"HDR format {line[7:]!r} not supported")
+    nl = data.find(b"\n", end + 2)
+    if nl < 0:
+        raise ValueError("corrupt HDR: missing resolution line")
+    res = data[end + 2 : nl].split()
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(
+            f"HDR orientation {data[end + 2 : nl]!r} not supported "
+            "(only '-Y h +X w')"
+        )
+    try:
+        h, w = int(res[1]), int(res[3])
+    except ValueError as e:
+        raise ValueError(f"corrupt HDR: bad resolution: {e}") from e
+    if h <= 0 or w <= 0:
+        raise ValueError(f"corrupt HDR: bad resolution {h}x{w}")
+    pos = nl + 1
+    rows = []
+    for _ in range(h):
+        row, pos = _hdr_scanline(data, pos, w)
+        rows.append(row)
+    px = np.stack(rows)  # (h, w, 4) RGBE
+    e = px[..., 3].astype(np.int32)
+    v = px[..., :3].astype(np.float32) * np.where(
+        e == 0, 0.0, np.exp2((e - 136).astype(np.float32))
+    )[..., None]
+    return np.clip(np.rint(v * 255.0), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Sun Raster
+
+
+def _ras_unrle(data: bytes, need: int) -> bytes:
+    """Sun type-2 byte RLE: 0x80 0x00 -> literal 0x80; 0x80 n v -> n+1
+    copies of v; anything else is literal."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while len(out) < need and i < n:
+        b = data[i]
+        if b == 0x80:
+            if i + 1 >= n:
+                break
+            cnt = data[i + 1]
+            if cnt == 0:
+                out.append(0x80)
+                i += 2
+            else:
+                if i + 2 >= n:
+                    break
+                out += bytes([data[i + 2]]) * (cnt + 1)
+                i += 3
+        else:
+            out.append(b)
+            i += 1
+    if len(out) < need:
+        raise ValueError("corrupt RAS: truncated RLE stream")
+    return bytes(out[:need])
+
+
+def decode_ras(data: bytes) -> np.ndarray:
+    """Decode a Sun Raster (.sr/.ras) to uint8 gray (H, W) or RGB.
+
+    Standard (type 0/1) and byte-RLE (type 2) images at depths 1/8/24/32
+    with an optional RGB colormap (maptype 1, stored as separated
+    R/G/B planes). Rows are padded to 16-bit multiples; 24/32-bit pixels
+    are file-order BGR / xBGR (cv::imread parity, pinned vs cv2 5.0 for
+    the standard types; this build's cv2 rejects type 2, which follows
+    the published spec here). 1-bit images map set bits to 255.
+    """
+    if len(data) < 32:
+        raise ValueError("corrupt RAS: truncated header")
+    magic, w, h, depth, length, rtype, maptype, maplen = struct.unpack(
+        ">8i", data[:32]
+    )
+    if magic != 0x59A66A95:
+        raise ValueError("not a Sun Raster file")
+    if rtype not in (0, 1, 2):
+        raise ValueError(f"RAS type {rtype} not supported (0/1/2 only)")
+    if depth not in (1, 8, 24, 32):
+        raise ValueError(f"RAS depth {depth} not supported (1/8/24/32)")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"corrupt RAS: bad dimensions {w}x{h}")
+    if maptype not in (0, 1) or maplen < 0:
+        raise ValueError(f"RAS maptype {maptype} not supported")
+    if maptype == 1 and maplen % 3:
+        raise ValueError(f"corrupt RAS: RGB colormap length {maplen}")
+    pal = None
+    if maptype == 1 and maplen:
+        raw = data[32 : 32 + maplen]
+        if len(raw) < maplen:
+            raise ValueError("corrupt RAS: truncated colormap")
+        pal = np.frombuffer(raw, np.uint8).reshape(3, maplen // 3)
+    body = data[32 + maplen :]
+    stride = ((w * depth + 7) // 8 + 1) & ~1  # rows pad to 16 bits
+    need = stride * h
+    raster = _ras_unrle(body, need) if rtype == 2 else body[:need]
+    if len(raster) < need:
+        raise ValueError("corrupt RAS: truncated raster")
+    rows = np.frombuffer(raster, np.uint8).reshape(h, stride)
+    if depth == 1:
+        idx = np.unpackbits(rows, axis=1)[:, :w]
+        if pal is not None:
+            return np.stack([pal[c][idx] for c in range(3)], axis=-1)
+        return (idx * 255).astype(np.uint8)
+    if depth == 8:
+        idx = rows[:, :w]
+        if pal is not None:
+            return np.stack([pal[c][idx] for c in range(3)], axis=-1)
+        return idx.copy()
+    if depth == 24:
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        return bgr[..., ::-1].copy()
+    xbgr = rows[:, : w * 4].reshape(h, w, 4)
+    return xbgr[..., 3:0:-1].copy()  # (x,B,G,R) -> RGB
+
+
+# ---------------------------------------------------------------------------
+# Recognised-but-out-of-contract formats (cv::imread accepts these; the
+# framework's ingest contract intentionally excludes them)
+
+
+def _decode_jp2(data: bytes) -> np.ndarray:
+    raise ValueError(
+        "JPEG 2000 input is out of contract: wavelet codestream decoding "
+        "is not implemented — convert to PNG/JPEG/WebP/TIFF first"
+    )
+
+
+def _decode_exr(data: bytes) -> np.ndarray:
+    raise ValueError(
+        "OpenEXR input is out of contract: half-float/wavelet EXR decoding "
+        "is not implemented — convert to PFM or Radiance HDR first"
+    )
+
+
 def sniff(data: bytes):
-    """Return 'bmp' | 'pnm' | 'tiff' | 'webp' | None from magic bytes."""
+    """Return 'bmp' | 'pnm' | 'tiff' | 'webp' | 'pfm' | 'hdr' | 'ras' |
+    'jp2' | 'exr' | None from magic bytes."""
     if data[:2] == b"BM":
         return "bmp"
     if len(data) >= 2 and data[0:1] == b"P" and data[1] in b"123456":
         return "pnm"
+    if len(data) >= 2 and data[0:1] == b"P" and data[1] in b"Ff":
+        return "pfm"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:10] == b"#?RADIANCE" or data[:6] == b"#?RGBE":
+        return "hdr"
+    if data[:4] == b"\x59\xa6\x6a\x95":
+        return "ras"
+    if data[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" or data[:4] == b"\xff\x4f\xff\x51":
+        return "jp2"
+    if data[:4] == b"\x76\x2f\x31\x01":
+        return "exr"
     return None
 
 
@@ -395,13 +675,14 @@ def decode_webp(data: bytes) -> np.ndarray:
 
 
 _DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
-             "webp": decode_webp}
+             "webp": decode_webp, "pfm": decode_pfm, "hdr": decode_hdr,
+             "ras": decode_ras, "jp2": _decode_jp2, "exr": _decode_exr}
 
 
 def decode(data: bytes) -> np.ndarray:
     kind = sniff(data)
     if kind is None:
-        raise ValueError("not a BMP/PNM/TIFF file")
+        raise ValueError("not a BMP/PNM/PFM/TIFF/WebP/HDR/RAS file")
     return _DECODERS[kind](data)
 
 
@@ -428,4 +709,23 @@ def probe_size(data: bytes):
         from fft_restoration_tpu.utils.webp import probe_webp_size
 
         return probe_webp_size(data)
-    raise ValueError("not a BMP/PNM/TIFF file")
+    if kind == "pfm":
+        m = re.match(rb"P[Ff]\s+(\d+)\s+(\d+)\s", data)
+        if not m:
+            raise ValueError("corrupt PFM: truncated header")
+        return int(m.group(2)), int(m.group(1))
+    if kind == "hdr":
+        end = data.find(b"\n\n")
+        nl = data.find(b"\n", end + 2) if end >= 0 else -1
+        res = data[end + 2 : nl].split() if nl > 0 else []
+        if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+            raise ValueError("corrupt HDR: bad resolution line")
+        return int(res[1]), int(res[3])
+    if kind == "ras":
+        if len(data) < 32:
+            raise ValueError("corrupt RAS: truncated header")
+        _, w, h = struct.unpack(">3i", data[:12])
+        return h, w
+    if kind in ("jp2", "exr"):
+        _DECODERS[kind](data)  # raises the contract error
+    raise ValueError("not a BMP/PNM/PFM/TIFF/WebP/HDR/RAS file")

@@ -338,7 +338,7 @@ def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
 
 
 def probe_size(path: str) -> tuple:
-    """(height, width) of a PNG or baseline JPEG without decoding pixels.
+    """(height, width) from headers only, for any supported format.
 
     Raises ValueError on unknown/corrupt headers — callers (the CLI
     batch loader) use this to group frames and skip unreadable files."""
@@ -365,30 +365,35 @@ def probe_size(path: str) -> tuple:
             if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
                 continue
             (seglen,) = struct.unpack(">H", data[pos : pos + 2])
-            if marker in (0xC0, 0xC1):  # baseline SOF: decodable
+            if marker in (0xC0, 0xC1, 0xC2):  # baseline/progressive: decodable
                 _, h, w = struct.unpack(">BHH", data[pos + 2 : pos + 7])
                 return h, w
-            if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if marker in (0xC3, 0xC5, 0xC6, 0xC7,
                           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 # dims are parseable but decode_jpeg will refuse; raise
                 # HERE so batch grouping skips just this file instead of
                 # failing (and discarding) its whole same-size group
                 raise ValueError(
-                    "only baseline sequential JPEG is supported "
-                    f"(SOF marker 0xFF{marker:02X})"
+                    "only baseline and progressive Huffman JPEG are "
+                    f"supported (SOF marker 0xFF{marker:02X})"
                 )
             pos += seglen
         raise ValueError("corrupt JPEG: no SOF marker")
-    raise ValueError("unrecognised image format (PNG/JPEG/BMP/PNM/TIFF supported)")
+    raise ValueError(
+        "unrecognised image format "
+        "(PNG/JPEG/BMP/PNM/PFM/TIFF/WebP/HDR/RAS supported)"
+    )
 
 
 def decode_image_bgr(data: bytes) -> np.ndarray:
     """Decode image bytes to BGR uint8 (H, W, 3), like cv::imread(IMREAD_COLOR).
 
-    Formats, dispatched on magic bytes: PNG (this codec), baseline JPEG
-    (utils/jpeg.py), BMP, PBM/PGM/PPM, and uncompressed TIFF
-    (utils/formats.py) — the common cv::imread surface the reference's
-    drivers accept (/root/reference/serial.cpp:22). Channel
+    Formats, dispatched on magic bytes: PNG (this codec), baseline +
+    progressive JPEG (utils/jpeg.py), BMP, PBM/PGM/PPM, PFM,
+    uncompressed TIFF, WebP, Radiance HDR, and Sun Raster
+    (utils/formats.py) — the cv::imread surface the reference's drivers
+    accept (/root/reference/serial.cpp:22); JPEG 2000 and OpenEXR are
+    recognised and rejected with one-line contract errors. Channel
     canonicalisation: gray and gray+alpha replicate to 3 channels, RGBA
     drops alpha. Decoder-internal failures (truncated/garbage streams)
     are normalised to ValueError."""
@@ -404,7 +409,8 @@ def decode_image_bgr(data: bytes) -> np.ndarray:
 
             if formats.sniff(data) is None:
                 raise ValueError(
-                    "unrecognised image format (PNG/JPEG/BMP/PNM/TIFF supported)"
+                    "unrecognised image format "
+                    "(PNG/JPEG/BMP/PNM/PFM/TIFF/WebP/HDR/RAS supported)"
                 )
             img = formats.decode(data)
     except ValueError:

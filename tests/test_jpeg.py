@@ -129,16 +129,25 @@ def test_truncated_dht_raises_valueerror(photo):
         decode_jpeg(data[: i + 10])
 
 
-def test_probe_size_rejects_progressive(tmp_path, photo):
-    """probe_size must not classify files decode_jpeg will refuse as
-    readable — otherwise one progressive file poisons its whole
-    same-size batch group."""
+def test_probe_size_accepts_progressive_rejects_lossless(tmp_path, photo):
+    """probe_size's decodability must track decode_jpeg: progressive
+    (SOF2) decodes now so it must group normally, while lossless (SOF3)
+    must raise HERE so one such file doesn't poison its whole same-size
+    batch group."""
     from fft_restoration_tpu.utils.imageio import probe_size
 
+    prog = _encode(photo, IMWRITE_JPEG_PROGRESSIVE=1)
     p = tmp_path / "prog.jpg"
-    p.write_bytes(_encode(photo, IMWRITE_JPEG_PROGRESSIVE=1))
-    with pytest.raises(ValueError, match="baseline"):
-        probe_size(str(p))
+    p.write_bytes(prog)
+    assert probe_size(str(p)) == photo.shape[:2]
+
+    i = prog.find(b"\xff\xc2")
+    assert i > 0
+    lossless = prog[:i] + b"\xff\xc3" + prog[i + 2 :]
+    q = tmp_path / "lossless.jpg"
+    q.write_bytes(lossless)
+    with pytest.raises(ValueError, match="baseline and progressive"):
+        probe_size(str(q))
 
 
 def test_gray_nonunit_sampling_factors(photo):
