@@ -93,6 +93,16 @@ def build_parser() -> argparse.ArgumentParser:
         "'default', the strict l2/inf tiers get 'highest'.",
     )
     p.add_argument(
+        "--stage-dtype",
+        choices=("f32", "bf16"),
+        default="f32",
+        help="storage dtype of the inter-kernel spectral planes on the "
+        "pallas fast path. 'bf16' halves ~134 MB of HBM traffic per "
+        "2048²x3 frame (compute stays f32 in every kernel) but measured "
+        "~neutral on v5e (compute-bound kernels hide the saved DMA; "
+        "docs/PERF.md round 3), so 'f32' stays the default",
+    )
+    p.add_argument(
         "--profile",
         nargs="?",
         const="phases",
@@ -230,6 +240,7 @@ def _run_batch(args) -> int:
             filter_name=args.filter,
             white_balance=not args.no_white_balance,
             fft_engine=args.fft_engine,
+            stage_dtype=args.stage_dtype,
         )
     for (h, w), group in groups.items():
         try:
@@ -437,6 +448,7 @@ def main(argv=None) -> int:
                 filter_name=args.filter,
                 white_balance=wb,
                 fft_engine=args.fft_engine,
+                stage_dtype=args.stage_dtype,
             )
         else:
             from fft_restoration_tpu.parallel.mesh import make_mesh

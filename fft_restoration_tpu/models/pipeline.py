@@ -96,8 +96,18 @@ def restore_planes(
     img_rows: int | None = None,
     psf_spectrum=None,
     return_norm: bool = False,
+    stage_dtype: str | None = None,
 ) -> jnp.ndarray:
     """Restore (..., Hp, Wp) power-of-two planes with a (S, S) PSF.
+
+    stage_dtype='bf16' (pallas backend only) stores the inter-kernel
+    spectral planes (fwd->middle->inverse boundaries) as bfloat16,
+    halving ~134 MB of HBM traffic per 2048²x3 frame; compute stays
+    float32 inside every kernel. MEASURED NEAR-ZERO on v5e (1.18 vs
+    1.19 ms device — the FFT kernels are compute-bound per block, so
+    the saved DMA hides under compute; docs/PERF.md round 3) at a
+    parity cost of ~2 uint8 counts, hence NOT the flagship default.
+    Kept for bandwidth-constrained parts where the trade flips.
 
     return_norm=True (pallas backend, (C, Hp, Wp) input only) returns
     (raw_planes, lo, scale) with lo/scale per-channel (C,) arrays
@@ -141,6 +151,7 @@ def restore_planes(
             channels, psf_pad, K, psf_rows, engine=fft_engine,
             filter_name=filter_name, img_rows=img_rows,
             psf_spectrum=psf_spectrum, return_norm=return_norm,
+            stage_dtype=stage_dtype,
         )
     if return_norm:
         raise ValueError("return_norm requires the pallas backend")
@@ -207,23 +218,31 @@ def _fwd_rows_t_live(re, im, live_rows, engine, **kw):
     return lre, lim
 
 
-def psf_spectrum_planes(psf, hp, wp, engine="mxu", psf_rows=None):
+def psf_spectrum_planes(psf, hp, wp, engine="mxu", psf_rows=None,
+                        stage_dtype=None):
     """2D forward transform of the corner-anchored padded PSF in the
     pallas fast path's layout (transposed orientation, revorder/hybrid
     spectrum) — the `H` the fused pipeline consumes. Compute once per
     (psf, hp, wp) and pass to restore_planes(psf_spectrum=...) to skip
-    the per-frame PSF transform when the PSF is fixed."""
+    the per-frame PSF transform when the PSF is fixed.
+
+    stage_dtype='bf16' stores the cached spectrum half-width (computed
+    in f32, cast once here): the spectral-middle kernel reads 16.8 MB
+    instead of 33.6 at 2048² and casts back on load."""
     from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
 
     psf_pad = _pad2d(psf, hp, wp)
     rows = psf.shape[-2] if psf_rows is None else psf_rows
     re, im = _fwd_rows_t_live(psf_pad, None, rows, engine)
-    return fft_rows_pallas(re, im, False, ordering="revorder", engine=engine)
+    H = fft_rows_pallas(re, im, False, ordering="revorder", engine=engine)
+    if stage_dtype in ("bf16", "bfloat16"):
+        H = (H[0].astype(jnp.bfloat16), H[1].astype(jnp.bfloat16))
+    return H
 
 
 def _restore_planes_pallas_fused(
     channels, psf_pad, K, psf_rows=None, engine="mxu", filter_name="wiener",
-    img_rows=None, psf_spectrum=None, return_norm=False,
+    img_rows=None, psf_spectrum=None, return_norm=False, stage_dtype=None,
 ):
     """Pallas fast path: revorder (DIF fwd / DIT inv, zero bit-reversal
     passes) row-FFT kernels + fused Wiener kernel, with the filter
@@ -254,6 +273,15 @@ def _restore_planes_pallas_fused(
     ):
         # u8 streams only through the packed_planes forward kernel
         channels = channels.astype(jnp.float32) / jnp.float32(255.0)
+
+    # bf16 staging: half-width storage for the image's inter-kernel
+    # spectral planes. The PSF spectrum and every in-kernel compute stay
+    # float32 (kernels cast on load/store, _load_f32).
+    stage = (
+        jnp.bfloat16 if stage_dtype in ("bf16", "bfloat16") else None
+    )
+    if stage_dtype not in (None, "f32", "float32", "bf16", "bfloat16"):
+        raise ValueError(f"unknown stage_dtype {stage_dtype!r}")
 
     hp, wp = channels.shape[-2:]
 
@@ -297,13 +325,18 @@ def _restore_planes_pallas_fused(
                 # like the PSF's — slice the live rows (UHD pads
                 # 2160 -> 4096: −47% of this pass)
                 a_re, a_im = _fwd_rows_t_live(
-                    pk, None, img_rows, engine, packed_planes=True
+                    pk, None, img_rows, engine, packed_planes=True,
+                    out_dtype=stage,
                 )
             else:
                 p_re, p_im = _pack_channel_pairs(channels)
-                a_re, a_im = _fwd_rows_t_live(p_re, p_im, img_rows, engine)
+                a_re, a_im = _fwd_rows_t_live(
+                    p_re, p_im, img_rows, engine, out_dtype=stage
+                )
         else:
-            a_re, a_im = _fwd_rows_t_live(channels, None, img_rows, engine)
+            a_re, a_im = _fwd_rows_t_live(
+                channels, None, img_rows, engine, out_dtype=stage
+            )
     # Middle of the 2D restore. Wiener gets the fully fused spectral
     # kernel (col-FFT + filter + col-IFFT with transposed writes — the
     # filtered 2D spectrum never touches HBM), viable since the MXU
@@ -322,7 +355,9 @@ def _restore_planes_pallas_fused(
         # Wiener Filter, IFFT (cols) — phase_breakdown reports it under
         # the fused label rather than splitting it by guesswork
         with jax.named_scope("fphase_spectral_fused"):
-            r = wiener_spectral_rows_t((a_re, a_im), H, K, engine=engine)
+            r = wiener_spectral_rows_t(
+                (a_re, a_im), H, K, engine=engine, out_dtype=stage
+            )
     else:
         r = None
     if r is not None:
@@ -481,6 +516,7 @@ def _restore_core(
     white_balance: bool,
     fft_engine: str = "mxu",
     emit_planes: bool = True,
+    stage_dtype: str | None = None,
 ):
     """(H, W, 3) BGR image -> (H, W, 3) uint8 BGR restored.
 
@@ -520,7 +556,7 @@ def _restore_core(
         chans, psf, K, fft_backend=fft_backend, filter_name=filter_name,
         fft_engine=fft_engine, img_rows=h,
         psf_spectrum=None if h_re is None else (h_re, h_im),
-        return_norm=use_ppk,
+        return_norm=use_ppk, stage_dtype=stage_dtype,
     )
     if use_ppk:
         raw, lo, scale = rp  # raw may carry a packed 4th plane, uncropped
@@ -624,6 +660,7 @@ class WienerDeblurPipeline:
         fft_engine: str = "mxu",
         cache_psf_spectrum: bool = True,
         emit_planes: bool = True,
+        stage_dtype: str | None = None,
     ):
         # emit_planes=False compiles the SERVING graph: restore() skips
         # the (3, H, W) f32 diagnostic planes output (a 50 MB HBM
@@ -633,6 +670,9 @@ class WienerDeblurPipeline:
         self.emit_planes = emit_planes
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
+        # 'bf16' stores the inter-kernel spectral planes half-width
+        # (restore_planes stage_dtype); None/'f32' keeps full precision
+        self.stage_dtype = stage_dtype
         self.filter_name = filter_name
         self.white_balance = white_balance
         self.device = device
@@ -662,6 +702,7 @@ class WienerDeblurPipeline:
                 white_balance=self.white_balance,
                 fft_engine=self.fft_engine,
                 emit_planes=self.emit_planes,
+                stage_dtype=self.stage_dtype,
             )
             donate = (0,) if self.donate_input else ()
             self._cache[key] = jax.jit(fn, donate_argnums=donate)
@@ -690,7 +731,8 @@ class WienerDeblurPipeline:
                 def make_h(ang, _hp=hp, _wp=wp, _len=psf_length):
                     psf = motion_blur_kernel(_len, ang)
                     return psf_spectrum_planes(
-                        psf, _hp, _wp, engine=self.fft_engine, psf_rows=_len
+                        psf, _hp, _wp, engine=self.fft_engine, psf_rows=_len,
+                        stage_dtype=self.stage_dtype,
                     )
 
                 self._psf_fns[fkey] = jax.jit(make_h)

@@ -284,13 +284,26 @@ def _run_stages(x_re, x_im, tbls, dif):
     return _fft_stages(x_re, x_im, *tbls, dif)
 
 
+def _load_f32(x):
+    """Canonicalise a VMEM block load to float32 compute: uint8 ingest
+    converts through the i32 hop (Mosaic has no direct u8<->f32 cast),
+    bfloat16 staging planes (inter-kernel HBM traffic stored half-width,
+    see models/pipeline.py stage_dtype) cast natively. float32 is
+    returned untouched."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.int32).astype(jnp.float32) / jnp.float32(255.0)
+    if x.dtype != jnp.float32:
+        return x.astype(jnp.float32)
+    return x
+
+
 def _fft_kernel(
     re_ref, im_ref, tbl_refs, ore_ref, oim_ref, mm_ref=None, *, dif
 ):
-    x_re = re_ref[:]
+    x_re = _load_f32(re_ref[:])
     # real_input mode passes im_ref=None: the zero imaginary plane is
     # synthesized in-register instead of being written to / read from HBM.
-    x_im = jnp.zeros_like(x_re) if im_ref is None else im_ref[:]
+    x_im = jnp.zeros_like(x_re) if im_ref is None else _load_f32(im_ref[:])
     x_re, x_im = _run_stages(x_re, x_im, tbl_refs, dif)
     ore_ref[:] = x_re
     # real_output mode passes oim_ref=None: callers that discard the
@@ -364,10 +377,14 @@ def _fft_cols_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_re
 
 def _fft_rows_transposed(
     re, im, inverse, block_rows, interpret, ordering, packed_planes=False,
-    engine="roll",
+    engine="roll", out_dtype=None,
 ):
     """fft_rows_pallas with in-kernel transposed block writes:
     (..., M, N) -> (..., N, M). See fft_rows_pallas(transposed_output).
+
+    out_dtype: storage dtype of the output planes (default float32).
+    bfloat16 halves the kernel's HBM write traffic and the next kernel's
+    read traffic; compute stays float32 (cast on store / after load).
 
     packed_planes=True: `re` is a single (2P, M, N) channel-major array
     whose even planes are the real parts and odd planes the imaginary
@@ -449,6 +466,8 @@ def _fft_rows_transposed(
                 re, im, inverse, block_rows, interpret, ordering,
                 engine=engine,
             )
+        if out_dtype is not None:
+            r, i = r.astype(out_dtype), i.astype(out_dtype)
         return jnp.swapaxes(r, -1, -2), jnp.swapaxes(i, -1, -2)
     pad = (-m) % rows
     if pad:
@@ -490,26 +509,22 @@ def _fft_rows_transposed(
         for a in tbl_arrays
     ]
 
+    odt = jnp.float32 if out_dtype is None else jnp.dtype(out_dtype)
+
     def body(*refs):
         ins, outs = refs[:-2], refs[-2:]
-        x_re = ins[0].at[0][:]
+        # in-kernel uint8 ingest (i32 hop; the u8 planes stream straight
+        # into VMEM and convert there, deleting the XLA convert fusion's
+        # 50 MB f32 intermediate write + re-read per 2048² frame) and
+        # bf16 staging loads both canonicalise here
+        x_re = _load_f32(ins[0].at[0][:])
         x_im = (
-            jnp.zeros_like(x_re) if real_input else ins[1].at[0][:]
+            jnp.zeros_like(x_re) if real_input else _load_f32(ins[1].at[0][:])
         )
-        if x_re.dtype == jnp.uint8:
-            # in-kernel uint8 ingest: the u8 planes stream straight into
-            # VMEM and convert there, deleting the XLA convert fusion's
-            # 50 MB f32 intermediate write + re-read per 2048² frame
-            # (same math as the pipeline's host contract: u8 -> f32 ->
-            # /255, exact for 0..255). Mosaic has no direct u8->f32
-            # cast ("Unsupported cast: uint8 -> float32", measured);
-            # the i32 hop lowers fine and is value-exact.
-            x_re = x_re.astype(jnp.int32).astype(jnp.float32) / jnp.float32(255.0)
-            x_im = x_im.astype(jnp.int32).astype(jnp.float32) / jnp.float32(255.0)
         tbls = ins[n_ins:]
         x_re, x_im = _run_stages(x_re, x_im, tbls, dif)
-        outs[0].at[0][:] = jnp.swapaxes(x_re, 0, 1)
-        outs[1].at[0][:] = jnp.swapaxes(x_im, 0, 1)
+        outs[0].at[0][:] = jnp.swapaxes(x_re, 0, 1).astype(odt)
+        outs[1].at[0][:] = jnp.swapaxes(x_im, 0, 1).astype(odt)
 
     out_re, out_im = pl.pallas_call(
         body,
@@ -517,8 +532,8 @@ def _fft_rows_transposed(
         in_specs=in_specs_data + tbl_specs,
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((p, n, mt), jnp.float32),
-            jax.ShapeDtypeStruct((p, n, mt), jnp.float32),
+            jax.ShapeDtypeStruct((p, n, mt), odt),
+            jax.ShapeDtypeStruct((p, n, mt), odt),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=(
@@ -608,8 +623,8 @@ def fft_rows_packed_out(
         tbls = refs[2 : 2 + n_tbl]
         o_ref = refs[2 + n_tbl]
         mm_ref = refs[3 + n_tbl] if emit_minmax else None
-        x_re = re_ref.at[0][:]
-        x_im = im_ref.at[0][:]
+        x_re = _load_f32(re_ref.at[0][:])
+        x_im = _load_f32(im_ref.at[0][:])
         x_re, x_im = _run_stages(x_re, x_im, tbls, dif)
         o_ref.at[0][:] = x_re
         o_ref.at[1][:] = x_im
@@ -729,6 +744,7 @@ def fft_rows_pallas(
     transposed_output: bool = False,
     packed_planes: bool = False,
     engine: str = "roll",
+    out_dtype=None,
 ):
     """1D DFT over the last axis of (..., N) SoA planes, N a power of two
     >= 2. Unscaled inverse. Rows are tiled over the grid; each tile runs
@@ -782,6 +798,12 @@ def fft_rows_pallas(
     real_input = im is None
     if packed_planes and not transposed_output:
         raise ValueError("packed_planes requires transposed_output")
+    if out_dtype is not None and not transposed_output:
+        raise ValueError(
+            "out_dtype (bf16 staging) is only supported with "
+            "transposed_output — the staged boundaries of the fused "
+            "pipeline (models/pipeline.py stage_dtype)"
+        )
     if transposed_output:
         if real_output or emit_minmax:
             raise ValueError(
@@ -792,7 +814,7 @@ def fft_rows_pallas(
             raise ValueError("transposed_output needs ndim >= 2")
         return _fft_rows_transposed(
             re, im, inverse, block_rows, interpret, ordering,
-            packed_planes=packed_planes, engine=engine,
+            packed_planes=packed_planes, engine=engine, out_dtype=out_dtype,
         )
     batch = int(np.prod(orig_shape[:-1])) if len(orig_shape) > 1 else 1
     re2 = re.reshape(batch, n)

@@ -45,6 +45,7 @@ from fft_restoration_tpu.ops.pallas.fft_kernel import (
     _dit_stage,
     _engine_tables,
     _half_masks_np,
+    _load_f32,
     _resolve_engine,
     _run_stages,
     _twiddle_planes_np,
@@ -67,8 +68,8 @@ def _kernel(
     ore_ref,
     oim_ref,
 ):
-    x_re = are_ref[:]
-    x_im = aim_ref[:]
+    x_re = _load_f32(are_ref[:])
+    x_im = _load_f32(aim_ref[:])
     n = x_re.shape[-1]
     stages = n.bit_length() - 1
     # forward column pass: DIF, stages from long to short
@@ -84,8 +85,8 @@ def _kernel(
             n,
         )
     # Wiener: F = G * conj(H) / (|H|^2 + K)
-    hr = hre_ref[:]
-    hi = him_ref[:]
+    hr = _load_f32(hre_ref[:])
+    hi = _load_f32(him_ref[:])
     k = k_ref[0]
     inv = 1.0 / (hr * hr + hi * hi + k)
     f_re = (x_re * hr + x_im * hi) * inv
@@ -163,11 +164,11 @@ def fwd_wiener_rows_pallas(
         k_ref, are, aim, hre, him = refs[:5]
         tbls = refs[5 : 5 + n_tbl]
         fre, fim = refs[5 + n_tbl :]
-        x_re = are.at[0][:]
-        x_im = aim.at[0][:]
+        x_re = _load_f32(are.at[0][:])
+        x_im = _load_f32(aim.at[0][:])
         x_re, x_im = _run_stages(x_re, x_im, tbls, dif=True)
-        hrb = hre[:]
-        hib = him[:]
+        hrb = _load_f32(hre[:])
+        hib = _load_f32(him[:])
         inv = 1.0 / (hrb * hrb + hib * hib + k_ref[0])
         fre.at[0][:] = (x_re * hrb + x_im * hib) * inv
         fim.at[0][:] = (x_im * hrb - x_re * hib) * inv
@@ -278,6 +279,7 @@ def wiener_spectral_rows_t(
     interpret: bool | None = None,
     engine: str = "mxu",
     vmem_budget_mb: int = 24,
+    out_dtype=None,
 ) -> SoA:
     """Full fused middle with TRANSPOSED block writes:
     colIFFT(wiener(colFFT(A), H)) -> (..., N, M).
@@ -344,6 +346,8 @@ def wiener_spectral_rows_t(
     ]
     k_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    odt = jnp.float32 if out_dtype is None else jnp.dtype(out_dtype)
+
     def kernel(*refs):
         k_ref, are, aim, hre, him = refs[:5]
         ftbls = refs[5 : 5 + n_fwd]
@@ -351,17 +355,17 @@ def wiener_spectral_rows_t(
         # re-insert the shared mask plane: (cos_i, sin_i, mask[, wc_i, ws_i])
         itbls = (itbls_raw[0], itbls_raw[1], ftbls[2]) + tuple(itbls_raw[2:])
         ore, oim = refs[5 + n_fwd + n_inv :]
-        x_re = are.at[0][:]
-        x_im = aim.at[0][:]
+        x_re = _load_f32(are.at[0][:])
+        x_im = _load_f32(aim.at[0][:])
         x_re, x_im = _run_stages(x_re, x_im, ftbls, dif=True)
-        hrb = hre[:]
-        hib = him[:]
+        hrb = _load_f32(hre[:])
+        hib = _load_f32(him[:])
         inv = 1.0 / (hrb * hrb + hib * hib + k_ref[0])
         f_re = (x_re * hrb + x_im * hib) * inv
         f_im = (x_im * hrb - x_re * hib) * inv
         x_re, x_im = _run_stages(f_re, f_im, itbls, dif=False)
-        ore.at[0][:] = jnp.swapaxes(x_re, 0, 1)
-        oim.at[0][:] = jnp.swapaxes(x_im, 0, 1)
+        ore.at[0][:] = jnp.swapaxes(x_re, 0, 1).astype(odt)
+        oim.at[0][:] = jnp.swapaxes(x_im, 0, 1).astype(odt)
 
     out_re, out_im = pl.pallas_call(
         kernel,
@@ -370,8 +374,8 @@ def wiener_spectral_rows_t(
         in_specs=[k_spec, a_spec, a_spec, h_spec, h_spec] + tbl_specs,
         out_specs=[o_spec, o_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((chans, n, m), jnp.float32),
-            jax.ShapeDtypeStruct((chans, n, m), jnp.float32),
+            jax.ShapeDtypeStruct((chans, n, m), odt),
+            jax.ShapeDtypeStruct((chans, n, m), odt),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,

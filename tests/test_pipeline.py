@@ -119,3 +119,54 @@ def test_u8_kernel_ingest_matches_f32_input():
         )
         <= 1
     )
+
+
+def test_bf16_staged_pipeline_matches_oracle_gpu_tier():
+    """stage_dtype='bf16' stores the inter-kernel spectral planes
+    half-width. Contract: the reference's gpu tier vs the oracle
+    (PSNR >= 30 dB / INF <= 1e-3 — gpu.cpp:13-55), plus closeness to
+    the f32-staged pipeline well above that tier."""
+    import jax.numpy as jnp
+
+    from fft_restoration_tpu.models.pipeline import restore_planes
+
+    rng = np.random.default_rng(3)
+    chans = rng.random((3, 256, 256)).astype(np.float32)
+    psf = motion_blur_kernel(15, jnp.float32(45.0))
+    f32 = np.asarray(
+        restore_planes(jnp.asarray(chans), psf, 0.01, fft_backend="pallas")
+    )
+    b16 = np.asarray(
+        restore_planes(
+            jnp.asarray(chans), psf, 0.01, fft_backend="pallas",
+            stage_dtype="bf16",
+        )
+    )
+    report = channels_equal(b16, f32, "gpu")
+    assert report.passed, str(report)
+    mse = float(((f32 - b16) ** 2).mean())
+    assert 10 * np.log10(1.0 / max(mse, 1e-30)) > 50.0
+
+    # full pipeline class plumbing: uint8 in/out, same PSF
+    img = (rng.random((150, 200, 3)) * 255).astype(np.uint8)
+    pipe = WienerDeblurPipeline(fft_backend="pallas", stage_dtype="bf16")
+    ours = pipe.restore_channels(img, 9, 30.0)
+    oracle = restore_channels(
+        np.moveaxis(img.astype(np.float32) / 255.0, -1, 0),
+        motion_blur_kernel_oracle(9, 30.0),
+    )
+    report = channels_equal(ours, oracle, "gpu")
+    assert report.passed, str(report)
+
+
+def test_stage_dtype_rejects_unknown():
+    import jax.numpy as jnp
+
+    from fft_restoration_tpu.models.pipeline import restore_planes
+
+    psf = motion_blur_kernel(9, jnp.float32(30.0))
+    with pytest.raises(ValueError, match="stage_dtype"):
+        restore_planes(
+            jnp.zeros((3, 128, 128), jnp.float32), psf, 0.01,
+            fft_backend="pallas", stage_dtype="fp8",
+        )

@@ -24,7 +24,7 @@ Usage: python tools/perf_ab.py [select realout donate twrite megakernel radix4 |
 """
 
 EXPERIMENTS = {"select", "realout", "donate", "twrite", "megakernel",
-               "radix4", "engine", "megamxu", "precision"}
+               "radix4", "engine", "megamxu", "precision", "stage"}
 
 import functools
 import os
@@ -186,6 +186,45 @@ def main():
             )
         finally:
             fk._MXU_PRECISION = None
+
+    if "stage" in which:
+        # bf16 staging of the inter-kernel spectral planes: halves the
+        # fwd->mid and mid->inv HBM boundaries (~134 MB/frame at
+        # 2048²x3). Serving graph (uint8 in/out, emit_planes=False),
+        # per-frame PSF transform on both sides.
+        img_u8 = jax.device_put(
+            jnp.asarray((rng.random((H, W, 3)) * 255).astype(np.uint8))
+        )
+
+        def mk_stage(sd):
+            return jax.jit(
+                functools.partial(
+                    _restore_core,
+                    psf_length=50,
+                    fft_backend="pallas",
+                    filter_name="wiener",
+                    white_balance=True,
+                    fft_engine="mxu",
+                    emit_planes=False,
+                    stage_dtype=sd,
+                )
+            )
+
+        f32p = compile_guarded(lambda: mk_stage(None))
+        b16p = compile_guarded(lambda: mk_stage("bf16"))
+        out_f = np.asarray(f32p(img_u8, ang, k))
+        out_b = np.asarray(b16p(img_u8, ang, k))
+        diff = np.max(np.abs(out_f.astype(np.int32) - out_b.astype(np.int32)))
+        print(f"stage parity (uint8 max abs diff bf16 vs f32): {diff}")
+        results["stage_f32"] = measure(
+            "pallas stage=f32 (serving)", f32p, (img_u8, ang, k)
+        )
+        results["stage_bf16"] = measure(
+            "pallas stage=bf16 (serving)", b16p, (img_u8, ang, k)
+        )
+        results["stage_f32_2"] = measure(
+            "pallas stage=f32 (re)", f32p, (img_u8, ang, k)
+        )
 
     if "engine" in which:
         mxu = compile_guarded(lambda: pallas_pipe(fft_engine="mxu"))
