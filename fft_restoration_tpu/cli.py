@@ -187,7 +187,8 @@ def _run_batch(args) -> int:
         for f in os.listdir(args.img_path)
         if f.lower().endswith(
             (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".pgm", ".pnm",
-             ".pbm", ".tif", ".tiff", ".webp")
+             ".pbm", ".tif", ".tiff", ".webp", ".pfm", ".hdr", ".pic",
+             ".sr", ".ras")
         )
         and "_restored" not in f
     )
@@ -196,6 +197,24 @@ def _run_batch(args) -> int:
         return 1
     out_dir = args.output or args.img_path
     os.makedirs(out_dir, exist_ok=True)
+
+    # destination names: <stem>_restored.png, except when two inputs share
+    # a stem across formats (car.webp + car.hdr) — those keep the extension
+    # (car_webp_restored.png) so outputs never silently overwrite each other
+    from collections import defaultdict as _dd
+
+    _by_stem = _dd(list)
+    for p in paths:
+        _by_stem[os.path.basename(p).rsplit(".", 1)[0]].append(p)
+    dst_map = {
+        p: os.path.join(
+            out_dir,
+            (stem if len(ps) == 1 else os.path.basename(p).replace(".", "_"))
+            + "_restored.png",
+        )
+        for stem, ps in _by_stem.items()
+        for p in ps
+    }
 
     # group by frame size, skipping unreadable files
     import struct
@@ -244,7 +263,7 @@ def _run_batch(args) -> int:
         )
     for (h, w), group in groups.items():
         try:
-            _restore_group(args, group, out_dir, single)
+            _restore_group(args, group, dst_map, single)
             n_done += len(group)
         except (OSError, ValueError, struct.error) as e:
             print(f"[Error] skipping {len(group)} frame(s) of size {w}x{h}: {e}")
@@ -258,7 +277,7 @@ def _run_batch(args) -> int:
     return 0
 
 
-def _restore_group(args, group, out_dir, single, batched=None) -> None:
+def _restore_group(args, group, dst_map, single, batched=None) -> None:
     """Restore one same-size group of frames (len>1 batched, else single)."""
     import os
 
@@ -280,10 +299,7 @@ def _restore_group(args, group, out_dir, single, batched=None) -> None:
             fft_engine=args.fft_engine,
         )
 
-    def _dst(p):
-        return os.path.join(
-            out_dir, os.path.basename(p).rsplit(".", 1)[0] + "_restored.png"
-        )
+    _dst = dst_map.__getitem__
 
     # HBM safety: a directory group is restored in chunks bounded by the
     # padded working set (~12 float32 plane-equivalents per frame in
@@ -300,7 +316,7 @@ def _restore_group(args, group, out_dir, single, batched=None) -> None:
             # graph compiles once, not once per chunk
             for i in range(0, len(group), chunk):
                 _restore_group(
-                    args, group[i : i + chunk], out_dir, single, batched
+                    args, group[i : i + chunk], dst_map, single, batched
                 )
             return
 

@@ -431,10 +431,12 @@ def _hdr_scanline(data: bytes, pos: int, w: int):
     per-component RLE (0x02 0x02 marker), flat pixels, and old-style
     (1,1,1,count) repeat pixels."""
     row = np.empty((w, 4), np.uint8)
-    if (
+    head = data[pos : pos + 4]  # sliced, not indexed: truncation after the
+    if (                        # 0x0202 marker must raise ValueError below
         8 <= w < 32768
-        and data[pos : pos + 2] == b"\x02\x02"
-        and ((data[pos + 2] << 8) | data[pos + 3]) == w
+        and len(head) == 4
+        and head[:2] == b"\x02\x02"
+        and ((head[2] << 8) | head[3]) == w
     ):
         pos += 4
         comp = np.empty((4, w), np.uint8)

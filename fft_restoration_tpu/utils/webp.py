@@ -646,14 +646,18 @@ def _decode_alpha(alph: bytes, h: int, w: int) -> np.ndarray:
         a = ((argb >> 8) & 0xFF).astype(np.uint8)
     if filt:
         a = a.astype(np.int32)
+        # libwebp dsp/filters.c semantics: predictors are DECODED values.
+        # Horizontal: out[y][0] = in[y][0] + out[y-1][0] (0 for y=0), then
+        # out[y][x] = in[y][x] + out[y][x-1].  Vertical: row 0 is
+        # horizontally unfiltered, then out[y][x] = in[y][x] + out[y-1][x].
+        # Mod-256 commutes with addition, so plain cumsums + final mask
+        # are exact (int32 never overflows for any real image extent).
         if filt == 1:  # horizontal
-            for x in range(1, w):
-                a[:, x] = (a[:, x] + a[:, x - 1]) & 0xFF
-            a[1:, 0] = (a[1:, 0] + a[:-1, 0]) & 0xFF
+            a[:, 0] = np.cumsum(a[:, 0])
+            a = np.cumsum(a, axis=1) & 0xFF
         elif filt == 2:  # vertical
-            a[0, 1:] = (a[0, 1:] + a[0, :-1]) & 0xFF
-            for y in range(1, h):
-                a[y] = (a[y] + a[y - 1]) & 0xFF
+            a[0] = np.cumsum(a[0])
+            a = np.cumsum(a, axis=0) & 0xFF
         else:  # gradient
             for y in range(h):
                 for x in range(w):

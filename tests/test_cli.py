@@ -114,6 +114,32 @@ def test_cli_batch_directory(tmp_path, small_png):
     ]
 
 
+def test_cli_batch_stem_collision(tmp_path, small_png):
+    """Same stem in two formats must not overwrite each other's output:
+    colliding stems keep the extension (car_png/car_bmp), unique ones
+    keep the short <stem>_restored.png name."""
+    import shutil
+
+    import cv2
+    import numpy as np
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    shutil.copy(small_png, src / "car.png")
+    img = cv2.imread(str(small_png))
+    cv2.imwrite(str(src / "car.bmp"), img)
+    cv2.imwrite(str(src / "other.bmp"), img)
+    out = tmp_path / "out"
+    r = _run([str(src), "5", "30", "-o", str(out)])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Restored 3 frames" in r.stdout
+    assert sorted(p.name for p in out.iterdir()) == [
+        "car_bmp_restored.png",
+        "car_png_restored.png",
+        "other_restored.png",
+    ]
+
+
 def test_cli_batch_skips_corrupt_files(tmp_path, small_png):
     import shutil
 

@@ -209,6 +209,48 @@ def test_lossy_alpha_alph_chunk():
     np.testing.assert_array_equal(_bgr(got), ref)
 
 
+def test_alph_unfilter_exact_all_methods():
+    """ALPH filtering methods 1-3 against direct ports of libwebp's
+    forward filters (dsp/filters.c): unfilter(filter(img)) == img.
+    Regression: method 1 col-0 and method 2 row-0 previously used raw
+    (not decoded) predictors and corrupted everything below row 1."""
+    from fft_restoration_tpu.utils.webp import _decode_alpha
+
+    def _filter(img, method):
+        h, w = img.shape
+        out = np.zeros_like(img)
+        for y in range(h):
+            for x in range(w):
+                if method == 1:  # horizontal
+                    p = (0 if y == 0 else int(img[y - 1, 0])) if x == 0 \
+                        else int(img[y, x - 1])
+                elif method == 2:  # vertical (row 0 = horizontal)
+                    p = (0 if x == 0 else int(img[0, x - 1])) if y == 0 \
+                        else int(img[y - 1, x])
+                else:  # gradient (row 0 = horizontal)
+                    if y == 0:
+                        p = 0 if x == 0 else int(img[0, x - 1])
+                    elif x == 0:
+                        p = int(img[y - 1, 0])
+                    else:
+                        g = (int(img[y, x - 1]) + int(img[y - 1, x])
+                             - int(img[y - 1, x - 1]))
+                        p = min(max(g, 0), 255)
+                out[y, x] = (int(img[y, x]) - p) & 0xFF
+        return out
+
+    rng = np.random.default_rng(23)
+    cases = [rng.integers(0, 256, (11, 17), np.uint8),
+             np.full((6, 5), 128, np.uint8),  # the constant-plane regression
+             rng.integers(0, 256, (1, 9), np.uint8),
+             rng.integers(0, 256, (9, 1), np.uint8)]
+    for img in cases:
+        h, w = img.shape
+        for method in (1, 2, 3):
+            alph = bytes([method << 2]) + _filter(img, method).tobytes()
+            np.testing.assert_array_equal(_decode_alpha(alph, h, w), img)
+
+
 # ---------------------------------------------------------------------------
 # Header probing + failure contract
 
