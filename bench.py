@@ -152,17 +152,9 @@ def main():
     # and converts on-device after the channel de-interleave)
     img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
 
-    x = jax.device_put(jnp.asarray(img))
-    ang = jnp.float32(PSF_ANGLE)
-    k = jnp.float32(K)
-
-    fn, backend = _compile_pipeline(x, ang, k)
-    if fn is None:
-        # Total failure (e.g. an extreme pool-weather window where even
-        # a cached-executable warm run exceeds the alarms — observed
-        # 360 s for a trivial op on 2026-08-17). Emit an interpretable
-        # artifact instead of crashing: the driver's record then says
-        # WHY there is no number.
+    def _emit_failure(why: str):
+        # Emit an interpretable artifact instead of crashing/hanging:
+        # the driver's record then says WHY there is no number.
         print(
             json.dumps(
                 {
@@ -172,12 +164,47 @@ def main():
                     "vs_baseline": None,
                     "backend": None,
                     "contended": True,
-                    "error": "no backend completed a warm run within the "
-                    "alarm budget (pool tunnel unresponsive); see "
-                    "docs/PERF.md measurement model. Last healthy "
-                    "quiet-window record: BASELINE.md",
+                    "error": why + "; see docs/PERF.md measurement "
+                    "model. Last healthy quiet-window record: "
+                    "BASELINE.md",
                 }
             )
+        )
+
+    # Device INIT can itself hang when the pool tunnel is down (observed
+    # 2026-08-17: jax.devices() blocked >240 s). SIGALRM can NOT guard
+    # it — the hang sits in native plugin code and the main thread never
+    # returns to the interpreter to run the handler (verified same day:
+    # the alarm artifact never printed). The init DOES release the GIL,
+    # so a watchdog THREAD works: emit the failure artifact and exit.
+    import os
+    import threading
+
+    init_done = threading.Event()
+
+    def _init_watchdog():
+        if not init_done.wait(timeout=300.0):
+            _emit_failure(
+                "device initialization did not complete within 300 s "
+                "(pool tunnel unresponsive)"
+            )
+            sys.stdout.flush()
+            os._exit(2)
+
+    threading.Thread(target=_init_watchdog, daemon=True).start()
+    x = jax.device_put(jnp.asarray(img))
+    init_done.set()
+    ang = jnp.float32(PSF_ANGLE)
+    k = jnp.float32(K)
+
+    fn, backend = _compile_pipeline(x, ang, k)
+    if fn is None:
+        # Total failure (e.g. an extreme pool-weather window where even
+        # a cached-executable warm run exceeds the alarms — observed
+        # 360 s for a trivial op on 2026-08-17).
+        _emit_failure(
+            "no backend completed a warm run within the alarm budget "
+            "(pool tunnel unresponsive)"
         )
         return
 

@@ -206,15 +206,20 @@ def _run_batch(args) -> int:
     _by_stem = _dd(list)
     for p in paths:
         _by_stem[os.path.basename(p).rsplit(".", 1)[0]].append(p)
-    dst_map = {
-        p: os.path.join(
-            out_dir,
-            (stem if len(ps) == 1 else os.path.basename(p).replace(".", "_"))
-            + "_restored.png",
+    dst_map = {}
+    _taken = set()
+    for p in paths:  # sorted, so disambiguation is deterministic
+        stem = os.path.basename(p).rsplit(".", 1)[0]
+        name = (
+            stem
+            if len(_by_stem[stem]) == 1
+            else os.path.basename(p).replace(".", "_")
         )
-        for stem, ps in _by_stem.items()
-        for p in ps
-    }
+        base, k = name, 2
+        while name in _taken:  # a.webp vs a.hdr vs a literal a_webp.png
+            name, k = f"{base}_{k}", k + 1
+        _taken.add(name)
+        dst_map[p] = os.path.join(out_dir, name + "_restored.png")
 
     # group by frame size, skipping unreadable files
     import struct
@@ -297,6 +302,7 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
             filter_name=args.filter,
             white_balance=not args.no_white_balance,
             fft_engine=args.fft_engine,
+            stage_dtype=args.stage_dtype,
         )
 
     _dst = dst_map.__getitem__

@@ -33,6 +33,7 @@ def _batched_core(
     fft_backend: str,
     filter_name: str,
     fft_engine: str = "mxu",
+    stage_dtype: str | None = None,
 ):
     """(B, H, W, 3) float32 in [0,1] -> (B, 3, H, W) restored planes."""
     b, h, w = imgs_f32.shape[:3]
@@ -53,6 +54,7 @@ def _batched_core(
         filter_name=filter_name,
         fft_engine=fft_engine,
         img_rows=h,
+        stage_dtype=stage_dtype,
     ).reshape(b, 3, hp, wp)
     return restored[..., :h, :w]
 
@@ -68,6 +70,7 @@ def _batched_images_core(
     white_balance: bool,
     fft_engine: str = "mxu",
     emit_planes: bool = True,
+    stage_dtype: str | None = None,
 ):
     """(B, H, W, 3) uint8/float BGR -> ((B, H, W, 3) uint8, (B, 3, H, W)
     planes): the batched analog of pipeline._restore_core — ALL
@@ -100,6 +103,7 @@ def _batched_images_core(
             chp.reshape(b * 3, hp, wp), psf, K,
             fft_backend=fft_backend, filter_name=filter_name,
             fft_engine=fft_engine, img_rows=h, return_norm=True,
+            stage_dtype=stage_dtype,
         )
         orig3b = chans0.reshape(b * 3, h, w)
         parts = lab_l_sum_partials_batched(
@@ -130,6 +134,7 @@ def _batched_images_core(
         fft_backend=fft_backend,
         filter_name=filter_name,
         fft_engine=fft_engine,
+        stage_dtype=stage_dtype,
     )
     if white_balance:
         from fft_restoration_tpu.ops.color import (
@@ -170,11 +175,14 @@ class BatchedWienerPipeline:
         white_balance: bool = True,
         fft_engine: str = "mxu",
         emit_planes: bool = True,
+        stage_dtype: str | None = None,
     ):
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
         self.filter_name = filter_name
         self.white_balance = white_balance
+        # bf16 inter-kernel staging (pipeline.restore_planes stage_dtype)
+        self.stage_dtype = stage_dtype
         # serving graph: skip the (B, 3, H, W) diagnostic planes output
         # (see pipeline.WienerDeblurPipeline emit_planes)
         self.emit_planes = emit_planes
@@ -191,6 +199,7 @@ class BatchedWienerPipeline:
                     fft_backend=self.fft_backend,
                     filter_name=self.filter_name,
                     fft_engine=self.fft_engine,
+                    stage_dtype=self.stage_dtype,
                 )
             )
         return self._cache[key]
@@ -233,6 +242,7 @@ class BatchedWienerPipeline:
                     white_balance=self.white_balance,
                     fft_engine=self.fft_engine,
                     emit_planes=self.emit_planes,
+                    stage_dtype=self.stage_dtype,
                 )
             )
         out, _ = self._img_cache[key](

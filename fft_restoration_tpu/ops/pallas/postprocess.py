@@ -74,11 +74,10 @@ def _f_cbrt(t):
     )
 
 
-def _to_f32(x):
-    if x.dtype == jnp.uint8:
-        # Mosaic has no direct u8->f32 cast; the i32 hop is value-exact
-        return x.astype(jnp.int32).astype(jnp.float32) / jnp.float32(255.0)
-    return x
+# uint8/bf16 block-load canonicalisation is shared with the FFT kernels:
+# ONE place owns the "no direct u8<->f32 cast, hop through i32; bf16
+# staging casts natively" Mosaic ingest rule.
+from fft_restoration_tpu.ops.pallas.fft_kernel import _load_f32 as _to_f32
 
 
 # --- transcendental-free color math (the ops/color.py *_fast forms,

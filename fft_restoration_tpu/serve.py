@@ -132,6 +132,9 @@ class DynamicBatcher:
         self.thread.start()
 
     def submit(self, img, length, angle, K):
+        if self.stop or not self.thread.is_alive():
+            # fail fast instead of blocking forever on a dead dispatcher
+            raise RuntimeError("service is shutting down")
         req = _Req(img, int(length), float(angle), float(K))
         self.inbox.put(req)
         req.done.wait()
@@ -180,6 +183,27 @@ class DynamicBatcher:
         return group
 
     def _run(self):
+        try:
+            self._run_loop()
+        finally:
+            # however the loop exits (shutdown consumed mid-gather, or a
+            # non-Exception error), no waiter may be left blocked: fail
+            # everything still queued or deferred in pending
+            err = RuntimeError("service is shutting down")
+            leftovers = list(self.pending)
+            self.pending.clear()
+            while True:
+                try:
+                    r = self.inbox.get_nowait()
+                except queue_mod.Empty:
+                    break
+                if r is not None:
+                    leftovers.append(r)
+            for r in leftovers:
+                r.error = err
+                r.done.set()
+
+    def _run_loop(self):
         import numpy as np
 
         while not self.stop:
@@ -195,6 +219,11 @@ class DynamicBatcher:
                     with svc.lock:
                         out = svc.pipe.restore(r.img, r.length, r.angle, r.K)
                         svc.n_served += 1
+                    # singles count as batch-of-1 dispatches so
+                    # batch_occupancy ~1.0 really means "paying per-frame
+                    # dispatch" (docs/SERVING.md's monitoring signal)
+                    self.batches_dispatched += 1
+                    self.frames_batched += 1
                     results = [out]
                 else:
                     # pow2 bucket: pad by repeating the last frame so the
@@ -227,6 +256,17 @@ class DynamicBatcher:
     def shutdown(self):
         self.stop = True
         self.inbox.put(None)
+        self.thread.join(timeout=30.0)
+        # catch any request that raced past submit()'s stop check after
+        # the dispatcher's own drain finished
+        while True:
+            try:
+                r = self.inbox.get_nowait()
+            except queue_mod.Empty:
+                break
+            if r is not None:
+                r.error = RuntimeError("service is shutting down")
+                r.done.set()
 
 
 class RestorationService:
@@ -268,15 +308,36 @@ class RestorationService:
         for spec in shapes:
             h, w = (int(v) for v in spec.lower().split("x"))
             t0 = time.perf_counter()
+            frame = (rng.random((h, w, 3)) * 255).astype("uint8")
             with self.lock:
                 self.pipe.restore(
-                    (rng.random((h, w, 3)) * 255).astype("uint8"),
+                    frame,
                     self.args.psf_length,
                     self.args.psf_angle,
                     self.args.K,
                 )
             print(
                 f"[serve] warmed H={h} W={w} in "
+                f"{time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            if self.args.max_batch < 2:
+                continue
+            # also warm the first co-batch bucket: otherwise the FIRST
+            # pair of concurrent requests triggers a fresh Mosaic compile
+            # (20s-15min through the flaky helper) while the dispatcher
+            # holds the lock, stalling every in-flight request. Larger
+            # buckets (4, 8, ...) still compile on demand.
+            t0 = time.perf_counter()
+            with self.lock:
+                self.batched.restore(
+                    np.stack([frame, frame]),
+                    self.args.psf_length,
+                    self.args.psf_angle,
+                    self.args.K,
+                )
+            print(
+                f"[serve] warmed batch=2 H={h} W={w} in "
                 f"{time.perf_counter() - t0:.1f}s",
                 file=sys.stderr,
             )
@@ -373,6 +434,13 @@ def make_handler(service: RestorationService):
             except ValueError as e:
                 self._send(
                     400,
+                    json.dumps({"error": str(e)}).encode(),
+                    "application/json",
+                )
+                return
+            except RuntimeError as e:  # dispatcher gone / shutting down
+                self._send(
+                    503,
                     json.dumps({"error": str(e)}).encode(),
                     "application/json",
                 )

@@ -532,7 +532,8 @@ def decode_hdr(data: bytes) -> np.ndarray:
     v = px[..., :3].astype(np.float32) * np.where(
         e == 0, 0.0, np.exp2((e - 136).astype(np.float32))
     )[..., None]
-    return np.clip(np.rint(v * 255.0), 0, 255).astype(np.uint8)
+    with np.errstate(over="ignore"):  # huge exponents saturate to 255
+        return np.clip(np.rint(v * 255.0), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -402,6 +402,13 @@ def _decode_progressive(scans, comps, by_id, h, w, hmax, vmax, mcux, mcuy):
                 by_id[sc["id"]]: scan["dc"].get(sc["dc"])
                 for sc in scan["comps"]
             }
+            # first DC pass (ah == 0) entropy-decodes through the table;
+            # refinement passes read raw bits and never touch it
+            if ah == 0 and any(t is None for t in dc_tables.values()):
+                raise ValueError(
+                    "corrupt JPEG: DC scan references an undefined "
+                    "Huffman table"
+                )
             if len(idxs) > 1:
                 # interleaved DC scan: MCU walk over the full grid
                 plan = [

@@ -129,15 +129,17 @@ def test_cli_batch_stem_collision(tmp_path, small_png):
     img = cv2.imread(str(small_png))
     cv2.imwrite(str(src / "car.bmp"), img)
     cv2.imwrite(str(src / "other.bmp"), img)
+    # second-order collision: a literal car_bmp.png whose unique-stem
+    # name collides with car.bmp's extension-mangled name
+    shutil.copy(small_png, src / "car_bmp.png")
     out = tmp_path / "out"
     r = _run([str(src), "5", "30", "-o", str(out)])
     assert r.returncode == 0, r.stdout + r.stderr
-    assert "Restored 3 frames" in r.stdout
-    assert sorted(p.name for p in out.iterdir()) == [
-        "car_bmp_restored.png",
-        "car_png_restored.png",
-        "other_restored.png",
-    ]
+    assert "Restored 4 frames" in r.stdout
+    names = sorted(p.name for p in out.iterdir())
+    assert len(names) == 4 and len(set(names)) == 4, names
+    assert "car_png_restored.png" in names and "other_restored.png" in names
+    assert sum(n.startswith("car_bmp") for n in names) == 2, names
 
 
 def test_cli_batch_skips_corrupt_files(tmp_path, small_png):

@@ -129,6 +129,23 @@ def test_truncated_dht_raises_valueerror(photo):
         decode_jpeg(data[: i + 10])
 
 
+def test_progressive_dc_scan_undefined_table(photo):
+    """A progressive DC scan naming a DHT id that was never defined must
+    raise ValueError (not AttributeError from decode(None)): patch the
+    first SOS's Td nibble to 3. Regression for the dc_tables .get(None)
+    hole."""
+    data = _encode(photo, IMWRITE_JPEG_PROGRESSIVE=1)
+    i = data.find(b"\xff\xda")  # first SOS: the spectral-selection DC scan
+    assert i > 0
+    ns = data[i + 4]
+    # component specs start at i+5: (id, Td<<4|Ta) pairs
+    patched = bytearray(data)
+    for k in range(ns):
+        patched[i + 6 + 2 * k] = (3 << 4) | (patched[i + 6 + 2 * k] & 0x0F)
+    with pytest.raises(ValueError, match="undefined"):
+        decode_jpeg(bytes(patched))
+
+
 def test_probe_size_accepts_progressive_rejects_lossless(tmp_path, photo):
     """probe_size's decodability must track decode_jpeg: progressive
     (SOF2) decodes now so it must group normally, while lossless (SOF3)

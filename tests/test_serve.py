@@ -230,3 +230,61 @@ def test_dynamic_batching_under_load(batch_server):
     # the batch path must beat naive serialization by a wide margin;
     # allow generous CI slack vs the ideal t_single + epsilon
     assert t_burst < max(n * t_single * 0.6, t_single + 1.0)
+
+
+def test_batcher_shutdown_drains_waiters():
+    """Requests queued or deferred when the dispatcher stops must fail
+    fast (RuntimeError -> HTTP 503), never hang on done.wait(); submits
+    after shutdown fail immediately."""
+    import queue as queue_mod
+    import time
+
+    from fft_restoration_tpu.serve import DynamicBatcher, _Req
+
+    class _SlowService:
+        """First dispatch blocks long enough for shutdown to land."""
+
+        def __init__(self):
+            self.lock = threading.Lock()
+            self.n_served = 0
+            self.release = threading.Event()
+            self.pipe = self
+            self.batched = self
+
+        def restore(self, img, *a):
+            self.release.wait(timeout=30)
+            if img.ndim == 4:
+                return np.zeros_like(img)
+            return np.zeros_like(img)
+
+    svc = _SlowService()
+    b = DynamicBatcher(svc, max_batch=4, max_wait_ms=1.0)
+    img_a = np.zeros((8, 8, 3), np.uint8)
+    img_b = np.ones((16, 8, 3), np.uint8)  # different key -> deferred
+
+    errs = {}
+
+    def submit(name, img):
+        try:
+            b.submit(img, 5, 30.0, 0.01)
+            errs[name] = None
+        except Exception as e:
+            errs[name] = e
+
+    t1 = threading.Thread(target=submit, args=("a", img_a))
+    t1.start()
+    time.sleep(0.2)  # dispatcher is now blocked inside restore(img_a)
+    t2 = threading.Thread(target=submit, args=("b", img_b))
+    t2.start()
+    time.sleep(0.2)  # b sits in inbox/pending behind the blocked dispatch
+    b.stop = True
+    b.inbox.put(None)
+    svc.release.set()  # let the in-flight dispatch finish
+    t1.join(timeout=10)
+    t2.join(timeout=10)
+    assert not t1.is_alive() and not t2.is_alive(), "waiter hung"
+    assert errs["a"] is None  # in-flight request completed normally
+    assert isinstance(errs["b"], RuntimeError)  # drained, not hung
+
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b.submit(img_a, 5, 30.0, 0.01)
