@@ -171,27 +171,18 @@ def main():
             )
         )
 
-    # Device INIT can itself hang when the pool tunnel is down (observed
-    # 2026-08-17: jax.devices() blocked >240 s). SIGALRM can NOT guard
-    # it — the hang sits in native plugin code and the main thread never
-    # returns to the interpreter to run the handler (verified same day:
-    # the alarm artifact never printed). The init DOES release the GIL,
-    # so a watchdog THREAD works: emit the failure artifact and exit.
-    import os
-    import threading
+    # Device INIT can itself hang when the pool tunnel is down; SIGALRM
+    # can't guard it (see utils/devwatch.py) — a watchdog thread emits
+    # the failure artifact and exits instead of wedging the driver.
+    from fft_restoration_tpu.utils.devwatch import arm as _arm_watchdog
 
-    init_done = threading.Event()
-
-    def _init_watchdog():
-        if not init_done.wait(timeout=300.0):
-            _emit_failure(
-                "device initialization did not complete within 300 s "
-                "(pool tunnel unresponsive)"
-            )
-            sys.stdout.flush()
-            os._exit(2)
-
-    threading.Thread(target=_init_watchdog, daemon=True).start()
+    init_done = _arm_watchdog(
+        300.0,
+        lambda: _emit_failure(
+            "device initialization did not complete within 300 s "
+            "(pool tunnel unresponsive)"
+        ),
+    )
     x = jax.device_put(jnp.asarray(img))
     init_done.set()
     ang = jnp.float32(PSF_ANGLE)

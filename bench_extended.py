@@ -88,7 +88,27 @@ def main(backend="matmul"):
 
     from fft_restoration_tpu.models.batched import _batched_images_core
     from fft_restoration_tpu.models.pipeline import _restore_core
+    from fft_restoration_tpu.utils.devwatch import arm as _arm_watchdog
     from fft_restoration_tpu.utils.imageio import imread
+
+    # device init hangs when the pool tunnel is down and SIGALRM can't
+    # reach it (utils/devwatch.py) — emit a record instead of wedging
+    init_done = _arm_watchdog(
+        300.0,
+        lambda: print(
+            json.dumps(
+                {
+                    "metric": "extended_bench",
+                    "value": None,
+                    "error": "device initialization did not complete "
+                    "within 300 s (pool tunnel unresponsive)",
+                }
+            )
+        ),
+    )
+    _probe = jax.device_put(jnp.ones((8, 8)))
+    np.asarray(_probe[0, 0])
+    init_done.set()
 
     results = []
 

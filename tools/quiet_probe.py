@@ -59,5 +59,30 @@ def probe(size: int = 4096, iters: int = 10) -> dict:
     }
 
 
+def _unreachable_record():
+    print(
+        json.dumps(
+            {
+                "ts": round(time.time(), 1),
+                "rtt_ms": None,
+                "probe_tflops": None,
+                "quiet": False,
+                "error": "pool unreachable (no response in 300 s)",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    print(json.dumps(probe()))
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    # device init hangs when the tunnel is down and SIGALRM can't reach
+    # it (utils/devwatch.py): a watchdog thread keeps the probe honest
+    from fft_restoration_tpu.utils.devwatch import arm
+
+    done = arm(300.0, _unreachable_record)
+    out = json.dumps(probe())
+    done.set()
+    print(out)
