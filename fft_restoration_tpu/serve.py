@@ -297,6 +297,20 @@ class RestorationService:
         self.n_served = 0
         self.started = time.time()
         self.max_body = int(args.max_body_mb * 1024 * 1024)
+        # resolve the device string off-thread: jax.devices() blocks
+        # indefinitely when the pool tunnel is down, and /healthz must
+        # stay a liveness signal, not a device-availability one
+        self.device_str = "initializing"
+
+        def _resolve_device():
+            import jax
+
+            try:
+                self.device_str = str(jax.devices()[0])
+            except Exception as e:
+                self.device_str = f"unavailable: {e}"
+
+        threading.Thread(target=_resolve_device, daemon=True).start()
         self.batcher = DynamicBatcher(
             self, max_batch=args.max_batch, max_wait_ms=args.batch_wait_ms
         )
@@ -355,13 +369,11 @@ class RestorationService:
         return encode_png(out[..., ::-1])  # BGR -> RGB PNG
 
     def health(self) -> dict:
-        import jax
-
         b = self.batcher
         return {
             "status": "ok",
             "backend": self.args.backend,
-            "device": str(jax.devices()[0]),
+            "device": self.device_str,
             "compiled_shapes": sorted(
                 f"{h}x{w}" for (h, w, *_rest) in self.pipe._cache
             ),
