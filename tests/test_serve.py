@@ -288,3 +288,21 @@ def test_batcher_shutdown_drains_waiters():
 
     with pytest.raises(RuntimeError, match="shutting down"):
         b.submit(img_a, 5, 30.0, 0.01)
+
+
+def test_warm_compiles_single_and_batch_bucket():
+    """--warmup must pre-compile BOTH the single-frame graph and the
+    first co-batch bucket (batch=2): the first concurrent pair must not
+    pay a fresh device compile while holding the service lock."""
+    args = build_parser().parse_args(
+        ["--backend", "matmul", "--psf-length", "5", "--psf-angle", "30"]
+    )
+    service = RestorationService(args)
+    try:
+        service.warm(["24x32"])
+        assert len(service.pipe._cache) >= 1
+        assert any(
+            key[0][0] == 2 for key in service.batched._img_cache
+        ), service.batched._img_cache.keys()
+    finally:
+        service.batcher.shutdown()
