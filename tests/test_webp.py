@@ -287,3 +287,62 @@ def test_animated_webp_rejected():
     anim = b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
     with pytest.raises(ValueError, match="animated"):
         decode_webp(hdr + anim)
+
+
+# ---------------------------------------------------------------------------
+# Encoder-diversity stress: PIL/libwebp across quality x method x mode
+
+
+@pytest.mark.parametrize(
+    "q,method,mode",
+    [
+        (5, 0, "RGB"),     # fastest encoder path, heavy quantization
+        (35, 4, "RGB"),
+        (75, 6, "RGB"),    # slowest/most features (better modes, filters)
+        (95, 4, "RGBA"),   # lossy + ALPH chunk
+        (None, 4, "RGB"),  # lossless VP8L
+        (None, 6, "RGBA"), # lossless VP8L + internal alpha
+    ],
+)
+def test_pil_encoder_matrix_bit_exact(q, method, mode):
+    """A second independent encoder (PIL/libwebp, different settings
+    surface than cv2) across quality/method/alpha: different encoder
+    method levels toggle segment usage, loop-filter strengths and
+    prediction modes, so this sweeps bitstream features cv2's fixed
+    settings never emit."""
+    import io
+
+    PIL = pytest.importorskip("PIL.Image")
+
+    img = _gradient(96, 128)[..., ::-1]  # RGB
+    rng = np.random.default_rng(7)
+    img = np.clip(
+        img.astype(int) + rng.integers(-25, 26, img.shape), 0, 255
+    ).astype(np.uint8)
+    arr = (
+        np.dstack([img, np.full(img.shape[:2], 200, np.uint8)])
+        if mode == "RGBA"
+        else img
+    )
+    buf = io.BytesIO()
+    kw = {"lossless": True} if q is None else {"quality": q}
+    PIL.fromarray(arr, mode).save(buf, "WEBP", method=method, **kw)
+    blob = buf.getvalue()
+    ref = np.asarray(PIL.open(io.BytesIO(blob)).convert(mode))
+    got = decode_webp(blob)
+    if mode == "RGB" and got.ndim == 3 and got.shape[-1] == 4:
+        got = got[..., :3]
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("shape", [(1, 64), (64, 1), (1, 1), (3, 5), (33, 1)])
+@pytest.mark.parametrize("lossless", [False, True])
+def test_extreme_geometry(shape, lossless):
+    """Degenerate extents: single-row/column/pixel frames exercise the
+    4:2:0 chroma edge replication and VP8L's tiny-image paths."""
+    rng = np.random.default_rng(shape[0] * 100 + shape[1])
+    img = rng.integers(0, 256, (*shape, 3), np.uint8)
+    params = [cv2.IMWRITE_WEBP_QUALITY, 101 if lossless else 80]
+    blob, ref = _roundtrip(img, params)
+    got = decode_webp(blob)
+    np.testing.assert_array_equal(_bgr(got), ref)
