@@ -93,10 +93,20 @@ def _four_step_twiddle_np(n1: int, n2: int, inverse: bool) -> tuple:
 
 
 def _split_factors(n: int) -> tuple:
-    """n = n1 * n2 with n1 >= n2, both pow2, as square as possible."""
-    m = n.bit_length() - 1
-    n1 = 1 << ((m + 1) // 2)
-    return n1, n // n1
+    """n = n1 * n2, as square as possible (minimal n1 + n2), for ANY
+    composite n — the four-step works for every factorization, not just
+    pow2 ones. Returns (n, 1) when n is prime (caller falls back to the
+    naive DFT matmul). For pow2 n this reproduces the balanced pow2
+    split; for smooth sizes (utils/padding.py next_smooth_size) it finds
+    e.g. 3840 = 64*60 — both factors MXU-friendly."""
+    best = (n, 1)
+    d = int(math.isqrt(n))
+    while d >= 2:
+        if n % d == 0:
+            best = (n // d, d)
+            break
+        d -= 1
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -164,18 +174,22 @@ def _fft_naive(re: jnp.ndarray, im: jnp.ndarray, inverse: bool) -> SoA:
 
 
 def _fft_matmul(re: jnp.ndarray, im: jnp.ndarray, inverse: bool) -> SoA:
-    """Bailey four-step FFT over the last axis (power-of-two n).
+    """Bailey four-step FFT over the last axis (any composite n).
 
     x[j1*n2 + j2] -> X[k1 + n1*k2]:
       A = F_{n1} applied over j1         (MXU)
       B = A * T[k1, j2]                  (VPU)
       C = F_{n2} applied over j2         (MXU)
       X = transpose(C) flattened         (data movement)
+
+    Prime n (no split) falls back to the dense DFT matmul.
     """
     n = re.shape[-1]
     if n <= 4:
         return _fft_naive(re, im, inverse)
     n1, n2 = _split_factors(n)
+    if n2 == 1:  # prime length: no four-step split exists
+        return _fft_naive(re, im, inverse)
     lead = re.shape[:-1]
     ar = re.reshape(lead + (n1, n2))
     ai = im.reshape(lead + (n1, n2))
@@ -238,8 +252,13 @@ _BACKEND_FNS = {
 def fft1d(re, im, inverse: bool = False, backend: str = "radix2") -> SoA:
     """1D DFT over the last axis of float32 (re, im) planes, unscaled inverse.
 
-    Non-power-of-two lengths fall back to the naive DFT matmul, mirroring
-    transform_row_inplace's pow2 check (fft_serial.cpp:100-101).
+    Non-power-of-two lengths: 'matmul' runs its four-step on any
+    composite n (naive DFT matmul only for primes); 'radix2' and
+    'pallas' fall back to the naive DFT matmul, mirroring
+    transform_row_inplace's pow2 check (fft_serial.cpp:100-101) — the
+    pallas kernels' non-pow2 support (mixed-radix smooth sizes) is a
+    pipeline-level fast path (fft_kernel.py radices=), not part of this
+    generic natural-order API.
     """
     re = jnp.asarray(re, jnp.float32)
     im = jnp.asarray(im, jnp.float32)
@@ -248,7 +267,7 @@ def fft1d(re, im, inverse: bool = False, backend: str = "radix2") -> SoA:
     n = re.shape[-1]
     if backend not in _BACKEND_FNS:
         raise ValueError(f"unknown fft backend {backend!r}; one of {FFT_BACKENDS}")
-    if backend in ("radix2", "matmul", "pallas") and not is_power_of_two(n):
+    if backend in ("radix2", "pallas") and not is_power_of_two(n):
         return _fft_naive(re, im, inverse)
     return _BACKEND_FNS[backend](re, im, inverse)
 

@@ -47,10 +47,16 @@ SoA = Tuple[jnp.ndarray, jnp.ndarray]
 
 
 @functools.lru_cache(maxsize=None)
-def _twiddle_planes_np(n: int, inverse: bool) -> tuple:
+def _twiddle_planes_np(n: int, inverse: bool, q: int | None = None) -> tuple:
     """(S, N) cos/sin planes; lane j of stage s = w_{L}^{j mod L/2},
-    L = 2^{s+1}."""
-    stages = n.bit_length() - 1
+    L = 2^{s+1}.
+
+    q (mixed-radix): build only the log2(q) stages of the pow2 tail of
+    an n = prod(radices) * q transform. The per-lane patterns are
+    periodic in L, and L divides q divides n, so the same formula
+    yields correct width-n planes for the q-local butterflies of every
+    q-block."""
+    stages = (q or n).bit_length() - 1
     sign = 1.0 if inverse else -1.0
     cos = np.empty((stages, n), np.float32)
     sin = np.empty((stages, n), np.float32)
@@ -75,16 +81,140 @@ def _dft_planes_np(length: int, inverse: bool) -> tuple:
 
 
 @functools.lru_cache(maxsize=None)
-def _half_masks_np(n: int) -> np.ndarray:
+def _half_masks_np(n: int, q: int | None = None) -> np.ndarray:
     """(S, N) float32 mask: 1.0 where lane j is in the first half of its
-    stage-s butterfly block, else 0.0."""
-    stages = n.bit_length() - 1
+    stage-s butterfly block, else 0.0. q: pow2-tail stage count of a
+    mixed-radix transform (see _twiddle_planes_np)."""
+    stages = (q or n).bit_length() - 1
     j = np.arange(n)
     out = np.empty((stages, n), np.float32)
     for s in range(stages):
         length = 2 << s
         out[s] = ((j % length) < length // 2).astype(np.float32)
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _cross_planes_np(n: int, radices: tuple, inverse: bool) -> tuple:
+    """(L, N) cos/sin twiddle planes for the mixed-radix cross-DFT
+    levels. Level l splits each w-wide block (w = n / prod(radices[:l]))
+    into r = radices[l] sub-blocks of width q = w / r; the four-step
+    twiddle for output sub-block k1, lane offset j2 is W_w^{k1*j2}, so
+    as a width-n plane:  tw[j] = W_w^{((j mod w) // q) * (j mod q)}."""
+    sign = 1.0 if inverse else -1.0
+    L = len(radices)
+    cos = np.empty((L, n), np.float32)
+    sin = np.empty((L, n), np.float32)
+    j = np.arange(n, dtype=np.int64)
+    w = n
+    for lvl, r in enumerate(radices):
+        q = w // r
+        k1 = (j % w) // q
+        j2 = j % q
+        ang = sign * 2.0 * math.pi * (k1 * j2).astype(np.float64) / w
+        cos[lvl] = np.cos(ang).astype(np.float32)
+        sin[lvl] = np.sin(ang).astype(np.float32)
+        w = q
+    return cos, sin
+
+
+def _mixed_q(n: int, radices: tuple) -> int:
+    """Validate an n = prod(radices) * q mixed-radix split; return the
+    pow2 tail q."""
+    q = n
+    for r in radices:
+        if r < 2 or q % r:
+            raise ValueError(
+                f"radices {radices} do not divide the transform length {n}"
+            )
+        q //= r
+    if q < 2 or q & (q - 1):
+        raise ValueError(
+            f"mixed-radix length {n} / radices {radices} leaves a "
+            f"non-power-of-two tail {q}"
+        )
+    return q
+
+
+def _cross_dft_level(x_re, x_im, r, w, inverse):
+    """r-point DFT across the q-wide sub-blocks (q = w / r) of every
+    w-wide block along the lane axis:
+        out[.., base + k1*q + j2] =
+            sum_j1 x[.., base + j1*q + j2] * W_r^{sign*k1*j1}.
+    Scalar complex coefficients are python floats baked into the graph;
+    sub-block access is static lane slices (128-aligned on hardware —
+    callers enforce q % 128 == 0 there)."""
+    n = x_re.shape[-1]
+    q = w // r
+    sign = 1.0 if inverse else -1.0
+    outs_re, outs_im = [], []
+    for base in range(0, n, w):
+        subs = [
+            (
+                x_re[..., base + j1 * q : base + (j1 + 1) * q],
+                x_im[..., base + j1 * q : base + (j1 + 1) * q],
+            )
+            for j1 in range(r)
+        ]
+        for k1 in range(r):
+            acc_re = None
+            acc_im = None
+            for j1 in range(r):
+                sr, si = subs[j1]
+                if (k1 * j1) % r == 0:  # coefficient is exactly 1
+                    t_re, t_im = sr, si
+                else:
+                    ang = sign * 2.0 * math.pi * ((k1 * j1) % r) / r
+                    c = np.float32(math.cos(ang))
+                    s = np.float32(math.sin(ang))
+                    t_re = c * sr - s * si
+                    t_im = c * si + s * sr
+                acc_re = t_re if acc_re is None else acc_re + t_re
+                acc_im = t_im if acc_im is None else acc_im + t_im
+            outs_re.append(acc_re)
+            outs_im.append(acc_im)
+    return jnp.concatenate(outs_re, axis=-1), jnp.concatenate(outs_im, axis=-1)
+
+
+def _mixed_cross_fwd(x_re, x_im, radices, xc_ref, xs_ref):
+    """Forward mixed-radix prefix: per level (outermost first), the
+    cross-block r-DFT then the four-step twiddle plane. After all levels
+    each q-wide block is an independent q-point sub-problem for the pow2
+    DIF stages; output block k1... holds bins by residue — one fixed
+    permutation of the spectrum, cancelled by the symmetric inverse
+    exactly like revorder's bit-reversal (module docstring)."""
+    w = x_re.shape[-1]
+    for lvl, r in enumerate(radices):
+        x_re, x_im = _cross_dft_level(x_re, x_im, r, w, inverse=False)
+        twc = xc_ref[lvl, :][None, :]
+        tws = xs_ref[lvl, :][None, :]
+        t_re = x_re * twc - x_im * tws
+        t_im = x_re * tws + x_im * twc
+        x_re, x_im = t_re, t_im
+        w //= r
+    return x_re, x_im
+
+
+def _mixed_cross_inv(x_re, x_im, radices, xc_ref, xs_ref):
+    """Inverse mixed-radix suffix: levels in reverse (innermost first),
+    each as conj-twiddle multiply then the conj-coefficient cross-DFT.
+    Unscaled, like every inverse in this module: fwd∘inv gains a factor
+    r per level (times q from the pow2 tail) = n total."""
+    n = x_re.shape[-1]
+    widths = []
+    w = n
+    for r in radices:
+        widths.append(w)
+        w //= r
+    for lvl in range(len(radices) - 1, -1, -1):
+        r = radices[lvl]
+        w = widths[lvl]
+        twc = xc_ref[lvl, :][None, :]
+        tws = xs_ref[lvl, :][None, :]
+        t_re = x_re * twc - x_im * tws
+        t_im = x_re * tws + x_im * twc
+        x_re, x_im = _cross_dft_level(t_re, t_im, r, w, inverse=True)
+    return x_re, x_im
 
 
 def _dit_stage(x_re, x_im, wc, ws, m, half, n):
@@ -129,9 +259,11 @@ def _dif_stage(x_re, x_im, wc, ws, m, half, n):
 
 
 def _fft_stages(x_re, x_im, cos_ref, sin_ref, mask_ref, dif):
-    """All butterfly stages on in-register (rows, n) planes."""
+    """All butterfly stages on in-register (rows, n) planes. The stage
+    count comes from the table (log2(q) rows for a mixed-radix pow2
+    tail, log2(n) for a plain pow2 transform)."""
     n = x_re.shape[-1]
-    stages = n.bit_length() - 1
+    stages = cos_ref.shape[0]
     order = range(stages - 1, -1, -1) if dif else range(stages)
     for s in order:
         half = 1 << s
@@ -226,7 +358,7 @@ def _fft_stages_mxu(x_re, x_im, cos_ref, sin_ref, mask_ref, wc_ref, ws_ref, dif)
     then the group matmul; inverse: group matmul (inverse DFT matrix)
     then outer DIT roll-stages."""
     n = x_re.shape[-1]
-    stages = n.bit_length() - 1
+    stages = cos_ref.shape[0]  # log2 of the pow2 (sub-)transform extent
     inner = _MXU_INNER.bit_length() - 1  # 7
     wc = wc_ref[:]
     ws = ws_ref[:]
@@ -249,39 +381,59 @@ def _fft_stages_mxu(x_re, x_im, cos_ref, sin_ref, mask_ref, wc_ref, ws_ref, dif)
     return x_re, x_im
 
 
-def _resolve_engine(engine: str, n: int, ordering: str) -> str:
-    """'mxu' needs revorder semantics and n >= 128; silently fall back to
-    the roll engine otherwise ('auto' = mxu when eligible)."""
+def _resolve_engine(engine: str, n: int, ordering: str, q: int | None = None) -> str:
+    """'mxu' needs revorder semantics and a pow2 (sub-)extent >= 128;
+    silently fall back to the roll engine otherwise ('auto' = mxu when
+    eligible). q: the pow2 tail of a mixed-radix n (defaults to n)."""
     if engine not in ("roll", "mxu", "auto"):
         raise ValueError(f"unknown FFT engine {engine!r}")
     if engine == "roll":
         return "roll"
-    eligible = ordering == "revorder" and n >= _MXU_INNER
+    eligible = ordering == "revorder" and (q or n) >= _MXU_INNER
     if engine == "mxu" and not eligible:
         return "roll"
     return "mxu" if eligible else "roll"
 
 
-def _engine_tables(n: int, inverse: bool, engine: str):
+def _engine_tables(n: int, inverse: bool, engine: str, radices: tuple = ()):
     """Numpy constant tables for the chosen engine, in the order
-    _run_stages expects: (cos, sin, mask[, wc, ws]). Callers append
-    matching whole-array VMEM BlockSpecs with their grid's index-map
-    arity."""
-    cos_np, sin_np = _twiddle_planes_np(n, inverse)
-    mask_np = _half_masks_np(n)
+    _run_stages expects: (cos, sin, mask[, wc, ws][, xc, xs]). Callers
+    append matching whole-array VMEM BlockSpecs with their grid's
+    index-map arity. radices: mixed-radix cross-DFT levels — stage
+    planes then cover only the pow2 tail q and the (L, n) cross twiddle
+    planes ride at the tail of the list."""
+    q = _mixed_q(n, radices) if radices else None
+    cos_np, sin_np = _twiddle_planes_np(n, inverse, q)
+    mask_np = _half_masks_np(n, q)
     arrays = [cos_np, sin_np, mask_np]
     if engine == "mxu":
         wc_np, ws_np = _dft_planes_np(_MXU_INNER, inverse)
         arrays += [wc_np, ws_np]
+    if radices:
+        xc_np, xs_np = _cross_planes_np(n, radices, inverse)
+        arrays += [xc_np, xs_np]
     return arrays
 
 
-def _run_stages(x_re, x_im, tbls, dif):
+def _run_stages(x_re, x_im, tbls, dif, radices=()):
     """Dispatch to the roll or MXU-hybrid engine on table arity:
-    (cos, sin, mask) -> roll; (cos, sin, mask, wc, ws) -> hybrid."""
+    (cos, sin, mask) -> roll; (cos, sin, mask, wc, ws) -> hybrid.
+    radices: the two trailing tables are the cross-DFT twiddle planes;
+    forward (dif) runs the cross levels BEFORE the pow2-tail stages,
+    inverse runs them AFTER — the mixed-radix generalization of the
+    revorder DIF/DIT symmetry."""
+    if radices:
+        xc_ref, xs_ref = tbls[-2], tbls[-1]
+        tbls = tbls[:-2]
+        if dif:
+            x_re, x_im = _mixed_cross_fwd(x_re, x_im, radices, xc_ref, xs_ref)
     if len(tbls) == 5:
-        return _fft_stages_mxu(x_re, x_im, *tbls, dif)
-    return _fft_stages(x_re, x_im, *tbls, dif)
+        x_re, x_im = _fft_stages_mxu(x_re, x_im, *tbls, dif)
+    else:
+        x_re, x_im = _fft_stages(x_re, x_im, *tbls, dif)
+    if radices and not dif:
+        x_re, x_im = _mixed_cross_inv(x_re, x_im, radices, xc_ref, xs_ref)
+    return x_re, x_im
 
 
 def _load_f32(x):
@@ -298,13 +450,14 @@ def _load_f32(x):
 
 
 def _fft_kernel(
-    re_ref, im_ref, tbl_refs, ore_ref, oim_ref, mm_ref=None, *, dif
+    re_ref, im_ref, tbl_refs, ore_ref, oim_ref, mm_ref=None, *, dif,
+    radices=(),
 ):
     x_re = _load_f32(re_ref[:])
     # real_input mode passes im_ref=None: the zero imaginary plane is
     # synthesized in-register instead of being written to / read from HBM.
     x_im = jnp.zeros_like(x_re) if im_ref is None else _load_f32(im_ref[:])
-    x_re, x_im = _run_stages(x_re, x_im, tbl_refs, dif)
+    x_re, x_im = _run_stages(x_re, x_im, tbl_refs, dif, radices)
     ore_ref[:] = x_re
     # real_output mode passes oim_ref=None: callers that discard the
     # imaginary plane (the last inverse pass of a real restore) skip its
@@ -377,7 +530,7 @@ def _fft_cols_kernel(re_ref, im_ref, cos_ref, sin_ref, mask_ref, ore_ref, oim_re
 
 def _fft_rows_transposed(
     re, im, inverse, block_rows, interpret, ordering, packed_planes=False,
-    engine="roll", out_dtype=None,
+    engine="roll", out_dtype=None, radices=(),
 ):
     """fft_rows_pallas with in-kernel transposed block writes:
     (..., M, N) -> (..., N, M). See fft_rows_pallas(transposed_output).
@@ -435,7 +588,8 @@ def _fft_rows_transposed(
     # ragged blocks crash its relayout (measured on 50-row PSF planes).
     interp = jax.default_backend() == "cpu" if interpret is None else interpret
     vmem_budget = 24 << 20
-    max_rows = max(8, (vmem_budget // (n * 4 * 12)) // 8 * 8)
+    live = 16 if radices else 12  # cross-DFT holds extra block accumulators
+    max_rows = max(8, (vmem_budget // (n * 4 * live)) // 8 * 8)
     # rows become the transposed output's LANE dim: Mosaic requires the
     # stored slice 128-aligned, so blocks are 128-multiples (a ragged or
     # 8-aligned tail crashes its relayout — measured on 50-row PSFs).
@@ -459,12 +613,12 @@ def _fft_rows_transposed(
                 pk_im = pk_im.astype(jnp.float32) / jnp.float32(255.0)
             r, i = fft_rows_pallas(
                 pk_re, pk_im, inverse, block_rows, interpret, ordering,
-                engine=engine,
+                engine=engine, radices=radices,
             )
         else:
             r, i = fft_rows_pallas(
                 re, im, inverse, block_rows, interpret, ordering,
-                engine=engine,
+                engine=engine, radices=radices,
             )
         if out_dtype is not None:
             r, i = r.astype(out_dtype), i.astype(out_dtype)
@@ -476,8 +630,10 @@ def _fft_rows_transposed(
             im3 = jnp.pad(im3, ((0, 0), (0, pad), (0, 0)))
     mt = re3.shape[1]
 
-    engine = _resolve_engine(engine, n, ordering)
-    tbl_arrays = _engine_tables(n, inverse, engine)
+    engine = _resolve_engine(
+        engine, n, ordering, _mixed_q(n, radices) if radices else None
+    )
+    tbl_arrays = _engine_tables(n, inverse, engine, radices)
 
     if packed_planes:
         # two views of the SAME interleaved array: even planes = re,
@@ -522,7 +678,7 @@ def _fft_rows_transposed(
             jnp.zeros_like(x_re) if real_input else _load_f32(ins[1].at[0][:])
         )
         tbls = ins[n_ins:]
-        x_re, x_im = _run_stages(x_re, x_im, tbls, dif)
+        x_re, x_im = _run_stages(x_re, x_im, tbls, dif, radices)
         outs[0].at[0][:] = jnp.swapaxes(x_re, 0, 1).astype(odt)
         outs[1].at[0][:] = jnp.swapaxes(x_im, 0, 1).astype(odt)
 
@@ -560,21 +716,32 @@ def fft_rows_packed_out(
     ordering: str = "natural",
     emit_minmax: bool = False,
     engine: str = "roll",
+    radices: tuple = (),
 ):
     """Row FFT of (P, M, N) SoA planes that writes ONE (2P, M, N) output
     with re at plane 2p and im at plane 2p+1 — i.e. the channel-unpack
     of a packed-pair restore happens in the output block specs instead
     of a separate XLA interleave copy. Optional (n_blocks, 4) min/max
-    partials as in fft_rows_pallas(emit_minmax)."""
+    partials as in fft_rows_pallas(emit_minmax). radices: mixed-radix
+    smooth lengths n = prod(radices) * 2^k (revorder only)."""
     if re.ndim != 3 or re.shape != im.shape:
         raise ValueError(f"need matching (P, M, N) planes, got {re.shape}")
     p, m, n = re.shape
-    if n & (n - 1):
+    radices = tuple(radices)
+    if radices:
+        if ordering != "revorder":
+            raise ValueError("mixed-radix (radices) requires revorder ordering")
+        q = _mixed_q(n, radices)
+    elif n & (n - 1):
         raise ValueError(f"power-of-two length required, got {n}")
     if ordering not in ("natural", "revorder"):
         raise ValueError(f"unknown ordering {ordering!r}")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if radices and not interpret and q % 128:
+        raise ValueError(
+            f"mixed-radix pow2 tail {q} must be 128-aligned on hardware"
+        )
 
     dif = ordering == "revorder" and not inverse
     if ordering == "natural":
@@ -582,7 +749,8 @@ def fft_rows_packed_out(
         im = _bit_reverse_last_axis(im)
 
     vmem_budget = 24 << 20
-    max_rows = max(8, (vmem_budget // (n * 4 * 10)) // 8 * 8)
+    live = 14 if radices else 10  # cross-DFT holds extra block accumulators
+    max_rows = max(8, (vmem_budget // (n * 4 * live)) // 8 * 8)
     rows = min(block_rows, max_rows, m)
     if emit_minmax and rows & (rows - 1):
         rows = 1 << (rows.bit_length() - 1)
@@ -592,8 +760,8 @@ def fft_rows_packed_out(
         )
     bpp = m // rows  # blocks per plane
 
-    engine = _resolve_engine(engine, n, ordering)
-    tbl_arrays = _engine_tables(n, inverse, engine)
+    engine = _resolve_engine(engine, n, ordering, q if radices else None)
+    tbl_arrays = _engine_tables(n, inverse, engine, radices)
 
     in_spec = pl.BlockSpec(
         (1, rows, n), lambda pp, i: (pp, i, 0), memory_space=pltpu.VMEM
@@ -625,7 +793,7 @@ def fft_rows_packed_out(
         mm_ref = refs[3 + n_tbl] if emit_minmax else None
         x_re = _load_f32(re_ref.at[0][:])
         x_im = _load_f32(im_ref.at[0][:])
-        x_re, x_im = _run_stages(x_re, x_im, tbls, dif)
+        x_re, x_im = _run_stages(x_re, x_im, tbls, dif, radices)
         o_ref.at[0][:] = x_re
         o_ref.at[1][:] = x_im
         if emit_minmax:
@@ -745,10 +913,18 @@ def fft_rows_pallas(
     packed_planes: bool = False,
     engine: str = "roll",
     out_dtype=None,
+    radices: tuple = (),
 ):
     """1D DFT over the last axis of (..., N) SoA planes, N a power of two
-    >= 2. Unscaled inverse. Rows are tiled over the grid; each tile runs
-    every butterfly stage in VMEM.
+    >= 2 — or, with `radices`, a smooth N = prod(radices) * 2^k (each
+    radix an odd >= 3; revorder ordering only, pow2 tail 128-aligned on
+    hardware). Mixed-radix runs the cross-block DFT levels
+    (_mixed_cross_fwd/_mixed_cross_inv) around the pow2-tail stages: the
+    reference's only non-pow2 path is the O(N^2) naive DFT
+    (fft_serial.cpp:71-87); this keeps smooth sizes at O(N log N) with
+    all stages in VMEM, cutting pad waste from up to 2x to <= 25%
+    (utils/padding.py next_smooth_size). Unscaled inverse. Rows are
+    tiled over the grid; each tile runs every butterfly stage in VMEM.
 
     emit_minmax=True additionally returns an (n_blocks, 4) float32 array
     of per-row-block [min_re, max_re, min_im, max_im] partials (computed
@@ -784,7 +960,12 @@ def fft_rows_pallas(
     """
     orig_shape = re.shape
     n = orig_shape[-1]
-    if n & (n - 1):
+    radices = tuple(radices)
+    if radices:
+        if ordering != "revorder":
+            raise ValueError("mixed-radix (radices) requires revorder ordering")
+        q = _mixed_q(n, radices)
+    elif n & (n - 1):
         raise ValueError(f"fft_rows_pallas needs power-of-two length, got {n}")
     if ordering not in ("natural", "revorder"):
         raise ValueError(f"unknown ordering {ordering!r}")
@@ -794,6 +975,10 @@ def fft_rows_pallas(
         return re, (jnp.zeros_like(re) if im is None else im)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if radices and not interpret and q % 128:
+        raise ValueError(
+            f"mixed-radix pow2 tail {q} must be 128-aligned on hardware"
+        )
 
     real_input = im is None
     if packed_planes and not transposed_output:
@@ -815,6 +1000,7 @@ def fft_rows_pallas(
         return _fft_rows_transposed(
             re, im, inverse, block_rows, interpret, ordering,
             packed_planes=packed_planes, engine=engine, out_dtype=out_dtype,
+            radices=radices,
         )
     batch = int(np.prod(orig_shape[:-1])) if len(orig_shape) > 1 else 1
     re2 = re.reshape(batch, n)
@@ -825,7 +1011,8 @@ def fft_rows_pallas(
     # The default 16MB scoped-VMEM limit is raised via CompilerParams
     # below (v5e has headroom); size blocks against a 24MB working set.
     vmem_budget = 24 << 20
-    max_rows = max(8, (vmem_budget // (n * 4 * 10)) // 8 * 8)
+    live = 14 if radices else 10  # cross-DFT holds extra block accumulators
+    max_rows = max(8, (vmem_budget // (n * 4 * live)) // 8 * 8)
     rows = min(block_rows, max_rows, max(batch, 1))
     if emit_minmax and rows & (rows - 1):
         # snap to a power of two so pow2 plane heights always tile
@@ -847,8 +1034,8 @@ def fft_rows_pallas(
         if im2 is not None:
             im2 = _bit_reverse_last_axis(im2)
 
-    engine = _resolve_engine(engine, n, ordering)
-    tbl_arrays = _engine_tables(n, inverse, engine)
+    engine = _resolve_engine(engine, n, ordering, q if radices else None)
+    tbl_arrays = _engine_tables(n, inverse, engine, radices)
 
     import functools as _ft
 
@@ -860,7 +1047,7 @@ def fft_rows_pallas(
         pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for a in tbl_arrays
     ]
-    kernel = _ft.partial(_fft_kernel, dif=dif)
+    kernel = _ft.partial(_fft_kernel, dif=dif, radices=radices)
     if real_input:
         in_specs = [row_spec] + tbl_specs
         operands = (re2,)

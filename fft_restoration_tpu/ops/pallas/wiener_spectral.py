@@ -46,6 +46,7 @@ from fft_restoration_tpu.ops.pallas.fft_kernel import (
     _engine_tables,
     _half_masks_np,
     _load_f32,
+    _mixed_q,
     _resolve_engine,
     _run_stages,
     _twiddle_planes_np,
@@ -115,19 +116,28 @@ def fwd_wiener_rows_pallas(
     block_rows: int = 256,
     interpret: bool | None = None,
     engine: str = "roll",
+    radices: tuple = (),
 ) -> SoA:
     """wiener(rowFFT_revorder(A), H): the second forward pass fused with
     the elementwise filter, skipping one HBM round trip of the image
     spectrum. A: (..., M, N) row-FFT'd planes (transposed orientation);
-    H: (M, N) PSF spectrum in matching revorder layout."""
+    H: (M, N) PSF spectrum in matching revorder layout. radices:
+    mixed-radix smooth N (fft_kernel.py)."""
     a_re, a_im = A
     h_re, h_im = H
     lead = a_re.shape
     n = lead[-1]
-    if n & (n - 1):
+    radices = tuple(radices)
+    if radices:
+        q = _mixed_q(n, radices)
+    elif n & (n - 1):
         raise ValueError(f"power-of-two length required, got {n}")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if radices and not interpret and q % 128:
+        raise ValueError(
+            f"mixed-radix pow2 tail {q} must be 128-aligned on hardware"
+        )
 
     chans = int(np.prod(lead[:-2])) if len(lead) > 2 else 1
     m = lead[-2]
@@ -136,7 +146,8 @@ def fwd_wiener_rows_pallas(
     hr = h_re.reshape(m, n)
     hi = h_im.reshape(m, n)
 
-    max_rows = max(8, ((24 << 20) // (n * 4 * 12)) // 8 * 8)
+    live = 16 if radices else 12  # cross-DFT block accumulators
+    max_rows = max(8, ((24 << 20) // (n * 4 * live)) // 8 * 8)
     rows = min(block_rows, max_rows, max(m, 1))
     pad = (-m) % rows
     if pad:
@@ -148,8 +159,10 @@ def fwd_wiener_rows_pallas(
 
     # revorder semantics throughout this kernel family; 'mxu' swaps the
     # inner 7 DIF stages for the per-group DFT matmul (fft_kernel.py)
-    engine = _resolve_engine(engine, n, "revorder")
-    tbl_arrays = _engine_tables(n, False, engine)
+    engine = _resolve_engine(
+        engine, n, "revorder", q if radices else None
+    )
+    tbl_arrays = _engine_tables(n, False, engine, radices)
     n_tbl = len(tbl_arrays)
 
     a_spec = pl.BlockSpec((1, rows, n), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM)
@@ -166,7 +179,7 @@ def fwd_wiener_rows_pallas(
         fre, fim = refs[5 + n_tbl :]
         x_re = _load_f32(are.at[0][:])
         x_im = _load_f32(aim.at[0][:])
-        x_re, x_im = _run_stages(x_re, x_im, tbls, dif=True)
+        x_re, x_im = _run_stages(x_re, x_im, tbls, dif=True, radices=radices)
         hrb = _load_f32(hre[:])
         hib = _load_f32(him[:])
         inv = 1.0 / (hrb * hrb + hib * hib + k_ref[0])
@@ -280,6 +293,7 @@ def wiener_spectral_rows_t(
     engine: str = "mxu",
     vmem_budget_mb: int = 24,
     out_dtype=None,
+    radices: tuple = (),
 ) -> SoA:
     """Full fused middle with TRANSPOSED block writes:
     colIFFT(wiener(colFFT(A), H)) -> (..., N, M).
@@ -303,10 +317,17 @@ def wiener_spectral_rows_t(
     lead = a_re.shape
     n = lead[-1]
     m = lead[-2]
-    if n & (n - 1):
+    radices = tuple(radices)
+    if radices:
+        q = _mixed_q(n, radices)
+    elif n & (n - 1):
         raise ValueError(f"power-of-two length required, got {n}")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if radices and not interpret and q % 128:
+        raise ValueError(
+            f"mixed-radix pow2 tail {q} must be 128-aligned on hardware"
+        )
 
     # the transposed OUT block's lane dim is `rows`: 128-aligned blocks,
     # and n itself 128-aligned on hardware (fft_kernel.py constraints)
@@ -320,7 +341,8 @@ def wiener_spectral_rows_t(
 
     # ~16 live (rows, n) planes through the fused body + transposed
     # staging copies
-    max_rows = max(128, ((vmem_budget_mb << 20) // (n * 4 * 16)) // 128 * 128)
+    live = 20 if radices else 16  # cross-DFT block accumulators
+    max_rows = max(128, ((vmem_budget_mb << 20) // (n * 4 * live)) // 128 * 128)
     rows = min(block_rows // 128 * 128, max_rows)
     if rows == 0 or m % rows:
         single = -(-m // 128) * 128
@@ -329,9 +351,9 @@ def wiener_spectral_rows_t(
         else:
             return None
 
-    engine = _resolve_engine(engine, n, "revorder")
-    fwd_tbls = _engine_tables(n, False, engine)
-    inv_tbls = _engine_tables(n, True, engine)
+    engine = _resolve_engine(engine, n, "revorder", q if radices else None)
+    fwd_tbls = _engine_tables(n, False, engine, radices)
+    inv_tbls = _engine_tables(n, True, engine, radices)
     # mask plane is shared; drop the duplicate from the inverse set
     inv_tbls = [inv_tbls[0], inv_tbls[1]] + inv_tbls[3:]
     n_fwd = len(fwd_tbls)
@@ -357,13 +379,13 @@ def wiener_spectral_rows_t(
         ore, oim = refs[5 + n_fwd + n_inv :]
         x_re = _load_f32(are.at[0][:])
         x_im = _load_f32(aim.at[0][:])
-        x_re, x_im = _run_stages(x_re, x_im, ftbls, dif=True)
+        x_re, x_im = _run_stages(x_re, x_im, ftbls, dif=True, radices=radices)
         hrb = _load_f32(hre[:])
         hib = _load_f32(him[:])
         inv = 1.0 / (hrb * hrb + hib * hib + k_ref[0])
         f_re = (x_re * hrb + x_im * hib) * inv
         f_im = (x_im * hrb - x_re * hib) * inv
-        x_re, x_im = _run_stages(f_re, f_im, itbls, dif=False)
+        x_re, x_im = _run_stages(f_re, f_im, itbls, dif=False, radices=radices)
         ore.at[0][:] = jnp.swapaxes(x_re, 0, 1).astype(odt)
         oim.at[0][:] = jnp.swapaxes(x_im, 0, 1).astype(odt)
 
