@@ -93,6 +93,18 @@ def build_parser() -> argparse.ArgumentParser:
         "'default', the strict l2/inf tiers get 'highest'.",
     )
     p.add_argument(
+        "--pad",
+        choices=("pow2", "smooth"),
+        default="pow2",
+        help="DFT pad extents. 'pow2' = the reference contract "
+        "(utils.hpp:40-47, up to 2x the pixels); 'smooth' = minimal "
+        "odd*2^k extents via the mixed-radix kernels (e.g. UHD "
+        "3840x2160 restores at 3840x2304 instead of 4096x4096). "
+        "Verification then compares against the oracle at the SAME "
+        "extents (the restored output depends on the pad). jit mode "
+        "only; oracle/sharded modes ignore it with a note.",
+    )
+    p.add_argument(
         "--stage-dtype",
         choices=("f32", "bf16"),
         default="f32",
@@ -132,13 +144,15 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _oracle_channels(img: np.ndarray, length: int, angle: float, K: float) -> np.ndarray:
+def _oracle_channels(
+    img: np.ndarray, length: int, angle: float, K: float, pad_to=None
+) -> np.ndarray:
     from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
     from fft_restoration_tpu.oracle.serial import restore_channels
 
     imgf = img.astype(np.float32) / np.float32(255.0)
     psf = motion_blur_kernel_oracle(length, angle)
-    return restore_channels(np.moveaxis(imgf, -1, 0), psf, K)
+    return restore_channels(np.moveaxis(imgf, -1, 0), psf, K, pad_to=pad_to)
 
 
 def _enable_compile_cache() -> None:
@@ -428,13 +442,18 @@ def main(argv=None) -> int:
         print(f"[Error] Cannot read image {args.img_path!r}: {e}")
         return 1
 
-    from fft_restoration_tpu.utils.padding import next_power_of_two
+    from fft_restoration_tpu.models.pipeline import pad_extents
 
-    hp = next_power_of_two(img.shape[0])
-    wp = next_power_of_two(img.shape[1])
+    if args.pad == "smooth" and args.mode != "jit":
+        print(
+            f"[INFO] --pad smooth applies to --mode jit only; "
+            f"{args.mode} mode keeps the pow2 pad"
+        )
+        args.pad = "pow2"
+    hp, wp, _, _ = pad_extents(img.shape[0], img.shape[1], args.pad)
     if args.psf_length > min(hp, wp):
         print(
-            f"[Error] psf-length {args.psf_length} exceeds the power-of-two "
+            f"[Error] psf-length {args.psf_length} exceeds the "
             f"padded image ({hp}x{wp})"
         )
         return 2
@@ -471,6 +490,7 @@ def main(argv=None) -> int:
                 white_balance=wb,
                 fft_engine=args.fft_engine,
                 stage_dtype=args.stage_dtype,
+                pad_mode=args.pad,
             )
         else:
             from fft_restoration_tpu.parallel.mesh import make_mesh
@@ -528,6 +548,7 @@ def main(argv=None) -> int:
                         filter_name=args.filter,
                         white_balance=wb,
                         fft_engine=args.fft_engine,
+                        pad_mode=args.pad,
                     )
                 )
             rep = device_trace(
@@ -564,7 +585,10 @@ def main(argv=None) -> int:
 
         if not args.no_verify and args.filter == "wiener":
             t0 = time.perf_counter()
-            oracle = _oracle_channels(img, args.psf_length, args.psf_angle, args.K)
+            oracle = _oracle_channels(
+                img, args.psf_length, args.psf_angle, args.K,
+                pad_to=(hp, wp) if args.pad == "smooth" else None,
+            )
             t1 = time.perf_counter()
             serial_ms = (t1 - t0) * 1e3
             print(f"Deblurring 3 channels took(serial): {serial_ms:.2f} ms")

@@ -34,7 +34,29 @@ from fft_restoration_tpu.models.filters import apply_filter
 from fft_restoration_tpu.ops.color import apply_white_balance, bgr_to_lab, lab_to_bgr
 from fft_restoration_tpu.ops.fft import fft2d
 from fft_restoration_tpu.ops.psf import motion_blur_kernel
-from fft_restoration_tpu.utils.padding import next_power_of_two
+from fft_restoration_tpu.utils.padding import next_power_of_two, next_smooth_size
+
+PAD_MODES = ("pow2", "smooth")
+
+
+def pad_extents(h: int, w: int, pad_mode: str = "pow2"):
+    """DFT extents + mixed-radix cross-DFT levels for an (h, w) frame.
+
+    'pow2' — the reference contract (utils.hpp:40-47), radices ().
+    'smooth' — minimal odd*2^k extents (odd in {3,5,9,15}); the pallas
+    kernels transform these at O(n log n) via their cross-DFT levels
+    and the matmul backend via the generalized four-step. NOTE: the
+    Wiener output depends on the pad extent (circular boundary), so
+    smooth mode is verified against the oracle AT THE SAME extents
+    (oracle/serial.py pad_to), not against the pow2-padded output.
+    Returns (hp, wp, radices_h, radices_w)."""
+    if pad_mode == "smooth":
+        hp, rad_h = next_smooth_size(h)
+        wp, rad_w = next_smooth_size(w)
+        return hp, wp, rad_h, rad_w
+    if pad_mode != "pow2":
+        raise ValueError(f"unknown pad mode {pad_mode!r}; one of {PAD_MODES}")
+    return next_power_of_two(h), next_power_of_two(w), (), ()
 
 
 def _pad2d(x: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
@@ -97,8 +119,15 @@ def restore_planes(
     psf_spectrum=None,
     return_norm: bool = False,
     stage_dtype: str | None = None,
+    radices_hw=((), ()),
 ) -> jnp.ndarray:
-    """Restore (..., Hp, Wp) power-of-two planes with a (S, S) PSF.
+    """Restore (..., Hp, Wp) power-of-two — or, with radices_hw, smooth
+    mixed-radix — planes with a (S, S) PSF.
+
+    radices_hw: (radices_h, radices_w) cross-DFT levels when Hp/Wp are
+    smooth sizes from pad_extents('smooth'); only the pallas backend
+    consumes them (the matmul backend's four-step handles composite
+    extents natively, radix2 falls back to the naive DFT).
 
     stage_dtype='bf16' (pallas backend only) stores the inter-kernel
     spectral planes (fwd->middle->inverse boundaries) as bfloat16,
@@ -151,7 +180,7 @@ def restore_planes(
             channels, psf_pad, K, psf_rows, engine=fft_engine,
             filter_name=filter_name, img_rows=img_rows,
             psf_spectrum=psf_spectrum, return_norm=return_norm,
-            stage_dtype=stage_dtype,
+            stage_dtype=stage_dtype, radices_hw=radices_hw,
         )
     if return_norm:
         raise ValueError("return_norm requires the pallas backend")
@@ -177,7 +206,9 @@ def restore_planes(
     return _minmax_normalize(restored)
 
 
-def _spectral_megakernel_profitable(m: int, n: int, engine: str = "auto") -> bool:
+def _spectral_megakernel_profitable(
+    m: int, n: int, engine: str = "auto", radices: tuple = ()
+) -> bool:
     """Shape gate for the fused spectral middle (wiener_spectral_rows_t).
 
     Per-config same-process A/B (docs/PERF.md): the one-kernel middle is
@@ -190,9 +221,13 @@ def _spectral_megakernel_profitable(m: int, n: int, engine: str = "auto") -> boo
     VMEM; the all-roll body spills and loses (module notes in
     wiener_spectral.py), so the gate also requires the resolved engine
     to be 'mxu'."""
-    from fft_restoration_tpu.ops.pallas.fft_kernel import _resolve_engine
+    from fft_restoration_tpu.ops.pallas.fft_kernel import (
+        _mixed_q,
+        _resolve_engine,
+    )
 
-    return n >= 512 and _resolve_engine(engine, n, "revorder") == "mxu"
+    q = _mixed_q(n, radices) if radices else None
+    return n >= 512 and _resolve_engine(engine, n, "revorder", q) == "mxu"
 
 
 def _fwd_rows_t_live(re, im, live_rows, engine, **kw):
@@ -219,7 +254,7 @@ def _fwd_rows_t_live(re, im, live_rows, engine, **kw):
 
 
 def psf_spectrum_planes(psf, hp, wp, engine="mxu", psf_rows=None,
-                        stage_dtype=None):
+                        stage_dtype=None, radices_hw=((), ())):
     """2D forward transform of the corner-anchored padded PSF in the
     pallas fast path's layout (transposed orientation, revorder/hybrid
     spectrum) — the `H` the fused pipeline consumes. Compute once per
@@ -231,10 +266,13 @@ def psf_spectrum_planes(psf, hp, wp, engine="mxu", psf_rows=None,
     instead of 33.6 at 2048² and casts back on load."""
     from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
 
+    rad_h, rad_w = radices_hw
     psf_pad = _pad2d(psf, hp, wp)
     rows = psf.shape[-2] if psf_rows is None else psf_rows
-    re, im = _fwd_rows_t_live(psf_pad, None, rows, engine)
-    H = fft_rows_pallas(re, im, False, ordering="revorder", engine=engine)
+    re, im = _fwd_rows_t_live(psf_pad, None, rows, engine, radices=rad_w)
+    H = fft_rows_pallas(
+        re, im, False, ordering="revorder", engine=engine, radices=rad_h
+    )
     if stage_dtype in ("bf16", "bfloat16"):
         H = (H[0].astype(jnp.bfloat16), H[1].astype(jnp.bfloat16))
     return H
@@ -243,6 +281,7 @@ def psf_spectrum_planes(psf, hp, wp, engine="mxu", psf_rows=None,
 def _restore_planes_pallas_fused(
     channels, psf_pad, K, psf_rows=None, engine="mxu", filter_name="wiener",
     img_rows=None, psf_spectrum=None, return_norm=False, stage_dtype=None,
+    radices_hw=((), ()),
 ):
     """Pallas fast path: revorder (DIF fwd / DIT inv, zero bit-reversal
     passes) row-FFT kernels + fused Wiener kernel, with the filter
@@ -284,14 +323,17 @@ def _restore_planes_pallas_fused(
         raise ValueError(f"unknown stage_dtype {stage_dtype!r}")
 
     hp, wp = channels.shape[-2:]
+    rad_h, rad_w = radices_hw
 
     def fwd2d_t(re, nonzero_rows=None):
         # rows pass with TRANSPOSED block writes (the XLA transpose's
         # HBM round trip happens inside the kernel's VMEM instead —
         # measured 11% faster, tools/perf_ab.py twrite) -> cols-as-rows
         # pass; STAY transposed. nonzero_rows: see _fwd_rows_t_live.
-        re, im = _fwd_rows_t_live(re, None, nonzero_rows, engine)
-        return fft_rows_pallas(re, im, False, ordering="revorder", engine=engine)
+        re, im = _fwd_rows_t_live(re, None, nonzero_rows, engine, radices=rad_w)
+        return fft_rows_pallas(
+            re, im, False, ordering="revorder", engine=engine, radices=rad_h
+        )
 
     # PSF spectrum: plain two-pass forward (1 plane), or the caller's
     # precomputed planes (psf_spectrum_planes) for fixed-PSF serving.
@@ -326,16 +368,18 @@ def _restore_planes_pallas_fused(
                 # 2160 -> 4096: −47% of this pass)
                 a_re, a_im = _fwd_rows_t_live(
                     pk, None, img_rows, engine, packed_planes=True,
-                    out_dtype=stage,
+                    out_dtype=stage, radices=rad_w,
                 )
             else:
                 p_re, p_im = _pack_channel_pairs(channels)
                 a_re, a_im = _fwd_rows_t_live(
-                    p_re, p_im, img_rows, engine, out_dtype=stage
+                    p_re, p_im, img_rows, engine, out_dtype=stage,
+                    radices=rad_w,
                 )
         else:
             a_re, a_im = _fwd_rows_t_live(
-                channels, None, img_rows, engine, out_dtype=stage
+                channels, None, img_rows, engine, out_dtype=stage,
+                radices=rad_w,
             )
     # Middle of the 2D restore. Wiener gets the fully fused spectral
     # kernel (col-FFT + filter + col-IFFT with transposed writes — the
@@ -349,14 +393,15 @@ def _restore_planes_pallas_fused(
     )
 
     if filter_name == "wiener" and _spectral_megakernel_profitable(
-        a_re.shape[-2], a_re.shape[-1], engine
+        a_re.shape[-2], a_re.shape[-1], engine, rad_h
     ):
         # one kernel spanning three reference phases: FFT Image (cols),
         # Wiener Filter, IFFT (cols) — phase_breakdown reports it under
         # the fused label rather than splitting it by guesswork
         with jax.named_scope("fphase_spectral_fused"):
             r = wiener_spectral_rows_t(
-                (a_re, a_im), H, K, engine=engine, out_dtype=stage
+                (a_re, a_im), H, K, engine=engine, out_dtype=stage,
+                radices=rad_h,
             )
     else:
         r = None
@@ -364,13 +409,15 @@ def _restore_planes_pallas_fused(
         r_re, r_im = r
     elif filter_name == "wiener":
         with jax.named_scope("fphase_spectral_fused"):
-            F = fwd_wiener_rows_pallas((a_re, a_im), H, K, engine=engine)
+            F = fwd_wiener_rows_pallas(
+                (a_re, a_im), H, K, engine=engine, radices=rad_h
+            )
         # inverse col pass with transposed writes: back to natural
         # orientation with zero XLA transpose passes in the whole restore
         with jax.named_scope("fphase_ifft"):
             r_re, r_im = fft_rows_pallas(
                 F[0], F[1], True, ordering="revorder",
-                transposed_output=True, engine=engine,
+                transposed_output=True, engine=engine, radices=rad_h,
             )
     else:
         # inverse / cls: same revorder plumbing, elementwise filter in
@@ -380,7 +427,8 @@ def _restore_planes_pallas_fused(
         from fft_restoration_tpu.ops.wiener import cls_filter, inverse_filter
 
         g_re, g_im = fft_rows_pallas(
-            a_re, a_im, False, ordering="revorder", engine=engine
+            a_re, a_im, False, ordering="revorder", engine=engine,
+            radices=rad_h,
         )
         if filter_name == "inverse":
             F = inverse_filter((g_re, g_im), H)
@@ -397,7 +445,7 @@ def _restore_planes_pallas_fused(
             raise ValueError(f"unknown filter {filter_name!r}")
         r_re, r_im = fft_rows_pallas(
             F[0], F[1], True, ordering="revorder", transposed_output=True,
-            engine=engine,
+            engine=engine, radices=rad_h,
         )
     if packed:
         # emit per-block min/max partials from the final kernel while its
@@ -407,8 +455,13 @@ def _restore_planes_pallas_fused(
         total_rows = int(np.prod(r_re.shape[:-1]))
         rows_per_plane = r_re.shape[-2]
         n_planes = total_rows // rows_per_plane
+        # largest pow2 block <= 256 that tiles the plane height — pow2
+        # heights take 256 as before; smooth heights (e.g. 1920 = 15*128)
+        # drop to their pow2 tail so the minmax fusion still applies
         blk = min(256, rows_per_plane)
-        fuse_mm = rows_per_plane % blk == 0
+        while blk >= 8 and rows_per_plane % blk:
+            blk //= 2
+        fuse_mm = blk >= 8 and rows_per_plane % blk == 0
         if fuse_mm and r_re.ndim == 3:
             # final pass writes channel-INTERLEAVED planes directly
             # (fft_rows_packed_out): the unpack never materializes as a
@@ -420,7 +473,7 @@ def _restore_planes_pallas_fused(
             with jax.named_scope("fphase_ifft"):
                 out, mm = fft_rows_packed_out(
                     r_re, r_im, True, ordering="revorder", emit_minmax=True,
-                    engine=engine,
+                    engine=engine, block_rows=blk, radices=rad_w,
                 )
             restored = out[:c]
             per = mm.reshape(n_planes, -1, 4)
@@ -453,6 +506,7 @@ def _restore_planes_pallas_fused(
                     ordering="revorder",
                     emit_minmax=True,
                     engine=engine,
+                    radices=rad_w,
                 )
             lead = r_re.shape[:-2]  # (..., P)
             per = mm.reshape(n_planes, -1, 4)
@@ -479,7 +533,8 @@ def _restore_planes_pallas_fused(
             return (restored - lo) * scale
         with jax.named_scope("fphase_ifft"):
             r_re, r_im = fft_rows_pallas(
-                r_re, r_im, True, ordering="revorder", engine=engine
+                r_re, r_im, True, ordering="revorder", engine=engine,
+                radices=rad_w,
             )
         restored = _unpack_channel_pairs(r_re, r_im, c)
     else:
@@ -489,7 +544,7 @@ def _restore_planes_pallas_fused(
         with jax.named_scope("fphase_ifft"):
             restored, _ = fft_rows_pallas(
                 r_re, r_im, True, ordering="revorder", real_output=True,
-                engine=engine,
+                engine=engine, radices=rad_w,
             )
     # unscaled + normalize, as in the oracle (see restore_planes note)
     with jax.named_scope("fphase_post_process"):
@@ -517,15 +572,21 @@ def _restore_core(
     fft_engine: str = "mxu",
     emit_planes: bool = True,
     stage_dtype: str | None = None,
+    pad_mode: str = "pow2",
 ):
     """(H, W, 3) BGR image -> (H, W, 3) uint8 BGR restored.
 
     Accepts float32 in [0,1] OR uint8: uint8 inputs are converted
     on-device AFTER the channel de-interleave, so the (H, W, 3)->
     (3, H, W) transpose reads 1-byte pixels (4x less HBM) and the host
-    ships a 4x smaller buffer through the tunnel."""
+    ships a 4x smaller buffer through the tunnel.
+
+    pad_mode='smooth': minimal odd*2^k DFT extents via the mixed-radix
+    kernels instead of the pow2 pad (see pad_extents) — e.g. UHD
+    3840x2160 restores at 3840x2304 (8.8 MP) instead of 4096x4096
+    (16.8 MP)."""
     h, w = img_f32.shape[:2]
-    hp, wp = next_power_of_two(h), next_power_of_two(w)
+    hp, wp, rad_h, rad_w = pad_extents(h, w, pad_mode)
 
     with jax.named_scope("fphase_pre_process"):
         psf = motion_blur_kernel(psf_length, angle_deg)
@@ -557,6 +618,7 @@ def _restore_core(
         fft_engine=fft_engine, img_rows=h,
         psf_spectrum=None if h_re is None else (h_re, h_im),
         return_norm=use_ppk, stage_dtype=stage_dtype,
+        radices_hw=(rad_h, rad_w),
     )
     if use_ppk:
         raw, lo, scale = rp  # raw may carry a packed 4th plane, uncropped
@@ -661,6 +723,7 @@ class WienerDeblurPipeline:
         cache_psf_spectrum: bool = True,
         emit_planes: bool = True,
         stage_dtype: str | None = None,
+        pad_mode: str = "pow2",
     ):
         # emit_planes=False compiles the SERVING graph: restore() skips
         # the (3, H, W) f32 diagnostic planes output (a 50 MB HBM
@@ -670,6 +733,13 @@ class WienerDeblurPipeline:
         self.emit_planes = emit_planes
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
+        # 'smooth' restores at minimal odd*2^k DFT extents via the
+        # mixed-radix kernels (pad_extents); 'pow2' is the reference
+        # contract. The restored output depends on the pad extent, so
+        # verification compares against the oracle at matching extents.
+        if pad_mode not in PAD_MODES:
+            raise ValueError(f"unknown pad mode {pad_mode!r}; one of {PAD_MODES}")
+        self.pad_mode = pad_mode
         # 'bf16' stores the inter-kernel spectral planes half-width
         # (restore_planes stage_dtype); None/'f32' keeps full precision
         self.stage_dtype = stage_dtype
@@ -703,6 +773,7 @@ class WienerDeblurPipeline:
                 fft_engine=self.fft_engine,
                 emit_planes=self.emit_planes,
                 stage_dtype=self.stage_dtype,
+                pad_mode=self.pad_mode,
             )
             donate = (0,) if self.donate_input else ()
             self._cache[key] = jax.jit(fn, donate_argnums=donate)
@@ -713,7 +784,7 @@ class WienerDeblurPipeline:
         # tile the pallas path reroutes to matmul on hardware, which
         # ignores psf_spectrum — computing it would ALSO run the sub-128
         # pallas kernels Mosaic rejects
-        hp, wp = next_power_of_two(h), next_power_of_two(w)
+        hp, wp, _, _ = pad_extents(h, w, self.pad_mode)
         return (
             self.cache_psf_spectrum
             and self.fft_backend == "pallas"
@@ -723,16 +794,18 @@ class WienerDeblurPipeline:
     def _psf_spectrum(self, h: int, w: int, psf_length: int, angle: float):
         from fft_restoration_tpu.models.pipeline import psf_spectrum_planes
 
-        hp, wp = next_power_of_two(h), next_power_of_two(w)
+        hp, wp, rad_h, rad_w = pad_extents(h, w, self.pad_mode)
         key = (hp, wp, psf_length, float(angle))
         if key not in self._psf_cache:
             fkey = (hp, wp, psf_length)
             if fkey not in self._psf_fns:
-                def make_h(ang, _hp=hp, _wp=wp, _len=psf_length):
+                def make_h(
+                    ang, _hp=hp, _wp=wp, _len=psf_length, _rad=(rad_h, rad_w)
+                ):
                     psf = motion_blur_kernel(_len, ang)
                     return psf_spectrum_planes(
                         psf, _hp, _wp, engine=self.fft_engine, psf_rows=_len,
-                        stage_dtype=self.stage_dtype,
+                        stage_dtype=self.stage_dtype, radices_hw=_rad,
                     )
 
                 self._psf_fns[fkey] = jax.jit(make_h)
@@ -750,10 +823,10 @@ class WienerDeblurPipeline:
         return self._psf_cache[key]
 
     def _check_psf_fits(self, h: int, w: int, psf_length: int) -> None:
-        hp, wp = next_power_of_two(h), next_power_of_two(w)
+        hp, wp, _, _ = pad_extents(h, w, self.pad_mode)
         if psf_length > hp or psf_length > wp:
             raise ValueError(
-                f"PSF length {psf_length} exceeds the power-of-two padded "
+                f"PSF length {psf_length} exceeds the padded "
                 f"image ({hp}x{wp}); use a smaller PSF or a larger image"
             )
 

@@ -138,7 +138,9 @@ def _pad_to(a: np.ndarray, rows: int, cols: int) -> np.ndarray:
     return np.pad(a, pad, mode="constant")
 
 
-def wiener_deblur(img: np.ndarray, psf: np.ndarray, K: float = 0.01) -> np.ndarray:
+def wiener_deblur(
+    img: np.ndarray, psf: np.ndarray, K: float = 0.01, pad_to=None
+) -> np.ndarray:
     """Wiener deconvolution of one (padded) channel. Oracle for
     wienerDeblur_myfft (fft_serial.cpp:141-261).
 
@@ -146,16 +148,28 @@ def wiener_deblur(img: np.ndarray, psf: np.ndarray, K: float = 0.01) -> np.ndarr
          padded by the driver (serial.cpp:36).
     psf: (S, S) float32 blur kernel (corner-anchored after padding — the
          reference does NOT fftshift it, utils.hpp:15-24).
+    pad_to: explicit (rows, cols) DFT extents — the parity target for
+         the pipeline's --pad smooth mode (non-pow2 extents run the
+         naive-DFT path, mirroring fft_serial.cpp:100-101; the restored
+         output depends on the pad extent, so oracle and pipeline must
+         agree on it).
     Returns the restored (H, W) float32 plane, min-max normalized to [0,1]
     over the full padded extent.
     """
     img = np.asarray(img, dtype=np.float32)
     psf = np.asarray(psf, dtype=np.float32)
-    # getOptimalDFTSize on a power-of-two input is the identity; the
-    # reference driver always pre-pads to pow2 (serial.cpp:20,36), so we
-    # pad to next_power_of_two here (no-op when already padded).
-    opt_r = next_power_of_two(img.shape[0])
-    opt_c = next_power_of_two(img.shape[1])
+    if pad_to is not None:
+        opt_r, opt_c = int(pad_to[0]), int(pad_to[1])
+        if opt_r < img.shape[0] or opt_c < img.shape[1]:
+            raise ValueError(
+                f"pad_to {pad_to} smaller than the image {img.shape}"
+            )
+    else:
+        # getOptimalDFTSize on a power-of-two input is the identity; the
+        # reference driver always pre-pads to pow2 (serial.cpp:20,36), so
+        # we pad to next_power_of_two here (no-op when already padded).
+        opt_r = next_power_of_two(img.shape[0])
+        opt_c = next_power_of_two(img.shape[1])
 
     # Pre-process: zero-pad, complexify (fft_serial.cpp:157-171).
     complex_i = _pad_to(img, opt_r, opt_c).astype(np.complex64)
@@ -186,20 +200,26 @@ def wiener_deblur(img: np.ndarray, psf: np.ndarray, K: float = 0.01) -> np.ndarr
 
 
 def restore_channels(
-    channels: np.ndarray, psf: np.ndarray, K: float = 0.01, use_power_of_two: bool = True
+    channels: np.ndarray,
+    psf: np.ndarray,
+    K: float = 0.01,
+    use_power_of_two: bool = True,
+    pad_to=None,
 ) -> np.ndarray:
     """Per-channel restoration loop of the serial driver (serial.cpp:34-39).
 
-    channels: (C, H, W) float32 in [0,1]. Returns (C, H, W) restored planes.
+    channels: (C, H, W) float32 in [0,1]. Returns (C, H, W) restored
+    planes. pad_to: explicit DFT extents (see wiener_deblur) — overrides
+    the pow2 pre-pad.
     """
     channels = np.asarray(channels, dtype=np.float32)
     h, w = channels.shape[-2:]
     out = []
     for c in range(channels.shape[0]):
         ch = channels[c]
-        if use_power_of_two:
+        if pad_to is None and use_power_of_two:
             ch = _pad_to(ch, next_power_of_two(h), next_power_of_two(w))
-        restored = wiener_deblur(ch, psf, K)
+        restored = wiener_deblur(ch, psf, K, pad_to=pad_to)
         out.append(restored[:h, :w])
     return np.stack(out, axis=0)
 

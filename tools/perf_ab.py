@@ -24,7 +24,8 @@ Usage: python tools/perf_ab.py [select realout donate twrite megakernel radix4 |
 """
 
 EXPERIMENTS = {"select", "realout", "donate", "twrite", "megakernel",
-               "radix4", "engine", "megamxu", "precision", "stage"}
+               "radix4", "engine", "megamxu", "precision", "stage",
+               "smoothpad"}
 
 import functools
 import os
@@ -225,6 +226,37 @@ def main():
         results["stage_f32_2"] = measure(
             "pallas stage=f32 (re)", f32p, (img_u8, ang, k)
         )
+
+    if "smoothpad" in which:
+        # Pad-waste A/B: pow2 vs smooth (mixed-radix) DFT extents on the
+        # serving graph (uint8 in/out, emit_planes=False, per-frame PSF
+        # transform on both sides). Smooth cuts the padded pixel count
+        # up to 2x (UHD 2160 -> 2304 instead of 4096) at the cost of the
+        # cross-DFT levels inside every kernel.
+        from fft_restoration_tpu.models.pipeline import pad_extents
+
+        for (h, w) in ((2160, 3840), (782, 1920), (330, 640)):
+            img_u8 = jax.device_put(jnp.asarray(
+                (np.random.default_rng(1).random((h, w, 3)) * 255)
+                .astype(np.uint8)))
+            outs = {}
+            for mode in ("pow2", "smooth"):
+                hp, wp, rh, rw = pad_extents(h, w, mode)
+                fn = compile_guarded(lambda m=mode: jax.jit(
+                    functools.partial(
+                        _restore_core, psf_length=50, fft_backend="pallas",
+                        filter_name="wiener", white_balance=True,
+                        emit_planes=False, pad_mode=m)))
+                outs[mode] = np.asarray(fn(img_u8, ang, k))
+                results[f"smooth_{h}x{w}_{mode}"] = measure(
+                    f"{h}x{w} pad={mode:6s} ({hp}x{wp})", fn, (img_u8, ang, k))
+            # different pad extents -> different restorations by design;
+            # report the PSNR between them as a sanity signal only
+            d = outs["pow2"].astype(np.float64) - outs["smooth"].astype(np.float64)
+            mse = (d ** 2).mean()
+            print(f"  pow2-vs-smooth output PSNR {10*np.log10(255.0**2/(mse+1e-12)):.1f} dB "
+                  f"(extent-dependent outputs; parity is vs the oracle at "
+                  f"matching extents, tests/test_mixed_radix.py)")
 
     if "engine" in which:
         mxu = compile_guarded(lambda: pallas_pipe(fft_engine="mxu"))
