@@ -112,7 +112,7 @@ def main(backend="matmul"):
 
     results = []
 
-    def run_single(name, img, length, angle):
+    def run_single(name, img, length, angle, pad_mode="pow2"):
         fn = jax.jit(
             functools.partial(
                 _restore_core,
@@ -120,6 +120,7 @@ def main(backend="matmul"):
                 fft_backend=backend,
                 filter_name="wiener",
                 white_balance=True,
+                pad_mode=pad_mode,
             )
         )
         x = jax.device_put(jnp.asarray(img.astype(np.float32) / 255.0))
@@ -165,6 +166,13 @@ def main(backend="matmul"):
     # config 4: 4K non-square (pads to 4096x4096)
     uhd = (rng.random((2160, 3840, 3)) * 255).astype(np.uint8)
     run_single("uhd_3840x2160_psf50_30", uhd, 50, 30.0)
+    if backend == "pallas":
+        # mixed-radix smooth pad: restores at 3840x2304 instead of
+        # 4096x4096 (docs/PERF.md round 3, -39% device time)
+        run_single(
+            "uhd_3840x2160_psf50_30_smoothpad", uhd, 50, 30.0,
+            pad_mode="smooth",
+        )
 
     for r in results:
         print(json.dumps(r))

@@ -195,6 +195,12 @@ def _run_batch(args) -> int:
             "(jit, or 2D batch x rows mesh with --mode sharded); "
             "--profile/--reference and oracle mode are ignored"
         )
+    if args.pad == "smooth" and args.mode == "sharded":
+        print(
+            "[INFO] --pad smooth applies to the jit batched pipeline "
+            "only; sharded mode keeps the pow2 pad"
+        )
+        args.pad = "pow2"
 
     paths = sorted(
         os.path.join(args.img_path, f)
@@ -279,6 +285,7 @@ def _run_batch(args) -> int:
             white_balance=not args.no_white_balance,
             fft_engine=args.fft_engine,
             stage_dtype=args.stage_dtype,
+            pad_mode=args.pad,
         )
     for (h, w), group in groups.items():
         try:
@@ -317,6 +324,7 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
             white_balance=not args.no_white_balance,
             fft_engine=args.fft_engine,
             stage_dtype=args.stage_dtype,
+            pad_mode=args.pad,
         )
 
     _dst = dst_map.__getitem__
@@ -326,10 +334,11 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
     # flight through the batched graph), so arbitrarily large
     # directories never OOM the device. 2048^2 frames chunk at ~42.
     if len(group) > 1:
-        from fft_restoration_tpu.utils.padding import next_power_of_two
+        from fft_restoration_tpu.models.pipeline import pad_extents
 
         h0, w0 = probe_size(group[0])
-        frame_bytes = next_power_of_two(h0) * next_power_of_two(w0) * 4 * 12
+        hp0, wp0, _, _ = pad_extents(h0, w0, args.pad)
+        frame_bytes = hp0 * wp0 * 4 * 12
         chunk = max(2, int(_BATCH_CHUNK_BYTES // frame_bytes))
         if len(group) > chunk:
             # chunks share ONE batched pipeline so the identical batched

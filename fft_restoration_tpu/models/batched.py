@@ -34,10 +34,13 @@ def _batched_core(
     filter_name: str,
     fft_engine: str = "mxu",
     stage_dtype: str | None = None,
+    pad_mode: str = "pow2",
 ):
     """(B, H, W, 3) float32 in [0,1] -> (B, 3, H, W) restored planes."""
+    from fft_restoration_tpu.models.pipeline import pad_extents
+
     b, h, w = imgs_f32.shape[:3]
-    hp, wp = next_power_of_two(h), next_power_of_two(w)
+    hp, wp, rad_h, rad_w = pad_extents(h, w, pad_mode)
     psf = motion_blur_kernel(psf_length, angle_deg)
     chans = jnp.moveaxis(imgs_f32, -1, 1)  # (B, 3, H, W)
     chans = jnp.pad(chans, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
@@ -55,6 +58,7 @@ def _batched_core(
         fft_engine=fft_engine,
         img_rows=h,
         stage_dtype=stage_dtype,
+        radices_hw=(rad_h, rad_w),
     ).reshape(b, 3, hp, wp)
     return restored[..., :h, :w]
 
@@ -71,6 +75,7 @@ def _batched_images_core(
     fft_engine: str = "mxu",
     emit_planes: bool = True,
     stage_dtype: str | None = None,
+    pad_mode: str = "pow2",
 ):
     """(B, H, W, 3) uint8/float BGR -> ((B, H, W, 3) uint8, (B, 3, H, W)
     planes): the batched analog of pipeline._restore_core — ALL
@@ -87,14 +92,16 @@ def _batched_images_core(
     )
     chans0 = jnp.moveaxis(imgs, -1, 1)  # (B, 3, H, W), u8 or f32
     if use_ppk:
-        from fft_restoration_tpu.models.pipeline import restore_planes
+        from fft_restoration_tpu.models.pipeline import (
+            pad_extents,
+            restore_planes,
+        )
         from fft_restoration_tpu.ops.pallas.postprocess import (
             lab_l_sum_partials_batched,
             wb_encode_u8_batched,
         )
-        from fft_restoration_tpu.utils.padding import next_power_of_two
 
-        hp, wp = next_power_of_two(h), next_power_of_two(w)
+        hp, wp, rad_h, rad_w = pad_extents(h, w, pad_mode)
         psf = motion_blur_kernel(psf_length, angle_deg)
         chp = jnp.pad(
             chans0, ((0, 0), (0, 0), (0, hp - h), (0, wp - w))
@@ -103,7 +110,7 @@ def _batched_images_core(
             chp.reshape(b * 3, hp, wp), psf, K,
             fft_backend=fft_backend, filter_name=filter_name,
             fft_engine=fft_engine, img_rows=h, return_norm=True,
-            stage_dtype=stage_dtype,
+            stage_dtype=stage_dtype, radices_hw=(rad_h, rad_w),
         )
         orig3b = chans0.reshape(b * 3, h, w)
         parts = lab_l_sum_partials_batched(
@@ -135,6 +142,7 @@ def _batched_images_core(
         filter_name=filter_name,
         fft_engine=fft_engine,
         stage_dtype=stage_dtype,
+        pad_mode=pad_mode,
     )
     if white_balance:
         from fft_restoration_tpu.ops.color import (
@@ -176,6 +184,7 @@ class BatchedWienerPipeline:
         fft_engine: str = "mxu",
         emit_planes: bool = True,
         stage_dtype: str | None = None,
+        pad_mode: str = "pow2",
     ):
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
@@ -186,6 +195,8 @@ class BatchedWienerPipeline:
         # serving graph: skip the (B, 3, H, W) diagnostic planes output
         # (see pipeline.WienerDeblurPipeline emit_planes)
         self.emit_planes = emit_planes
+        # 'smooth' = minimal odd*2^k DFT extents (pipeline.pad_extents)
+        self.pad_mode = pad_mode
         self._cache = {}
         self._img_cache = {}
 
@@ -200,6 +211,7 @@ class BatchedWienerPipeline:
                     filter_name=self.filter_name,
                     fft_engine=self.fft_engine,
                     stage_dtype=self.stage_dtype,
+                    pad_mode=self.pad_mode,
                 )
             )
         return self._cache[key]
@@ -243,6 +255,7 @@ class BatchedWienerPipeline:
                     fft_engine=self.fft_engine,
                     emit_planes=self.emit_planes,
                     stage_dtype=self.stage_dtype,
+                    pad_mode=self.pad_mode,
                 )
             )
         out, _ = self._img_cache[key](

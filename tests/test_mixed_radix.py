@@ -221,6 +221,22 @@ def test_pipeline_smooth_pad_matmul_backend(rng):
     assert np.abs(planes - oracle).max() < 2e-2
 
 
+def test_batched_smooth_pad_matches_single(rng):
+    """BatchedWienerPipeline(pad_mode='smooth') == per-image smooth
+    restores (same extents, same kernels, batched postproc)."""
+    from fft_restoration_tpu.models.batched import BatchedWienerPipeline
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+    imgs = (rng.random((4, 300, 380, 3)) * 255).astype(np.uint8)
+    batched = BatchedWienerPipeline(fft_backend="pallas", pad_mode="smooth")
+    singles = WienerDeblurPipeline(fft_backend="pallas", pad_mode="smooth")
+    outs = batched.restore(imgs, 11, 30.0)
+    for i in range(imgs.shape[0]):
+        one = singles.restore(imgs[i], 11, 30.0)
+        d = np.abs(outs[i].astype(np.int32) - one.astype(np.int32)).max()
+        assert d <= 1  # one uint8 count (batched norm partial order)
+
+
 def test_oracle_pad_to_validates():
     from fft_restoration_tpu.oracle.serial import wiener_deblur
 
