@@ -77,6 +77,15 @@ def build_parser() -> argparse.ArgumentParser:
         default=4.0,
         help="dynamic batching: gather window for co-batchable requests",
     )
+    p.add_argument(
+        "--pad",
+        choices=("pow2", "smooth"),
+        default="pow2",
+        help="DFT pad extents: 'smooth' = minimal odd*2^k via the "
+        "mixed-radix kernels (UHD restores 1.9x fewer pixels, "
+        "docs/PERF.md); the restoration then matches the oracle at the "
+        "smooth extents rather than the pow2 ones",
+    )
     p.add_argument("--no-white-balance", action="store_true")
     p.add_argument(
         "--warmup",
@@ -279,6 +288,7 @@ class RestorationService:
 
         set_mxu_precision(getattr(args, "mxu_precision", None))
         self.args = args
+        pad_mode = getattr(args, "pad", "pow2")
         self.pipe = WienerDeblurPipeline(
             fft_backend=args.backend,
             white_balance=not args.no_white_balance,
@@ -286,12 +296,14 @@ class RestorationService:
             # serving graph: ship the uint8 image only — skips the
             # 50 MB/frame diagnostic planes materialization
             emit_planes=False,
+            pad_mode=pad_mode,
         )
         self.batched = BatchedWienerPipeline(
             fft_backend=args.backend,
             white_balance=not args.no_white_balance,
             fft_engine=args.fft_engine,
             emit_planes=False,
+            pad_mode=pad_mode,
         )
         self.lock = threading.Lock()
         self.n_served = 0

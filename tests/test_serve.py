@@ -306,3 +306,37 @@ def test_warm_compiles_single_and_batch_bucket():
         ), service.batched._img_cache.keys()
     finally:
         service.batcher.shutdown()
+
+
+def test_serve_pad_smooth_roundtrip(rng):
+    """--pad smooth server: a 300x380 frame restores at 384x384 smooth
+    extents; the response must match the smooth-pad pipeline exactly."""
+    args = build_parser().parse_args(
+        ["--backend", "pallas", "--pad", "smooth",
+         "--psf-length", "5", "--psf-angle", "30"]
+    )
+    service = RestorationService(args)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = (rng.random((300, 380, 3)) * 255).astype(np.uint8)  # RGB PNG
+        status, data = _post(
+            srv.server_address, "/restore", encode_png(img)
+        )
+        assert status == 200
+        out = decode_png(data)
+
+        from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+        pipe = WienerDeblurPipeline(
+            fft_backend="pallas", pad_mode="smooth", emit_planes=False
+        )
+        # server decodes to BGR, restores, re-encodes RGB (see
+        # test_restore_matches_pipeline for the convention)
+        expect_bgr = pipe.restore(img[..., ::-1].copy(), 5, 30.0)
+        np.testing.assert_array_equal(out, expect_bgr[..., ::-1])
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        service.batcher.shutdown()
