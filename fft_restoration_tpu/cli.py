@@ -101,8 +101,8 @@ def build_parser() -> argparse.ArgumentParser:
         "odd*2^k extents via the mixed-radix kernels (e.g. UHD "
         "3840x2160 restores at 3840x2304 instead of 4096x4096). "
         "Verification then compares against the oracle at the SAME "
-        "extents (the restored output depends on the pad). jit mode "
-        "only; oracle/sharded modes ignore it with a note.",
+        "extents (the restored output depends on the pad). jit and "
+        "sharded modes; oracle mode ignores it with a note.",
     )
     p.add_argument(
         "--stage-dtype",
@@ -195,12 +195,7 @@ def _run_batch(args) -> int:
             "(jit, or 2D batch x rows mesh with --mode sharded); "
             "--profile/--reference and oracle mode are ignored"
         )
-    if args.pad == "smooth" and args.mode == "sharded":
-        print(
-            "[INFO] --pad smooth applies to the jit batched pipeline "
-            "only; sharded mode keeps the pow2 pad"
-        )
-        args.pad = "pow2"
+
 
     paths = sorted(
         os.path.join(args.img_path, f)
@@ -277,6 +272,7 @@ def _run_batch(args) -> int:
             filter_name=args.filter,
             white_balance=not args.no_white_balance,
             fft_engine=args.fft_engine,
+            pad_mode=args.pad,
         )
     else:
         single = WienerDeblurPipeline(
@@ -357,16 +353,16 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
             import jax
 
             from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+            from fft_restoration_tpu.models.pipeline import pad_extents
             from fft_restoration_tpu.parallel.mesh import make_mesh2d
             from fft_restoration_tpu.parallel.sharded_pipeline import (
                 sharded_batched_restore_planes,
             )
-            from fft_restoration_tpu.utils.padding import next_power_of_two
 
             n_dev = args.devices or len(jax.devices())
             n_b = 2 if n_dev % 2 == 0 and n_dev >= 4 else 1
             b, h, w = stack.shape[:3]
-            hp, wp = next_power_of_two(h), next_power_of_two(w)
+            hp, wp, rad_h, rad_w = pad_extents(h, w, args.pad)
             chans = np.moveaxis(
                 stack.astype(np.float32) / np.float32(255.0), -1, 1
             )
@@ -381,6 +377,7 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
                 fft_backend=args.fft_backend,
                 filter_name=args.filter,
                 fft_engine=args.fft_engine,
+                radices_hw=(rad_h, rad_w),
             )[..., :h, :w]
             merged = np.moveaxis(planes, 1, -1)  # (B, H, W, 3) in [0,1]
             if not args.no_white_balance:
@@ -453,10 +450,10 @@ def main(argv=None) -> int:
 
     from fft_restoration_tpu.models.pipeline import pad_extents
 
-    if args.pad == "smooth" and args.mode != "jit":
+    if args.pad == "smooth" and args.mode == "oracle":
         print(
-            f"[INFO] --pad smooth applies to --mode jit only; "
-            f"{args.mode} mode keeps the pow2 pad"
+            "[INFO] oracle mode implements the reference's pow2 pad "
+            "contract; --pad smooth is ignored"
         )
         args.pad = "pow2"
     hp, wp, _, _ = pad_extents(img.shape[0], img.shape[1], args.pad)
@@ -513,6 +510,7 @@ def main(argv=None) -> int:
                 filter_name=args.filter,
                 white_balance=wb,
                 fft_engine=args.fft_engine,
+                pad_mode=args.pad,
             )
 
         # warm-up run (compile), then timed — the gpu.cpp:96-104 pattern.

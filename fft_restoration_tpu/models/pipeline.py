@@ -455,10 +455,11 @@ def _restore_planes_pallas_fused(
         total_rows = int(np.prod(r_re.shape[:-1]))
         rows_per_plane = r_re.shape[-2]
         n_planes = total_rows // rows_per_plane
-        # largest pow2 block <= 256 that tiles the plane height — pow2
+        # largest POW2 block <= 256 that tiles the plane height (the
+        # emit_minmax kernels snap blocks to pow2 internally) — pow2
         # heights take 256 as before; smooth heights (e.g. 1920 = 15*128)
         # drop to their pow2 tail so the minmax fusion still applies
-        blk = min(256, rows_per_plane)
+        blk = 1 << (min(256, rows_per_plane).bit_length() - 1)
         while blk >= 8 and rows_per_plane % blk:
             blk //= 2
         fuse_mm = blk >= 8 and rows_per_plane % blk == 0

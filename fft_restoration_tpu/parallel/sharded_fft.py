@@ -51,7 +51,7 @@ def _reshard_cols_to_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 def _fft_true(
     re, im, inverse: bool, backend: str, true_n: int | None,
-    conv_layout: bool = False, engine: str = "mxu",
+    conv_layout: bool = False, engine: str = "mxu", radices: tuple = (),
 ) -> SoA:
     """1D DFT over the last axis at its TRUE length.
 
@@ -61,6 +61,11 @@ def _fft_true(
     layout padding is sliced off before the transform and zero-refilled
     after (zeros in = zeros out for the padded rows, so the pad region
     stays zero through the whole restore).
+
+    radices: mixed-radix cross-DFT levels when true_n is a smooth
+    (odd*2^k) extent — pad_mode='smooth' sharded restores. The pallas
+    conv_layout path threads them into its kernels; the matmul backend's
+    four-step handles composite lengths natively (ops/fft.py).
 
     conv_layout=True (the _conv_fwd/_conv_inv callers, whose spectra
     only ever feed order-agnostic elementwise filters): the pallas
@@ -76,7 +81,8 @@ def _fft_true(
             )
 
             return fft_rows_pallas(
-                r, i, inverse, ordering="revorder", engine=engine
+                r, i, inverse, ordering="revorder", engine=engine,
+                radices=radices,
             )
         return fft1d(r, i, inverse, backend)
 
@@ -96,6 +102,7 @@ def sharded_fft2d_conv_fwd(
     true_w: int | None = None,
     true_h: int | None = None,
     engine: str = "mxu",
+    radices_hw: tuple = ((), ()),
 ) -> SoA:
     """Forward 2D DFT that STOPS in the transposed, column-sharded
     layout: local block (..., H/D, W) -> spectrum block (..., W/D, H).
@@ -110,17 +117,20 @@ def sharded_fft2d_conv_fwd(
     the reference's 6 (the 'transpose-free FFT' formulation, cf.
     PAPERS.md arXiv:1406.5597).
 
-    true_w/true_h: logical (pow2) extents when the global layout is
-    padded for a non-power-of-two mesh (see _fft_true).
+    true_w/true_h: logical (pow2 or smooth) extents when the global
+    layout is padded for a non-power-of-two mesh (see _fft_true);
+    radices_hw = (radices_h, radices_w) mixed-radix levels for smooth
+    extents.
     """
+    rad_h, rad_w = radices_hw
     re, im = _fft_true(re, im, False, backend, true_w, conv_layout=True,
-                       engine=engine)
+                       engine=engine, radices=rad_w)
     re = _reshard_rows_to_cols(re, axis_name)
     im = _reshard_rows_to_cols(im, axis_name)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
     return _fft_true(re, im, False, backend, true_h, conv_layout=True,
-                     engine=engine)
+                     engine=engine, radices=rad_h)
 
 
 def sharded_fft2d_conv_inv(
@@ -131,17 +141,19 @@ def sharded_fft2d_conv_inv(
     true_w: int | None = None,
     true_h: int | None = None,
     engine: str = "mxu",
+    radices_hw: tuple = ((), ()),
 ) -> SoA:
     """Inverse of sharded_fft2d_conv_fwd: spectrum block (..., W/D, H)
     -> spatial block (..., H/D, W), unscaled. One all_to_all."""
+    rad_h, rad_w = radices_hw
     re, im = _fft_true(re, im, True, backend, true_h, conv_layout=True,
-                       engine=engine)
+                       engine=engine, radices=rad_h)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
     re = _reshard_cols_to_rows(re, axis_name)
     im = _reshard_cols_to_rows(im, axis_name)
     return _fft_true(re, im, True, backend, true_w, conv_layout=True,
-                     engine=engine)
+                     engine=engine, radices=rad_w)
 
 
 def sharded_fft2d(

@@ -52,6 +52,7 @@ def _local_restore_planes(
     filter_name: str,
     axis_name: str = ROWS_AXIS,
     fft_engine: str = "mxu",
+    radices_hw: tuple = ((), ()),
 ) -> jnp.ndarray:
     """Per-device body (inside shard_map). Blocks: ch (C, Hpad/D, Wpad),
     psf/lap (Hpad/D, Wpad). Returns normalized restored block.
@@ -66,7 +67,7 @@ def _local_restore_planes(
     filter runs there, and only 3 all_to_all exchanges happen per
     restore vs the reference's 6 (SURVEY.md §3.2)."""
     zero_p = jnp.zeros_like(psf_blk)
-    tw = {"true_w": wp, "true_h": hp}
+    tw = {"true_w": wp, "true_h": hp, "radices_hw": radices_hw}
     # channel packing (models/pipeline._pack_channel_pairs): every
     # filter is a single Hermitian multiply, so channel pairs ride one
     # complex transform — same packing as single-chip, preserving
@@ -135,10 +136,13 @@ def _sharded_core(
     filter_name: str,
     white_balance: bool,
     fft_engine: str = "mxu",
+    pad_mode: str = "pow2",
 ):
     """(H, W, 3) float32 BGR global -> (uint8 image, restored planes)."""
+    from fft_restoration_tpu.models.pipeline import pad_extents
+
     h, w = img_f32.shape[:2]
-    hp, wp = next_power_of_two(h), next_power_of_two(w)
+    hp, wp, rad_h, rad_w = pad_extents(h, w, pad_mode)
     n_dev = mesh.devices.size
     # Non-power-of-two meshes can't evenly split pow2 dims (rows for the
     # shard, cols for the all_to_all split axis). Pad the LAYOUT only —
@@ -177,6 +181,7 @@ def _sharded_core(
         fft_engine=fft_engine,
         fft_backend=fft_backend,
         filter_name=filter_name,
+        radices_hw=(rad_h, rad_w),
     )
     restored = jax.shard_map(
         local_fn,
@@ -238,8 +243,10 @@ def sharded_restore_planes(
     fft_backend: str = "matmul",
     filter_name: str = "wiener",
     fft_engine: str = "mxu",
+    radices_hw: tuple = ((), ()),
 ) -> np.ndarray:
-    """Mid-level API: restore (C, Hp, Wp) pow-2 planes with an explicit
+    """Mid-level API: restore (C, Hp, Wp) pow-2 (or, with radices_hw,
+    smooth mixed-radix) planes with an explicit
     (S, S) PSF on a row-sharded mesh. Returns normalized planes.
 
     On a non-power-of-two mesh the planes are layout-padded to
@@ -261,7 +268,7 @@ def sharded_restore_planes(
 
     key = (
         "planes", _mesh_key(mesh), channels.shape, hp, wp,
-        fft_backend, filter_name, fft_engine,
+        fft_backend, filter_name, fft_engine, radices_hw,
     )
     if key not in _SHARDED_JIT_CACHE:
         local_fn = functools.partial(
@@ -271,6 +278,7 @@ def sharded_restore_planes(
             fft_engine=fft_engine,
             fft_backend=fft_backend,
             filter_name=filter_name,
+            radices_hw=radices_hw,
         )
         _SHARDED_JIT_CACHE[key] = jax.jit(
             jax.shard_map(
@@ -304,6 +312,7 @@ def sharded_batched_restore_planes(
     fft_backend: str = "matmul",
     filter_name: str = "wiener",
     fft_engine: str = "mxu",
+    radices_hw: tuple = ((), ()),
 ) -> np.ndarray:
     """Batch-AND-row-sharded restoration over a 2D (batch, rows) mesh.
 
@@ -333,7 +342,7 @@ def sharded_batched_restore_planes(
 
     key = (
         "batch", _mesh_key(mesh), stack.shape, hp, wp,
-        fft_backend, filter_name, fft_engine,
+        fft_backend, filter_name, fft_engine, radices_hw,
     )
     if key not in _SHARDED_JIT_CACHE:
         local_fn = functools.partial(
@@ -343,6 +352,7 @@ def sharded_batched_restore_planes(
             fft_engine=fft_engine,
             fft_backend=fft_backend,
             filter_name=filter_name,
+            radices_hw=radices_hw,
         )
         _SHARDED_JIT_CACHE[key] = jax.jit(
             jax.shard_map(
@@ -480,12 +490,17 @@ class ShardedWienerPipeline:
         filter_name: str = "wiener",
         white_balance: bool = True,
         fft_engine: str = "mxu",
+        pad_mode: str = "pow2",
     ):
         self.mesh = mesh or make_mesh()
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
         self.filter_name = filter_name
         self.white_balance = white_balance
+        # 'smooth' = minimal odd*2^k DFT extents via the mixed-radix
+        # kernels (models/pipeline.pad_extents); verified against the
+        # oracle at matching extents
+        self.pad_mode = pad_mode
         self._cache = {}
 
     def _compiled(self, h: int, w: int, psf_length: int):
@@ -499,6 +514,7 @@ class ShardedWienerPipeline:
                 filter_name=self.filter_name,
                 white_balance=self.white_balance,
                 fft_engine=self.fft_engine,
+                pad_mode=self.pad_mode,
             )
             self._cache[key] = jax.jit(fn)
         return self._cache[key]

@@ -264,3 +264,63 @@ def test_cli_pad_smooth(tmp_path, rng):
     )
     assert rc == 0
     assert out.exists()
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    from fft_restoration_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(8)
+
+
+def test_sharded_smooth_planes_match_single_chip(rng, mesh8):
+    """Mixed-radix extents through the sharded path (radices threaded
+    into the local kernels of the all_to_all conv layout) == the
+    single-chip restore at the same extents. Small smooth planes
+    (q < 128 is fine in interpret mode) keep the 8-device CPU mesh
+    cheap; the real-extent path is covered by the pipeline tests."""
+    from fft_restoration_tpu.models.pipeline import restore_planes
+    from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+    from fft_restoration_tpu.parallel.sharded_pipeline import (
+        sharded_restore_planes,
+    )
+
+    chans = rng.random((3, 24, 40)).astype(np.float32)  # 3*8, 5*8
+    psf = motion_blur_kernel_oracle(5, 30.0)
+    radices_hw = ((3,), (5,))
+    single = np.asarray(
+        restore_planes(
+            jnp.asarray(chans), jnp.asarray(psf), 0.01,
+            fft_backend="pallas", radices_hw=radices_hw,
+        )
+    )
+    sharded = sharded_restore_planes(
+        chans, psf, 0.01, mesh=mesh8, fft_backend="pallas",
+        radices_hw=radices_hw,
+    )
+    assert np.abs(single - sharded).max() < 1e-3
+
+
+def test_sharded_pipeline_smooth_matches_oracle(rng, mesh8):
+    """ShardedWienerPipeline(pad_mode='smooth') end to end on the
+    virtual 8-device mesh vs the oracle at the smooth extents."""
+    from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+    from fft_restoration_tpu.oracle.serial import restore_channels
+    from fft_restoration_tpu.models.pipeline import pad_extents
+    from fft_restoration_tpu.parallel.sharded_pipeline import (
+        ShardedWienerPipeline,
+    )
+
+    img = (rng.random((300, 380, 3)) * 255).astype(np.uint8)
+    sp = ShardedWienerPipeline(
+        mesh=mesh8, fft_backend="matmul", pad_mode="smooth"
+    )
+    ours = sp.restore_channels(img, 9, 30.0)
+    hp, wp, _, _ = pad_extents(300, 380, "smooth")
+    imgf = img.astype(np.float32) / np.float32(255.0)
+    oracle = restore_channels(
+        np.moveaxis(imgf, -1, 0), motion_blur_kernel_oracle(9, 30.0),
+        pad_to=(hp, wp),
+    )
+    # gpu-tier bound: oracle-side f32-angle naive DFT noise (see above)
+    assert np.abs(ours - oracle).max() < 2e-2
