@@ -61,7 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
         "log2(N) VPU roll-stages). Ignored by other backends.",
     )
     p.add_argument(
-        "--filter", choices=("wiener", "inverse", "cls"), default="wiener"
+        "--filter",
+        choices=("wiener", "inverse", "cls", "rl"),
+        default="wiener",
+        help="restoration filter: one-shot spectral (wiener/inverse/cls) "
+        "or iterative Richardson-Lucy ('rl', --iters steps; jit mode)",
+    )
+    p.add_argument(
+        "--iters",
+        type=int,
+        default=10,
+        help="Richardson-Lucy iteration count (--filter rl)",
     )
     p.add_argument("-K", type=float, default=0.01, help="Wiener K (default 0.01)")
     p.add_argument(
@@ -195,6 +205,9 @@ def _run_batch(args) -> int:
             "(jit, or 2D batch x rows mesh with --mode sharded); "
             "--profile/--reference and oracle mode are ignored"
         )
+    if args.filter == "rl" and args.mode == "sharded":
+        print("[Error] --filter rl runs in jit mode only (iterative loop)")
+        return 2
 
 
     paths = sorted(
@@ -282,6 +295,7 @@ def _run_batch(args) -> int:
             fft_engine=args.fft_engine,
             stage_dtype=args.stage_dtype,
             pad_mode=args.pad,
+            rl_iters=args.iters,
         )
     for (h, w), group in groups.items():
         try:
@@ -321,6 +335,7 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
             fft_engine=args.fft_engine,
             stage_dtype=args.stage_dtype,
             pad_mode=args.pad,
+            rl_iters=args.iters,
         )
 
     _dst = dst_map.__getitem__
@@ -450,6 +465,9 @@ def main(argv=None) -> int:
 
     from fft_restoration_tpu.models.pipeline import pad_extents
 
+    if args.filter == "rl" and args.mode == "sharded":
+        print("[Error] --filter rl runs in jit mode only (iterative loop)")
+        return 2
     if args.pad == "smooth" and args.mode == "oracle":
         print(
             "[INFO] oracle mode implements the reference's pow2 pad "
@@ -481,7 +499,7 @@ def main(argv=None) -> int:
             f"Deblurring 3 channels took(oracle): {(t1 - t0) * 1e3:.2f} ms"
         )
     else:
-        if args.fft_backend == "pallas" and args.filter != "wiener":
+        if args.fft_backend == "pallas" and args.filter not in ("wiener", "rl"):
             print(
                 f"[INFO] --filter {args.filter} runs the revorder pallas "
                 f"path with an unfused elementwise filter (wiener "
@@ -497,6 +515,7 @@ def main(argv=None) -> int:
                 fft_engine=args.fft_engine,
                 stage_dtype=args.stage_dtype,
                 pad_mode=args.pad,
+                rl_iters=args.iters,
             )
         else:
             from fft_restoration_tpu.parallel.mesh import make_mesh

@@ -35,6 +35,7 @@ def _batched_core(
     fft_engine: str = "mxu",
     stage_dtype: str | None = None,
     pad_mode: str = "pow2",
+    rl_iters: int = 10,
 ):
     """(B, H, W, 3) float32 in [0,1] -> (B, 3, H, W) restored planes."""
     from fft_restoration_tpu.models.pipeline import pad_extents
@@ -59,6 +60,7 @@ def _batched_core(
         img_rows=h,
         stage_dtype=stage_dtype,
         radices_hw=(rad_h, rad_w),
+        rl_iters=rl_iters,
     ).reshape(b, 3, hp, wp)
     return restored[..., :h, :w]
 
@@ -76,6 +78,7 @@ def _batched_images_core(
     emit_planes: bool = True,
     stage_dtype: str | None = None,
     pad_mode: str = "pow2",
+    rl_iters: int = 10,
 ):
     """(B, H, W, 3) uint8/float BGR -> ((B, H, W, 3) uint8, (B, 3, H, W)
     planes): the batched analog of pipeline._restore_core — ALL
@@ -88,7 +91,10 @@ def _batched_images_core(
     then stream u8 into the forward FFT kernel (in-kernel ingest)."""
     b, h, w = imgs.shape[:3]
     use_ppk = (
-        white_balance and fft_backend == "pallas" and min(h, w) >= 128
+        white_balance
+        and fft_backend == "pallas"
+        and min(h, w) >= 128
+        and filter_name != "rl"
     )
     chans0 = jnp.moveaxis(imgs, -1, 1)  # (B, 3, H, W), u8 or f32
     if use_ppk:
@@ -143,6 +149,7 @@ def _batched_images_core(
         fft_engine=fft_engine,
         stage_dtype=stage_dtype,
         pad_mode=pad_mode,
+        rl_iters=rl_iters,
     )
     if white_balance:
         from fft_restoration_tpu.ops.color import (
@@ -185,6 +192,7 @@ class BatchedWienerPipeline:
         emit_planes: bool = True,
         stage_dtype: str | None = None,
         pad_mode: str = "pow2",
+        rl_iters: int = 10,
     ):
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
@@ -197,6 +205,7 @@ class BatchedWienerPipeline:
         self.emit_planes = emit_planes
         # 'smooth' = minimal odd*2^k DFT extents (pipeline.pad_extents)
         self.pad_mode = pad_mode
+        self.rl_iters = rl_iters
         self._cache = {}
         self._img_cache = {}
 
@@ -212,6 +221,7 @@ class BatchedWienerPipeline:
                     fft_engine=self.fft_engine,
                     stage_dtype=self.stage_dtype,
                     pad_mode=self.pad_mode,
+                    rl_iters=self.rl_iters,
                 )
             )
         return self._cache[key]
@@ -256,6 +266,7 @@ class BatchedWienerPipeline:
                     emit_planes=self.emit_planes,
                     stage_dtype=self.stage_dtype,
                     pad_mode=self.pad_mode,
+                    rl_iters=self.rl_iters,
                 )
             )
         out, _ = self._img_cache[key](

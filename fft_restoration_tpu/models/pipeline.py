@@ -120,6 +120,7 @@ def restore_planes(
     return_norm: bool = False,
     stage_dtype: str | None = None,
     radices_hw=((), ()),
+    rl_iters: int = 10,
 ) -> jnp.ndarray:
     """Restore (..., Hp, Wp) power-of-two — or, with radices_hw, smooth
     mixed-radix — planes with a (S, S) PSF.
@@ -163,6 +164,20 @@ def restore_planes(
     psf_pad = _pad2d(psf, hp, wp)
     if img_rows is not None and not (0 < img_rows <= hp):
         raise ValueError(f"img_rows {img_rows} outside (0, {hp}]")
+    if filter_name == "rl":
+        # iterative Richardson-Lucy: its own fori_loop pipeline (it is
+        # not a one-shot spectral multiply); K is unused by design
+        from fft_restoration_tpu.models.richardson_lucy import (
+            richardson_lucy_planes,
+        )
+
+        if return_norm:
+            raise ValueError("return_norm is not supported for filter 'rl'")
+        return richardson_lucy_planes(
+            channels, psf, rl_iters, fft_backend=fft_backend,
+            fft_engine=fft_engine, radices_hw=radices_hw,
+            psf_rows=psf_rows,
+        )
     if fft_backend == "pallas" and min(hp, wp) < 128:
         import jax as _jax
 
@@ -574,6 +589,7 @@ def _restore_core(
     emit_planes: bool = True,
     stage_dtype: str | None = None,
     pad_mode: str = "pow2",
+    rl_iters: int = 10,
 ):
     """(H, W, 3) BGR image -> (H, W, 3) uint8 BGR restored.
 
@@ -613,13 +629,18 @@ def _restore_core(
     # (return_norm) so the normalized planes only materialize when the
     # caller asked for them. Same gate domain as the FFT kernel family
     # (>= one (8,128) tile).
-    use_ppk = white_balance and fft_backend == "pallas" and min(h, w) >= 128
+    use_ppk = (
+        white_balance
+        and fft_backend == "pallas"
+        and min(h, w) >= 128
+        and filter_name != "rl"  # RL's loop output skips return_norm
+    )
     rp = restore_planes(
         chans, psf, K, fft_backend=fft_backend, filter_name=filter_name,
         fft_engine=fft_engine, img_rows=h,
         psf_spectrum=None if h_re is None else (h_re, h_im),
         return_norm=use_ppk, stage_dtype=stage_dtype,
-        radices_hw=(rad_h, rad_w),
+        radices_hw=(rad_h, rad_w), rl_iters=rl_iters,
     )
     if use_ppk:
         raw, lo, scale = rp  # raw may carry a packed 4th plane, uncropped
@@ -725,6 +746,7 @@ class WienerDeblurPipeline:
         emit_planes: bool = True,
         stage_dtype: str | None = None,
         pad_mode: str = "pow2",
+        rl_iters: int = 10,
     ):
         # emit_planes=False compiles the SERVING graph: restore() skips
         # the (3, H, W) f32 diagnostic planes output (a 50 MB HBM
@@ -741,6 +763,8 @@ class WienerDeblurPipeline:
         if pad_mode not in PAD_MODES:
             raise ValueError(f"unknown pad mode {pad_mode!r}; one of {PAD_MODES}")
         self.pad_mode = pad_mode
+        # iteration count for filter_name='rl' (Richardson-Lucy)
+        self.rl_iters = rl_iters
         # 'bf16' stores the inter-kernel spectral planes half-width
         # (restore_planes stage_dtype); None/'f32' keeps full precision
         self.stage_dtype = stage_dtype
@@ -775,6 +799,7 @@ class WienerDeblurPipeline:
                 emit_planes=self.emit_planes,
                 stage_dtype=self.stage_dtype,
                 pad_mode=self.pad_mode,
+                rl_iters=self.rl_iters,
             )
             donate = (0,) if self.donate_input else ()
             self._cache[key] = jax.jit(fn, donate_argnums=donate)
