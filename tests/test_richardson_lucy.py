@@ -155,3 +155,41 @@ def test_rl_through_pipeline_and_cli(tmp_path, rng):
 
     rc = main([str(src), "7", "30", "--mode", "sharded", "--filter", "rl"])
     assert rc == 2  # iterative loop is jit-mode only
+
+
+def test_rl_batched_matches_single():
+    """BatchedWienerPipeline(filter_name='rl') runs the same iteration
+    over the stack axis: per-image parity vs WienerDeblurPipeline.
+
+    Parity is NOT bit-exact for every image: the batch path packs
+    complex pairs across image boundaries (B*3 flattened planes), and
+    the spectral multiply c_re = a_re*s_re - a_im*s_im mixes the two
+    planes' f32 rounding, which RL's divisions then amplify — measured
+    max 6 uint8 counts / mean < 0.1 over 4 iters. Where the pairing
+    happens to align with the single-image grouping (the LAST image of
+    an odd-B stack: planes 6,7 pair + 8 alone == c0,c1 pair + c2
+    alone), output is bit-exact — pinning that the plane-wise packing
+    claim in richardson_lucy.py holds exactly."""
+    from fft_restoration_tpu.models.batched import BatchedWienerPipeline
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+    from fft_restoration_tpu.utils.blurgen import blur_image
+
+    stack = []
+    for i in range(3):
+        s = np.zeros((72, 96, 3), np.uint8)
+        s[10 + 5 * i : 50, 20 : 40 + 5 * i] = 200
+        s[30:40, 10:80] = 120 + 20 * i
+        stack.append(blur_image(s, 7, 30.0))
+    imgs = np.stack(stack)
+    batched = BatchedWienerPipeline(
+        fft_backend="matmul", filter_name="rl", rl_iters=4
+    ).restore(imgs, 7, 30.0)
+    single = WienerDeblurPipeline(
+        fft_backend="matmul", filter_name="rl", rl_iters=4
+    )
+    assert batched.shape == imgs.shape and batched.dtype == np.uint8
+    for i in range(imgs.shape[0]):
+        one = single.restore(imgs[i], 7, 30.0)
+        d = np.abs(batched[i].astype(np.int16) - one.astype(np.int16))
+        assert d.max() <= 8 and d.mean() <= 0.2, (i, d.max(), d.mean())
+    assert d.max() == 0  # last image: aligned pairing -> bit-exact
