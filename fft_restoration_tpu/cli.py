@@ -73,6 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=10,
         help="Richardson-Lucy iteration count (--filter rl)",
     )
+    p.add_argument(
+        "--edgetaper",
+        action="store_true",
+        help="blend the frame toward its circular blur at the borders "
+        "before deconvolving (suppresses wrap-discontinuity ringing on "
+        "real photos; applied on BOTH the pipeline and the oracle side "
+        "so verification still runs). oracle/jit/batch modes.",
+    )
     p.add_argument("-K", type=float, default=0.01, help="Wiener K (default 0.01)")
     p.add_argument(
         "--devices",
@@ -155,14 +163,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _oracle_channels(
-    img: np.ndarray, length: int, angle: float, K: float, pad_to=None
+    img: np.ndarray, length: int, angle: float, K: float, pad_to=None,
+    edgetaper: bool = False,
 ) -> np.ndarray:
     from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
     from fft_restoration_tpu.oracle.serial import restore_channels
 
     imgf = img.astype(np.float32) / np.float32(255.0)
     psf = motion_blur_kernel_oracle(length, angle)
-    return restore_channels(np.moveaxis(imgf, -1, 0), psf, K, pad_to=pad_to)
+    return restore_channels(
+        np.moveaxis(imgf, -1, 0), psf, K, pad_to=pad_to,
+        edgetaper=edgetaper,
+    )
 
 
 def _enable_compile_cache() -> None:
@@ -208,7 +220,12 @@ def _run_batch(args) -> int:
     if args.filter == "rl" and args.mode == "sharded":
         print("[Error] --filter rl runs in jit mode only (iterative loop)")
         return 2
-
+    if args.edgetaper and args.mode == "sharded":
+        print(
+            "[Error] --edgetaper runs in oracle/jit modes only "
+            "(the taper's blur pass is not sharded)"
+        )
+        return 2
 
     paths = sorted(
         os.path.join(args.img_path, f)
@@ -296,6 +313,7 @@ def _run_batch(args) -> int:
             stage_dtype=args.stage_dtype,
             pad_mode=args.pad,
             rl_iters=args.iters,
+            edgetaper=args.edgetaper,
         )
     for (h, w), group in groups.items():
         try:
@@ -336,6 +354,7 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
             stage_dtype=args.stage_dtype,
             pad_mode=args.pad,
             rl_iters=args.iters,
+            edgetaper=args.edgetaper,
         )
 
     _dst = dst_map.__getitem__
@@ -468,6 +487,12 @@ def main(argv=None) -> int:
     if args.filter == "rl" and args.mode == "sharded":
         print("[Error] --filter rl runs in jit mode only (iterative loop)")
         return 2
+    if args.edgetaper and args.mode == "sharded":
+        print(
+            "[Error] --edgetaper runs in oracle/jit modes only "
+            "(the taper's blur pass is not sharded)"
+        )
+        return 2
     if args.pad == "smooth" and args.mode == "oracle":
         print(
             "[INFO] oracle mode implements the reference's pow2 pad "
@@ -493,7 +518,10 @@ def main(argv=None) -> int:
         from fft_restoration_tpu.oracle.serial import restore_image
 
         t0 = time.perf_counter()
-        out = restore_image(img, args.psf_length, args.psf_angle, args.K)
+        out = restore_image(
+            img, args.psf_length, args.psf_angle, args.K,
+            edgetaper=args.edgetaper,
+        )
         t1 = time.perf_counter()
         print(
             f"Deblurring 3 channels took(oracle): {(t1 - t0) * 1e3:.2f} ms"
@@ -516,6 +544,7 @@ def main(argv=None) -> int:
                 stage_dtype=args.stage_dtype,
                 pad_mode=args.pad,
                 rl_iters=args.iters,
+                edgetaper=args.edgetaper,
             )
         else:
             from fft_restoration_tpu.parallel.mesh import make_mesh
@@ -614,6 +643,7 @@ def main(argv=None) -> int:
             oracle = _oracle_channels(
                 img, args.psf_length, args.psf_angle, args.K,
                 pad_to=(hp, wp) if args.pad == "smooth" else None,
+                edgetaper=args.edgetaper,
             )
             t1 = time.perf_counter()
             serial_ms = (t1 - t0) * 1e3

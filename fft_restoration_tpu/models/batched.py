@@ -36,6 +36,7 @@ def _batched_core(
     stage_dtype: str | None = None,
     pad_mode: str = "pow2",
     rl_iters: int = 10,
+    edgetaper: bool = False,
 ):
     """(B, H, W, 3) float32 in [0,1] -> (B, 3, H, W) restored planes."""
     from fft_restoration_tpu.models.pipeline import pad_extents
@@ -50,14 +51,23 @@ def _batched_core(
     # pipeline._pack_channel_pairs) pair planes ACROSS images: ceil(3B/2)
     # complex transforms instead of 2 per image — the full 2x for even
     # batches (a 3-channel image alone gets 2 transforms, one half-empty).
+    flat = chans.reshape(b * 3, hp, wp)
+    if edgetaper:
+        from fft_restoration_tpu.models.edgetaper import edge_taper_planes
+
+        flat = edge_taper_planes(
+            flat, psf, (h, w), fft_backend=fft_backend,
+            fft_engine=fft_engine, radices_hw=(rad_h, rad_w),
+        )
     restored = restore_planes(
-        chans.reshape(b * 3, hp, wp),
+        flat,
         psf,
         K,
         fft_backend=fft_backend,
         filter_name=filter_name,
         fft_engine=fft_engine,
-        img_rows=h,
+        # tapered pad rows carry the blur's wrap tail (see _restore_core)
+        img_rows=None if edgetaper else h,
         stage_dtype=stage_dtype,
         radices_hw=(rad_h, rad_w),
         rl_iters=rl_iters,
@@ -79,6 +89,7 @@ def _batched_images_core(
     stage_dtype: str | None = None,
     pad_mode: str = "pow2",
     rl_iters: int = 10,
+    edgetaper: bool = False,
 ):
     """(B, H, W, 3) uint8/float BGR -> ((B, H, W, 3) uint8, (B, 3, H, W)
     planes): the batched analog of pipeline._restore_core — ALL
@@ -109,13 +120,28 @@ def _batched_images_core(
 
         hp, wp, rad_h, rad_w = pad_extents(h, w, pad_mode)
         psf = motion_blur_kernel(psf_length, angle_deg)
+        if edgetaper and chans0.dtype == jnp.uint8:
+            # tapering needs f32 planes before the forward FFT, so the
+            # in-kernel u8 ingest is forfeited (same as _restore_core)
+            chans0 = chans0.astype(jnp.float32) / jnp.float32(255.0)
         chp = jnp.pad(
             chans0, ((0, 0), (0, 0), (0, hp - h), (0, wp - w))
         )
+        flat = chp.reshape(b * 3, hp, wp)
+        if edgetaper:
+            from fft_restoration_tpu.models.edgetaper import (
+                edge_taper_planes,
+            )
+
+            flat = edge_taper_planes(
+                flat, psf, (h, w), fft_backend=fft_backend,
+                fft_engine=fft_engine, radices_hw=(rad_h, rad_w),
+            )
         raw, lo, scale = restore_planes(
-            chp.reshape(b * 3, hp, wp), psf, K,
+            flat, psf, K,
             fft_backend=fft_backend, filter_name=filter_name,
-            fft_engine=fft_engine, img_rows=h, return_norm=True,
+            fft_engine=fft_engine,
+            img_rows=None if edgetaper else h, return_norm=True,
             stage_dtype=stage_dtype, radices_hw=(rad_h, rad_w),
         )
         orig3b = chans0.reshape(b * 3, h, w)
@@ -150,6 +176,7 @@ def _batched_images_core(
         stage_dtype=stage_dtype,
         pad_mode=pad_mode,
         rl_iters=rl_iters,
+        edgetaper=edgetaper,
     )
     if white_balance:
         from fft_restoration_tpu.ops.color import (
@@ -193,6 +220,7 @@ class BatchedWienerPipeline:
         stage_dtype: str | None = None,
         pad_mode: str = "pow2",
         rl_iters: int = 10,
+        edgetaper: bool = False,
     ):
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
@@ -206,6 +234,8 @@ class BatchedWienerPipeline:
         # 'smooth' = minimal odd*2^k DFT extents (pipeline.pad_extents)
         self.pad_mode = pad_mode
         self.rl_iters = rl_iters
+        # border blend toward the circular blur (models/edgetaper.py)
+        self.edgetaper = edgetaper
         self._cache = {}
         self._img_cache = {}
 
@@ -222,6 +252,7 @@ class BatchedWienerPipeline:
                     stage_dtype=self.stage_dtype,
                     pad_mode=self.pad_mode,
                     rl_iters=self.rl_iters,
+                    edgetaper=self.edgetaper,
                 )
             )
         return self._cache[key]
@@ -267,6 +298,7 @@ class BatchedWienerPipeline:
                     stage_dtype=self.stage_dtype,
                     pad_mode=self.pad_mode,
                     rl_iters=self.rl_iters,
+                    edgetaper=self.edgetaper,
                 )
             )
         out, _ = self._img_cache[key](

@@ -1,0 +1,117 @@
+"""Circular convolution with a PSF spectrum — the framework's blur model.
+
+utils/blurgen.py synthesizes every blurred input by spectral
+multiplication with the corner-anchored PSF, i.e. CIRCULAR convolution
+(/root/reference/others/gen_blurred_img.ipynb cell 1); this module is
+the forward operator of that model as a reusable device function. Both
+iterative restoration (models/richardson_lucy.py) and edge tapering
+(models/edgetaper.py) are built on it.
+
+TPU-native shape: everything is SoA (re, im) float32 planes. On the
+pallas path the PSF spectrum is computed ONCE in the kernels' native
+transposed/revorder scrambled order — the spectral multiply is
+elementwise so the scrambling cancels between forward and inverse (the
+ordering algebra of docs/MXU_ENGINE.md), and every spatial-domain
+result comes back in natural order.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fft_restoration_tpu.ops.fft import fft2d
+
+
+def _conv_planes_pallas(re, im, s_re, s_im, engine, rad_h, rad_w):
+    """Circular convolution of independent real planes (re, im) with the
+    spectrum (s_re, s_im) in the transposed/scrambled pallas layout.
+    (..., Hp, Wp) in natural order -> (..., Hp, Wp) natural, scaled."""
+    from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+
+    hp, wp = re.shape[-2:]
+    a_re, a_im = fft_rows_pallas(
+        re, im, False, ordering="revorder", transposed_output=True,
+        engine=engine, radices=rad_w,
+    )
+    a_re, a_im = fft_rows_pallas(
+        a_re, a_im, False, ordering="revorder", engine=engine, radices=rad_h
+    )
+    c_re = a_re * s_re - a_im * s_im
+    c_im = a_re * s_im + a_im * s_re
+    b_re, b_im = fft_rows_pallas(
+        c_re, c_im, True, ordering="revorder", transposed_output=True,
+        engine=engine, radices=rad_h,
+    )
+    b_re, b_im = fft_rows_pallas(
+        b_re, b_im, True, ordering="revorder", engine=engine, radices=rad_w
+    )
+    scale = jnp.float32(1.0 / (hp * wp))
+    return b_re * scale, b_im * scale
+
+
+def _conv_planes_generic(re, im, s_re, s_im, backend):
+    """Same contract via the natural-order fft2d backends (matmul's
+    four-step covers smooth extents; radix2/naive/xla likewise)."""
+    hp, wp = re.shape[-2:]
+    a_re, a_im = fft2d(re, im, False, backend)
+    c_re = a_re * s_re - a_im * s_im
+    c_im = a_re * s_im + a_im * s_re
+    b_re, b_im = fft2d(c_re, c_im, True, backend)
+    scale = jnp.float32(1.0 / (hp * wp))
+    return b_re * scale, b_im * scale
+
+
+def circular_conv_builder(
+    psf: jnp.ndarray,
+    hp: int,
+    wp: int,
+    *,
+    fft_backend: str = "matmul",
+    fft_engine: str = "mxu",
+    radices_hw=((), ()),
+    psf_rows: int | None = None,
+):
+    """Build conv(re, im, conj=False) circularly convolving independent
+    real (..., hp, wp) planes with the corner-anchored PSF (conj=True
+    convolves with the mirrored PSF — conj(H) for a real kernel).
+
+    The PSF spectrum is computed once at build (traced) time and closed
+    over; frames below one (8,128) tile reroute pallas -> matmul, the
+    same gate as restore_planes."""
+    from fft_restoration_tpu.models.pipeline import _pad2d
+
+    psf_pad = _pad2d(psf, hp, wp)
+    rad_h, rad_w = radices_hw
+    pallas = fft_backend == "pallas" and min(hp, wp) >= 128
+    if fft_backend == "pallas" and not pallas:
+        fft_backend = "matmul"
+
+    if pallas:
+        from fft_restoration_tpu.models.pipeline import _fwd_rows_t_live
+        from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+
+        rows = psf.shape[-2] if psf_rows is None else psf_rows
+        h_re, h_im = _fwd_rows_t_live(
+            psf_pad, None, rows, fft_engine, radices=rad_w
+        )
+        h_re, h_im = fft_rows_pallas(
+            h_re, h_im, False, ordering="revorder", engine=fft_engine,
+            radices=rad_h,
+        )
+
+        def conv(re, im, conj=False):
+            return _conv_planes_pallas(
+                re, im, h_re, (-h_im if conj else h_im), fft_engine,
+                rad_h, rad_w,
+            )
+    else:
+        h_re, h_im = fft2d(
+            psf_pad, jnp.zeros_like(psf_pad), False, fft_backend
+        )
+
+        def conv(re, im, conj=False):
+            return _conv_planes_generic(
+                re, im, h_re, (-h_im if conj else h_im), fft_backend
+            )
+
+    return conv

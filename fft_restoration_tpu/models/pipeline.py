@@ -590,6 +590,7 @@ def _restore_core(
     stage_dtype: str | None = None,
     pad_mode: str = "pow2",
     rl_iters: int = 10,
+    edgetaper: bool = False,
 ):
     """(H, W, 3) BGR image -> (H, W, 3) uint8 BGR restored.
 
@@ -608,18 +609,32 @@ def _restore_core(
     with jax.named_scope("fphase_pre_process"):
         psf = motion_blur_kernel(psf_length, angle_deg)
         chans0 = jnp.moveaxis(img_f32, -1, 0)  # (3, H, W) BGR planes
-        if chans0.dtype == jnp.uint8 and not (
-            fft_backend == "pallas"
-            and chans0.ndim == 3
-            and chans0.shape[0] >= 2
+        if chans0.dtype == jnp.uint8 and (
+            edgetaper
+            or not (
+                fft_backend == "pallas"
+                and chans0.ndim == 3
+                and chans0.shape[0] >= 2
+            )
         ):
             # exact division (not reciprocal multiply): bit-matches the
             # historical host-side np.float32 conversion. The pallas
             # packed path skips this: its forward kernel converts u8 in
             # VMEM (fft_kernel.py body), deleting the 50 MB f32
-            # intermediate per 2048² frame.
+            # intermediate per 2048² frame. (Edge tapering needs f32
+            # planes before the forward FFT, so it forfeits the u8
+            # ingest.)
             chans0 = chans0.astype(jnp.float32) / jnp.float32(255.0)
         chans = _pad2d(chans0, hp, wp)
+        if edgetaper:
+            from fft_restoration_tpu.models.edgetaper import (
+                edge_taper_planes,
+            )
+
+            chans = edge_taper_planes(
+                chans, psf, (h, w), fft_backend=fft_backend,
+                fft_engine=fft_engine, radices_hw=(rad_h, rad_w),
+            )
     # Fused pallas post-processing (ops/pallas/postprocess.py): the XLA
     # lowering of the WB+encode chain materializes a full f32 planes_bgr
     # intermediate and splits the means into transcendental-heavy
@@ -637,7 +652,10 @@ def _restore_core(
     )
     rp = restore_planes(
         chans, psf, K, fft_backend=fft_backend, filter_name=filter_name,
-        fft_engine=fft_engine, img_rows=h,
+        fft_engine=fft_engine,
+        # tapering fills the pad rows with the blur's wrap tail, so the
+        # live-rows forward-FFT shortcut would drop real signal there
+        img_rows=None if edgetaper else h,
         psf_spectrum=None if h_re is None else (h_re, h_im),
         return_norm=use_ppk, stage_dtype=stage_dtype,
         radices_hw=(rad_h, rad_w), rl_iters=rl_iters,
@@ -747,6 +765,7 @@ class WienerDeblurPipeline:
         stage_dtype: str | None = None,
         pad_mode: str = "pow2",
         rl_iters: int = 10,
+        edgetaper: bool = False,
     ):
         # emit_planes=False compiles the SERVING graph: restore() skips
         # the (3, H, W) f32 diagnostic planes output (a 50 MB HBM
@@ -765,6 +784,8 @@ class WienerDeblurPipeline:
         self.pad_mode = pad_mode
         # iteration count for filter_name='rl' (Richardson-Lucy)
         self.rl_iters = rl_iters
+        # border blend toward the circular blur (models/edgetaper.py)
+        self.edgetaper = edgetaper
         # 'bf16' stores the inter-kernel spectral planes half-width
         # (restore_planes stage_dtype); None/'f32' keeps full precision
         self.stage_dtype = stage_dtype
@@ -800,6 +821,7 @@ class WienerDeblurPipeline:
                 stage_dtype=self.stage_dtype,
                 pad_mode=self.pad_mode,
                 rl_iters=self.rl_iters,
+                edgetaper=self.edgetaper,
             )
             donate = (0,) if self.donate_input else ()
             self._cache[key] = jax.jit(fn, donate_argnums=donate)

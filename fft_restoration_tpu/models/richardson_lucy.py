@@ -38,46 +38,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from fft_restoration_tpu.ops.fft import fft2d
-
-
-def _conv_planes_pallas(re, im, s_re, s_im, engine, rad_h, rad_w):
-    """Circular convolution of independent real planes (re, im) with the
-    spectrum (s_re, s_im) in the transposed/scrambled pallas layout.
-    (..., Hp, Wp) in natural order -> (..., Hp, Wp) natural, scaled."""
-    from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
-
-    hp, wp = re.shape[-2:]
-    a_re, a_im = fft_rows_pallas(
-        re, im, False, ordering="revorder", transposed_output=True,
-        engine=engine, radices=rad_w,
-    )
-    a_re, a_im = fft_rows_pallas(
-        a_re, a_im, False, ordering="revorder", engine=engine, radices=rad_h
-    )
-    c_re = a_re * s_re - a_im * s_im
-    c_im = a_re * s_im + a_im * s_re
-    b_re, b_im = fft_rows_pallas(
-        c_re, c_im, True, ordering="revorder", transposed_output=True,
-        engine=engine, radices=rad_h,
-    )
-    b_re, b_im = fft_rows_pallas(
-        b_re, b_im, True, ordering="revorder", engine=engine, radices=rad_w
-    )
-    scale = jnp.float32(1.0 / (hp * wp))
-    return b_re * scale, b_im * scale
-
-
-def _conv_planes_generic(re, im, s_re, s_im, backend):
-    """Same contract via the natural-order fft2d backends (matmul's
-    four-step covers smooth extents; radix2/naive/xla likewise)."""
-    hp, wp = re.shape[-2:]
-    a_re, a_im = fft2d(re, im, False, backend)
-    c_re = a_re * s_re - a_im * s_im
-    c_im = a_re * s_im + a_im * s_re
-    b_re, b_im = fft2d(c_re, c_im, True, backend)
-    scale = jnp.float32(1.0 / (hp * wp))
-    return b_re * scale, b_im * scale
+from fft_restoration_tpu.models.convolve import circular_conv_builder
 
 
 def richardson_lucy_planes(
@@ -109,49 +70,19 @@ def richardson_lucy_planes(
     """
     from fft_restoration_tpu.models.pipeline import (
         _pack_channel_pairs,
-        _pad2d,
         _unpack_channel_pairs,
     )
 
     if channels.dtype == jnp.uint8:
         channels = channels.astype(jnp.float32) / jnp.float32(255.0)
     hp, wp = channels.shape[-2:]
-    rad_h, rad_w = radices_hw
-    psf_pad = _pad2d(psf, hp, wp)
 
-    pallas = fft_backend == "pallas"
-    if pallas and min(hp, wp) < 128:
-        # same sub-(8,128)-tile reroute as restore_planes
-        pallas = False
-        fft_backend = "matmul"
-
-    # PSF spectrum, hoisted out of the loop; on the pallas path it rides
+    # PSF spectrum hoisted out of the loop; on the pallas path it rides
     # the same transposed/revorder layout as the per-iteration spectra.
-    if pallas:
-        from fft_restoration_tpu.models.pipeline import _fwd_rows_t_live
-        from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
-
-        rows = psf.shape[-2] if psf_rows is None else psf_rows
-        h_re, h_im = _fwd_rows_t_live(
-            psf_pad, None, rows, fft_engine, radices=rad_w
-        )
-        h_re, h_im = fft_rows_pallas(
-            h_re, h_im, False, ordering="revorder", engine=fft_engine,
-            radices=rad_h,
-        )
-
-        def conv(re, im, conj):
-            return _conv_planes_pallas(
-                re, im, h_re, (-h_im if conj else h_im), fft_engine,
-                rad_h, rad_w,
-            )
-    else:
-        h_re, h_im = fft2d(psf_pad, jnp.zeros_like(psf_pad), False, fft_backend)
-
-        def conv(re, im, conj):
-            return _conv_planes_generic(
-                re, im, h_re, (-h_im if conj else h_im), fft_backend
-            )
+    conv = circular_conv_builder(
+        psf, hp, wp, fft_backend=fft_backend, fft_engine=fft_engine,
+        radices_hw=radices_hw, psf_rows=psf_rows,
+    )
 
     packed = channels.ndim >= 3 and channels.shape[-3] >= 2
     if packed:

@@ -205,15 +205,37 @@ def restore_channels(
     K: float = 0.01,
     use_power_of_two: bool = True,
     pad_to=None,
+    edgetaper: bool = False,
 ) -> np.ndarray:
     """Per-channel restoration loop of the serial driver (serial.cpp:34-39).
 
     channels: (C, H, W) float32 in [0,1]. Returns (C, H, W) restored
     planes. pad_to: explicit DFT extents (see wiener_deblur) — overrides
-    the pow2 pre-pad.
+    the pow2 pre-pad. edgetaper: blend the padded frame toward its
+    circular blur at the borders first (oracle/edgetaper.py — an
+    extension knob, NOT reference behavior; the CLI enables it on both
+    sides so verification still runs).
     """
     channels = np.asarray(channels, dtype=np.float32)
     h, w = channels.shape[-2:]
+    if edgetaper:
+        if pad_to is not None:
+            opt = (int(pad_to[0]), int(pad_to[1]))
+        elif use_power_of_two:
+            opt = (next_power_of_two(h), next_power_of_two(w))
+        else:
+            opt = (h, w)
+        from fft_restoration_tpu.oracle.edgetaper import edge_taper_channels
+
+        padded = _pad_to(channels, *opt)
+        tapered = edge_taper_channels(padded, psf, (h, w))
+        return np.stack(
+            [
+                wiener_deblur(tapered[c], psf, K, pad_to=opt)[:h, :w]
+                for c in range(tapered.shape[0])
+            ],
+            axis=0,
+        )
     out = []
     for c in range(channels.shape[0]):
         ch = channels[c]
@@ -225,7 +247,11 @@ def restore_channels(
 
 
 def restore_image(
-    img_bgr: np.ndarray, psf_length: int, psf_angle: float, K: float = 0.01
+    img_bgr: np.ndarray,
+    psf_length: int,
+    psf_angle: float,
+    K: float = 0.01,
+    edgetaper: bool = False,
 ) -> np.ndarray:
     """Full serial driver: uint8 BGR -> restored uint8 BGR (serial.cpp:9-61).
 
@@ -242,7 +268,7 @@ def restore_image(
     img = np.asarray(img_bgr, dtype=np.float32) / np.float32(255.0)
     psf = motion_blur_kernel_oracle(psf_length, psf_angle)
     chans = np.moveaxis(img, -1, 0)  # (3, H, W), BGR order
-    restored = restore_channels(chans, psf, K)
+    restored = restore_channels(chans, psf, K, edgetaper=edgetaper)
     merged = np.moveaxis(restored, 0, -1)  # (H, W, 3)
 
     lab_deblur = bgr_to_lab(merged)

@@ -1,0 +1,181 @@
+"""Edge tapering: window properties, oracle/pipeline parity, and the
+quality claim (less boundary ringing on non-circularly-blurred photos).
+
+The reference deconvolves the zero-padded frame as-is and shows the
+wrap ringing (fft_serial.cpp:157-171); --edgetaper is an extension of
+the restoration family (models/edgetaper.py, oracle/edgetaper.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fft_restoration_tpu.utils.taper import taper_window_1d, taper_windows
+
+
+def test_window_shape_and_bands():
+    w = taper_window_1d(100, 128, band=10)
+    assert w.shape == (128,) and w.dtype == np.float32
+    assert np.all(w[10:90] == 1.0)          # interior
+    assert np.all(w[100:] == 0.0)           # DFT pad region
+    assert np.all((w[:10] > 0) & (w[:10] < 1))  # ramp strictly inside (0,1)
+    assert np.allclose(w[:10], w[90:100][::-1])  # symmetric ramps
+    assert np.all(np.diff(w[:10]) > 0)      # monotone ramp
+
+
+def test_window_band_clamps_to_half_extent():
+    # band larger than half the live extent must clamp, not cross over
+    w = taper_window_1d(9, 16, band=50)
+    assert np.all(w[9:] == 0.0)
+    assert w.shape == (16,)
+    assert np.allclose(w[:4], w[5:9][::-1])
+    assert w[4] == 1.0  # middle sample survives
+
+
+def _crop_blur(h, w, s, angle):
+    """A realistically blurred frame: blur a larger smooth scene
+    circularly, crop the center — the crop's borders are smeared with
+    TRUE neighboring content, exactly the non-circular real-photo model
+    the circular deconvolution mismatches."""
+    from fft_restoration_tpu.utils.blurgen import blur_image
+
+    yy, xx = np.mgrid[0 : h + 4 * s, 0 : w + 4 * s]
+    big = np.zeros((h + 4 * s, w + 4 * s, 3), np.float32)
+    big[..., 0] = 60 + 120 * np.sin(yy / 23.0) * np.cos(xx / 31.0)
+    big[..., 1] = 80 + 0.3 * xx
+    big[..., 2] = 90 + 0.4 * yy
+    big[2 * s + 10 : 2 * s + h - 10, 2 * s + 15 : 2 * s + 25] += 140
+    big[2 * s + h // 2 - 5 : 2 * s + h // 2 + 5, 2 * s : 2 * s + w] += 100
+    big = np.clip(big, 0, 255).astype(np.uint8)
+    blurred_big = blur_image(big, s, angle)
+    sharp = big[2 * s : 2 * s + h, 2 * s : 2 * s + w]
+    blurred = blurred_big[2 * s : 2 * s + h, 2 * s : 2 * s + w]
+    return sharp, blurred
+
+
+def test_taper_reduces_boundary_ringing():
+    """On a non-circularly-blurred frame, tapered Wiener restoration
+    must beat the untapered one: whole-frame PSNR vs the sharp truth
+    (measured +1.6 dB) and RMSE in the 2S-wide border band (measured
+    -25%) — the wrap ringing is the artifact the taper removes."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+    from fft_restoration_tpu.utils.verify import psnr
+
+    h, w, s = 96, 128, 9
+    sharp, blurred = _crop_blur(h, w, s, 30.0)
+    plain = WienerDeblurPipeline(fft_backend="matmul").restore(
+        blurred, s, 30.0
+    )
+    tapered = WienerDeblurPipeline(
+        fft_backend="matmul", edgetaper=True
+    ).restore(blurred, s, 30.0)
+    sf = sharp.astype(np.float64)
+    p_plain = psnr(sf, plain.astype(np.float64), peak=255.0)
+    p_taper = psnr(sf, tapered.astype(np.float64), peak=255.0)
+    assert p_taper > p_plain + 1.0, (p_plain, p_taper)
+
+    band = 2 * s
+    mask = np.zeros((h, w), bool)
+    mask[:band] = mask[-band:] = True
+    mask[:, :band] = mask[:, -band:] = True
+    rmse = lambda out: np.sqrt(
+        ((out.astype(np.float64) - sf)[mask] ** 2).mean()
+    )
+    assert rmse(tapered) < 0.85 * rmse(plain), (rmse(plain), rmse(tapered))
+
+
+def test_pipeline_matches_oracle_with_taper(rng):
+    """Differential verification holds with tapering enabled on both
+    sides (the CLI's --edgetaper contract), at the reference tiers."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+    from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+    from fft_restoration_tpu.oracle.serial import restore_channels
+    from fft_restoration_tpu.utils.verify import channels_equal
+
+    img = (rng.random((80, 100, 3)) * 255).astype(np.uint8)
+    pipe = WienerDeblurPipeline(fft_backend="matmul", edgetaper=True)
+    _, ours = pipe.restore_with_planes(img, 7, 30.0)
+
+    imgf = img.astype(np.float32) / np.float32(255.0)
+    psf = motion_blur_kernel_oracle(7, 30.0)
+    oracle = restore_channels(
+        np.moveaxis(imgf, -1, 0), psf, edgetaper=True
+    )
+    report = channels_equal(np.asarray(ours), oracle, "gpu")
+    assert report.passed, report
+
+
+@pytest.mark.parametrize("radices", [((), ()), ((3,), (5,))])
+def test_taper_planes_pallas_matches_matmul(rng, radices):
+    """edge_taper_planes through the pallas kernels (incl. mixed radix)
+    matches the matmul path."""
+    from fft_restoration_tpu.models.edgetaper import edge_taper_planes
+    from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+
+    hp = 384 if radices[0] else 256
+    wp = 640 if radices[1] else 256
+    psf = jnp.asarray(motion_blur_kernel_oracle(9, 45.0))
+    x = jnp.asarray(rng.random((3, hp, wp)).astype(np.float32))
+    # zero the pad band so live_hw semantics are exercised
+    live = (hp - 40, wp - 24)
+    x = x.at[:, live[0]:, :].set(0.0).at[:, :, live[1]:].set(0.0)
+    a = np.asarray(
+        edge_taper_planes(x, psf, live, fft_backend="pallas",
+                          radices_hw=radices)
+    )
+    b = np.asarray(
+        edge_taper_planes(x, psf, live, fft_backend="matmul",
+                          radices_hw=radices)
+    )
+    assert np.abs(a - b).max() < 1e-4
+
+
+def test_taper_cli_end_to_end(tmp_path, rng):
+    """--edgetaper through the CLI: verification (tapered oracle) runs
+    and passes; sharded mode rejects the flag."""
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    img = (rng.random((72, 96, 3)) * 255).astype(np.uint8)
+    src = tmp_path / "in.png"
+    imwrite(str(src), img)
+    dst = tmp_path / "out.png"
+    rc = main(
+        [str(src), "7", "30", "--mode", "jit", "--edgetaper",
+         "-o", str(dst)]
+    )
+    assert rc == 0 and dst.exists()
+    rc = main([str(src), "7", "30", "--mode", "oracle", "--edgetaper",
+               "-o", str(tmp_path / "out_oracle.png")])
+    assert rc == 0
+    rc = main([str(src), "7", "30", "--mode", "sharded", "--edgetaper"])
+    assert rc == 2
+
+
+def test_taper_batched_matches_single(rng):
+    """Batched edgetaper path vs per-image single pipeline (cross-image
+    pair packing rounding only, cf. test_richardson_lucy)."""
+    from fft_restoration_tpu.models.batched import BatchedWienerPipeline
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+    imgs = (rng.random((2, 72, 96, 3)) * 255).astype(np.uint8)
+    batched = BatchedWienerPipeline(
+        fft_backend="matmul", edgetaper=True
+    ).restore(imgs, 7, 30.0)
+    single = WienerDeblurPipeline(fft_backend="matmul", edgetaper=True)
+    for i in range(imgs.shape[0]):
+        one = single.restore(imgs[i], 7, 30.0)
+        d = np.abs(batched[i].astype(np.int16) - one.astype(np.int16))
+        assert d.max() <= 2, (i, d.max())
+
+
+def test_taper_with_rl(rng):
+    """--edgetaper composes with the RL filter (tapered observation)."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    out = WienerDeblurPipeline(
+        fft_backend="matmul", filter_name="rl", rl_iters=3, edgetaper=True
+    ).restore(img, 7, 30.0)
+    assert out.shape == img.shape and out.dtype == np.uint8
