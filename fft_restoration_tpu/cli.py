@@ -74,6 +74,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="Richardson-Lucy iteration count (--filter rl)",
     )
     p.add_argument(
+        "--estimate-psf",
+        action="store_true",
+        help="blind mode: estimate the motion-blur length/angle from "
+        "the blurred image itself (cepstral method, models/estimate.py) "
+        "and use them instead of the positionals (which are then "
+        "ignored with a note). Directory inputs estimate from the "
+        "first frame.",
+    )
+    p.add_argument(
         "--edgetaper",
         action="store_true",
         help="blend the frame toward its circular blur at the borders "
@@ -177,6 +186,35 @@ def _oracle_channels(
     )
 
 
+
+
+def _apply_psf_estimate(args, img) -> None:
+    """--estimate-psf: override the positional PSF params from the
+    cepstral estimate (models/estimate.py)."""
+    from fft_restoration_tpu.models.estimate import estimate_motion_psf
+
+    length, angle, conf = estimate_motion_psf(
+        img,
+        fft_backend=(
+            args.fft_backend if args.fft_backend != "pallas" else "matmul"
+        ),
+    )
+    print(
+        f"[INFO] estimated PSF: length={length} angle={angle:.1f} "
+        f"(confidence {conf:.3f}); positionals "
+        f"{args.psf_length}/{args.psf_angle} ignored"
+    )
+    if conf < 0.005:
+        print(
+            "[INFO] low cepstral confidence - the frame may not carry "
+            "a linear motion blur"
+        )
+    args.psf_length, args.psf_angle = length, angle
+
+
+
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache: first compile of each pipeline
     shape is seconds-to-minutes (Mosaic kernels especially), so cache
@@ -240,6 +278,14 @@ def _run_batch(args) -> int:
     if not paths:
         print(f"[Error] no image files in {args.img_path!r}")
         return 1
+    if args.estimate_psf:
+        from fft_restoration_tpu.utils.imageio import imread as _imread
+
+        try:
+            _apply_psf_estimate(args, _imread(paths[0]))
+        except (OSError, ValueError) as e:
+            print(f"[Error] cannot estimate PSF from {paths[0]!r}: {e}")
+            return 1
     out_dir = args.output or args.img_path
     os.makedirs(out_dir, exist_ok=True)
 
@@ -481,6 +527,9 @@ def main(argv=None) -> int:
     except (OSError, ValueError) as e:
         print(f"[Error] Cannot read image {args.img_path!r}: {e}")
         return 1
+
+    if args.estimate_psf:
+        _apply_psf_estimate(args, img)
 
     from fft_restoration_tpu.models.pipeline import pad_extents
 

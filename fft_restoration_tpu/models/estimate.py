@@ -1,0 +1,114 @@
+"""Blind motion-PSF estimation from the blurred image (cepstral method).
+
+The reference requires the user to KNOW the blur parameters — every
+driver takes <psf-length> <psf-angle> positionals
+(/root/reference/serial.cpp:12-18) and the fixtures' parameters are
+documented in the README. This module removes that requirement: a
+linear motion blur of length L multiplies the image spectrum by a
+sinc-like transfer function whose periodic zeros put strong NEGATIVE
+peaks into the cepstrum
+
+    C = IFFT( log |FFT(image)|^2 )
+
+at distance L along the blur direction (Cannon, "Blind deconvolution
+of spatially invariant image blurs with phase", IEEE TASSP 1976 — the
+classic cepstral blur-identification result). Estimating (L, angle) is
+therefore: window the image, one FFT, log-power, one IFFT, argmin over
+an annulus.
+
+TPU-native: the whole estimator is ONE jit graph on the SoA fft2d
+backends (no complex dtype), with the Hann window and the annulus mask
+baked as constants; only the final argmin index is converted to
+(length, angle) on the host. The y-down image convention mirrors the
+cepstral angle, so the returned angle is (-atan2) mod 180 — calibrated
+against utils/blurgen.py syntheses (tests/test_estimate.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fft_restoration_tpu.ops.fft import fft2d
+from fft_restoration_tpu.utils.padding import next_power_of_two
+
+
+def _annulus_mask(hp: int, wp: int, r_min: float, r_max: float) -> np.ndarray:
+    yy, xx = np.mgrid[-(hp // 2) : hp - hp // 2, -(wp // 2) : wp - wp // 2]
+    r = np.hypot(yy, xx)
+    return (r >= r_min) & (r <= r_max)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hp", "wp", "r_min", "r_max", "fft_backend")
+)
+def _cepstral_peak(
+    gray: jnp.ndarray,
+    *,
+    hp: int,
+    wp: int,
+    r_min: float,
+    r_max: float,
+    fft_backend: str,
+):
+    """(H, W) float32 grayscale -> (flat argmin index over the shifted
+    (hp, wp) cepstrum, peak value, cepstrum origin value)."""
+    h, w = gray.shape
+    wy = np.hanning(h).astype(np.float32)
+    wx = np.hanning(w).astype(np.float32)
+    g = (gray - jnp.mean(gray)) * jnp.asarray(wy)[:, None] * jnp.asarray(
+        wx
+    )[None, :]
+    g = jnp.pad(g, ((0, hp - h), (0, wp - w)))
+    f_re, f_im = fft2d(g, jnp.zeros_like(g), False, fft_backend)
+    # log2 instead of ln: same argmin (positive scale), native TPU unit
+    p = jnp.log2(f_re * f_re + f_im * f_im + jnp.float32(1e-12))
+    c_re, _ = fft2d(p, jnp.zeros_like(p), True, fft_backend)
+    c = jnp.roll(c_re, (hp // 2, wp // 2), axis=(0, 1))  # fftshift
+    mask = jnp.asarray(_annulus_mask(hp, wp, r_min, r_max))
+    cm = jnp.where(mask, c, jnp.inf)
+    idx = jnp.argmin(cm)
+    return idx, cm.reshape(-1)[idx], c_re[0, 0]
+
+
+def estimate_motion_psf(
+    img_bgr: np.ndarray,
+    *,
+    fft_backend: str = "matmul",
+    max_length: int | None = None,
+) -> tuple[int, float, float]:
+    """Estimate (length, angle_deg, confidence) of a linear motion blur
+    from a blurred uint8/float BGR image.
+
+    length is in the CLI's psf-length units (the PSF side synthesized
+    by ops/psf.motion_blur_kernel); angle is in [0, 180) degrees, the
+    same convention the CLI positionals take (the PSF is symmetric, so
+    angle is defined mod 180). confidence is the cepstral peak depth
+    normalized by the cepstrum origin — empirically > 0.01 for real
+    motion blur, near 0 when no linear blur is present.
+    """
+    img = np.asarray(img_bgr)
+    if img.ndim == 3:
+        gray = img.astype(np.float32).mean(axis=-1)
+    else:
+        gray = img.astype(np.float32)
+    h, w = gray.shape
+    hp, wp = next_power_of_two(h), next_power_of_two(w)
+    r_max = float(
+        min(min(h, w) // 3, max_length if max_length else 10**9)
+    )
+    idx, peak, origin = _cepstral_peak(
+        jnp.asarray(gray), hp=hp, wp=wp, r_min=3.0, r_max=r_max,
+        fft_backend=fft_backend,
+    )
+    iy, ix = np.unravel_index(int(idx), (hp, wp))
+    dy, dx = iy - hp // 2, ix - wp // 2
+    length = int(round(float(np.hypot(dy, dx))))
+    # y points down in image coords -> the cepstral angle is mirrored
+    angle = float((-np.degrees(np.arctan2(dy, dx))) % 180.0)
+    conf = float(-peak / (abs(float(origin)) + 1e-12))
+    return length, angle, conf
