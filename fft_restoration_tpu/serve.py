@@ -12,7 +12,12 @@ uint8 ingest straight to the device.
 API:
   POST /restore            body = image bytes (PNG/JPEG/BMP/PNM/TIFF);
                            query params psf_length, psf_angle, K
-                           override the defaults. Response: PNG bytes.
+                           override the defaults; filter=wiener|inverse|
+                           cls|rl (+iters=N for rl), edgetaper=1 (border
+                           blend, models/edgetaper.py), estimate=1
+                           (blind per-request PSF estimation,
+                           models/estimate.py — psf_length/psf_angle are
+                           then ignored). Response: PNG bytes.
   GET  /healthz            JSON liveness + device + compiled-shape list.
 
 Concurrency: requests are served on a thread pool; device work is
@@ -100,19 +105,22 @@ def build_parser() -> argparse.ArgumentParser:
 class _Req:
     """One in-flight restoration request awaiting batch dispatch."""
 
-    __slots__ = ("img", "length", "angle", "K", "done", "result", "error")
+    __slots__ = (
+        "img", "length", "angle", "K", "opts", "done", "result", "error"
+    )
 
-    def __init__(self, img, length, angle, K):
+    def __init__(self, img, length, angle, K, opts=("wiener", 10, False)):
         self.img = img
         self.length = length
         self.angle = angle
         self.K = K
+        self.opts = opts  # (filter_name, rl_iters, edgetaper)
         self.done = threading.Event()
         self.result = None
         self.error = None
 
     def key(self):
-        return (self.img.shape, self.length, self.angle, self.K)
+        return (self.img.shape, self.length, self.angle, self.K, self.opts)
 
 
 class DynamicBatcher:
@@ -140,11 +148,11 @@ class DynamicBatcher:
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
-    def submit(self, img, length, angle, K):
+    def submit(self, img, length, angle, K, opts=("wiener", 10, False)):
         if self.stop or not self.thread.is_alive():
             # fail fast instead of blocking forever on a dead dispatcher
             raise RuntimeError("service is shutting down")
-        req = _Req(img, int(length), float(angle), float(K))
+        req = _Req(img, int(length), float(angle), float(K), opts)
         self.inbox.put(req)
         req.done.wait()
         if req.error is not None:
@@ -226,7 +234,9 @@ class DynamicBatcher:
                 if len(group) == 1:
                     r = group[0]
                     with svc.lock:
-                        out = svc.pipe.restore(r.img, r.length, r.angle, r.K)
+                        out = svc.pipe_for(r.opts).restore(
+                            r.img, r.length, r.angle, r.K
+                        )
                         svc.n_served += 1
                     # singles count as batch-of-1 dispatches so
                     # batch_occupancy ~1.0 really means "paying per-frame
@@ -247,7 +257,7 @@ class DynamicBatcher:
                     )
                     r0 = group[0]
                     with svc.lock:
-                        outs = svc.batched.restore(
+                        outs = svc.batched_for(r0.opts).restore(
                             stack, r0.length, r0.angle, r0.K
                         )
                         svc.n_served += b
@@ -305,6 +315,10 @@ class RestorationService:
             emit_planes=False,
             pad_mode=pad_mode,
         )
+        # per-(filter, iters, edgetaper) pipeline caches; the defaults
+        # above stay the warm/startup instances
+        self._pipes = {("wiener", 10, False): self.pipe}
+        self._batcheds = {("wiener", 10, False): self.batched}
         self.lock = threading.Lock()
         self.n_served = 0
         self.started = time.time()
@@ -326,6 +340,46 @@ class RestorationService:
         self.batcher = DynamicBatcher(
             self, max_batch=args.max_batch, max_wait_ms=args.batch_wait_ms
         )
+
+    def pipe_for(self, opts):
+        """Single-frame pipeline for (filter_name, rl_iters, edgetaper);
+        lazily built, cached for the service lifetime."""
+        if opts not in self._pipes:
+            from fft_restoration_tpu.models.pipeline import (
+                WienerDeblurPipeline,
+            )
+
+            f, iters, taper = opts
+            self._pipes[opts] = WienerDeblurPipeline(
+                fft_backend=self.args.backend,
+                filter_name=f,
+                white_balance=not self.args.no_white_balance,
+                fft_engine=self.args.fft_engine,
+                emit_planes=False,
+                pad_mode=getattr(self.args, "pad", "pow2"),
+                rl_iters=iters,
+                edgetaper=taper,
+            )
+        return self._pipes[opts]
+
+    def batched_for(self, opts):
+        if opts not in self._batcheds:
+            from fft_restoration_tpu.models.batched import (
+                BatchedWienerPipeline,
+            )
+
+            f, iters, taper = opts
+            self._batcheds[opts] = BatchedWienerPipeline(
+                fft_backend=self.args.backend,
+                filter_name=f,
+                white_balance=not self.args.no_white_balance,
+                fft_engine=self.args.fft_engine,
+                emit_planes=False,
+                pad_mode=getattr(self.args, "pad", "pow2"),
+                rl_iters=iters,
+                edgetaper=taper,
+            )
+        return self._batcheds[opts]
 
     def warm(self, shapes) -> None:
         import numpy as np
@@ -368,7 +422,10 @@ class RestorationService:
                 file=sys.stderr,
             )
 
-    def restore(self, blob: bytes, length: int, angle: float, K: float) -> bytes:
+    def restore(
+        self, blob: bytes, length: int, angle: float, K: float,
+        opts=("wiener", 10, False), estimate: bool = False,
+    ) -> bytes:
         import numpy as np
 
         from fft_restoration_tpu.utils.imageio import decode_image_bgr, encode_png
@@ -377,7 +434,22 @@ class RestorationService:
         # channel canonicalisation (gray / gray+alpha / RGBA -> 3ch BGR),
         # decoder-internal failures normalised to ValueError -> HTTP 400.
         img = decode_image_bgr(blob)
-        out = self.batcher.submit(np.ascontiguousarray(img), length, angle, K)
+        if estimate:
+            from fft_restoration_tpu.models.estimate import (
+                estimate_motion_psf,
+            )
+
+            length, angle, _conf = estimate_motion_psf(
+                img,
+                fft_backend=(
+                    self.args.backend
+                    if self.args.backend != "pallas"
+                    else "matmul"
+                ),
+            )
+        out = self.batcher.submit(
+            np.ascontiguousarray(img), length, angle, K, opts
+        )
         return encode_png(out[..., ::-1])  # BGR -> RGB PNG
 
     def health(self) -> dict:
@@ -441,6 +513,14 @@ def make_handler(service: RestorationService):
                 length = one("psf_length", int, service.args.psf_length)
                 angle = one("psf_angle", float, service.args.psf_angle)
                 K = one("K", float, service.args.K)
+                filt = one("filter", str, "wiener")
+                if filt not in ("wiener", "inverse", "cls", "rl"):
+                    raise ValueError(f"bad query param 'filter'")
+                iters = one("iters", int, 10)
+                if not 1 <= iters <= 1000:
+                    raise ValueError("bad query param 'iters'")
+                taper = bool(one("edgetaper", int, 0))
+                estimate = bool(one("estimate", int, 0))
                 n = int(self.headers.get("Content-Length", 0))
                 if n <= 0:
                     raise ValueError("empty body")
@@ -454,7 +534,10 @@ def make_handler(service: RestorationService):
                     )
                     return
                 blob = self.rfile.read(n)
-                png = service.restore(blob, length, angle, K)
+                png = service.restore(
+                    blob, length, angle, K,
+                    opts=(filt, iters, taper), estimate=estimate,
+                )
             except ValueError as e:
                 self._send(
                     400,

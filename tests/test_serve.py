@@ -251,6 +251,12 @@ def test_batcher_shutdown_drains_waiters():
             self.pipe = self
             self.batched = self
 
+        def pipe_for(self, opts):
+            return self
+
+        def batched_for(self, opts):
+            return self
+
         def restore(self, img, *a):
             self.release.wait(timeout=30)
             if img.ndim == 4:
@@ -340,3 +346,46 @@ def test_serve_pad_smooth_roundtrip(rng):
         srv.shutdown()
         srv.server_close()
         service.batcher.shutdown()
+
+
+def test_restore_filter_and_taper_params(server):
+    """Per-request filter/iters/edgetaper/estimate query params."""
+    rng = np.random.default_rng(7)
+    img = (rng.random((24, 40, 3)) * 255).astype(np.uint8)
+    for qs in (
+        "/restore?psf_length=3&filter=rl&iters=3",
+        "/restore?psf_length=3&edgetaper=1",
+        "/restore?psf_length=3&filter=cls&edgetaper=1",
+    ):
+        status, data = _post(server, qs, encode_png(img))
+        assert status == 200, (qs, data)
+        assert decode_png(data).shape == img.shape
+    # invalid values are 400s, not crashes
+    status, _ = _post(server, "/restore?filter=nope", encode_png(img))
+    assert status == 400
+    status, _ = _post(
+        server, "/restore?filter=rl&iters=0", encode_png(img)
+    )
+    assert status == 400
+
+
+def test_restore_blind_estimate(server):
+    """estimate=1: the blurred frame is identified per request; the
+    restoration uses the estimated parameters (positionals ignored)."""
+    from fft_restoration_tpu.utils.blurgen import blur_image
+
+    yy, xx = np.mgrid[0:128, 0:160]
+    scene = np.zeros((128, 160, 3), np.float32)
+    scene[..., 0] = 80 + 100 * np.sin(yy / 17.0) * np.cos(xx / 13.0)
+    scene[..., 1] = 60 + 0.5 * xx
+    scene[..., 2] = 70 + 0.5 * yy
+    scene[40:90, 60:70] += 120
+    blurred = blur_image(
+        np.clip(scene, 0, 255).astype(np.uint8), 15, 30.0
+    )
+    status, data = _post(
+        server, "/restore?psf_length=3&psf_angle=0&estimate=1",
+        encode_png(blurred),
+    )
+    assert status == 200
+    assert decode_png(data).shape == blurred.shape
