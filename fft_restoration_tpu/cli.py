@@ -260,8 +260,8 @@ def _run_batch(args) -> int:
         return 2
     if args.edgetaper and args.mode == "sharded":
         print(
-            "[Error] --edgetaper runs in oracle/jit modes only "
-            "(the taper's blur pass is not sharded)"
+            "[Error] --edgetaper with directory input runs in jit mode "
+            "only (the 2D-mesh batch path has no taper)"
         )
         return 2
 
@@ -536,12 +536,6 @@ def main(argv=None) -> int:
     if args.filter == "rl" and args.mode == "sharded":
         print("[Error] --filter rl runs in jit mode only (iterative loop)")
         return 2
-    if args.edgetaper and args.mode == "sharded":
-        print(
-            "[Error] --edgetaper runs in oracle/jit modes only "
-            "(the taper's blur pass is not sharded)"
-        )
-        return 2
     if args.pad == "smooth" and args.mode == "oracle":
         print(
             "[INFO] oracle mode implements the reference's pow2 pad "
@@ -608,6 +602,7 @@ def main(argv=None) -> int:
                 white_balance=wb,
                 fft_engine=args.fft_engine,
                 pad_mode=args.pad,
+                edgetaper=args.edgetaper,
             )
 
         # warm-up run (compile), then timed — the gpu.cpp:96-104 pattern.

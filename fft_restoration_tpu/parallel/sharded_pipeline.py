@@ -45,6 +45,8 @@ def _local_restore_planes(
     psf_blk: jnp.ndarray,
     lap_blk: jnp.ndarray,
     K: jnp.ndarray,
+    wy_blk: jnp.ndarray | None = None,
+    wx_full: jnp.ndarray | None = None,
     *,
     hp: int,
     wp: int,
@@ -53,6 +55,7 @@ def _local_restore_planes(
     axis_name: str = ROWS_AXIS,
     fft_engine: str = "mxu",
     radices_hw: tuple = ((), ()),
+    edgetaper: bool = False,
 ) -> jnp.ndarray:
     """Per-device body (inside shard_map). Blocks: ch (C, Hpad/D, Wpad),
     psf/lap (Hpad/D, Wpad). Returns normalized restored block.
@@ -84,8 +87,36 @@ def _local_restore_planes(
         n_chan = None
         p_re, p_im = ch_blk, jnp.zeros_like(ch_blk)
     tw["engine"] = fft_engine
-    G = sharded_fft2d_conv_fwd(p_re, p_im, fft_backend, axis_name, **tw)
     H = sharded_fft2d_conv_fwd(psf_blk, zero_p, fft_backend, axis_name, **tw)
+    if edgetaper:
+        # Sharded edge taper (models/edgetaper.py semantics): blend the
+        # local block toward its circular blur, with the blur riding the
+        # SAME conv-layout distributed FFTs (2 extra transforms = +1
+        # all_to_all pair per restore). wy_blk is this device's row
+        # slice of the 1D window; the layout-pad rows beyond the true
+        # (hp, wp) extent keep their zeros via the valid mask.
+        g0_re, g0_im = sharded_fft2d_conv_fwd(
+            p_re, p_im, fft_backend, axis_name, **tw
+        )
+        b_re = g0_re * H[0] - g0_im * H[1]
+        b_im = g0_re * H[1] + g0_im * H[0]
+        b_re, b_im = sharded_fft2d_conv_inv(
+            b_re, b_im, fft_backend, axis_name, **tw
+        )
+        inv_scale = jnp.float32(1.0 / (hp * wp))
+        blk_h, blk_w = p_re.shape[-2], p_re.shape[-1]
+        alpha = wy_blk[:, None] * wx_full[None, :]
+        row0 = jax.lax.axis_index(axis_name) * blk_h
+        gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 0)
+        gc = jax.lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 1)
+        valid = (gr < hp) & (gc < wp)
+        p_re = jnp.where(
+            valid, alpha * p_re + (1.0 - alpha) * b_re * inv_scale, p_re
+        )
+        p_im = jnp.where(
+            valid, alpha * p_im + (1.0 - alpha) * b_im * inv_scale, p_im
+        )
+    G = sharded_fft2d_conv_fwd(p_re, p_im, fft_backend, axis_name, **tw)
     if filter_name == "wiener":
         F = wiener_filter(G, H, K)
     elif filter_name == "inverse":
@@ -137,6 +168,7 @@ def _sharded_core(
     white_balance: bool,
     fft_engine: str = "mxu",
     pad_mode: str = "pow2",
+    edgetaper: bool = False,
 ):
     """(H, W, 3) float32 BGR global -> (uint8 image, restored planes)."""
     from fft_restoration_tpu.models.pipeline import pad_extents
@@ -182,14 +214,31 @@ def _sharded_core(
         fft_backend=fft_backend,
         filter_name=filter_name,
         radices_hw=(rad_h, rad_w),
+        edgetaper=edgetaper,
     )
+    in_specs = [P(None, ROWS_AXIS, None), P(ROWS_AXIS, None),
+                P(ROWS_AXIS, None), P()]
+    operands = [chans, psf_pad, lap, K]
+    if edgetaper:
+        from fft_restoration_tpu.utils.taper import taper_windows
+
+        wy, wx = taper_windows(h, w, hp, wp, psf_length)
+        wy = jnp.asarray(np.pad(wy, (0, hpad - hp)))
+        wx = jnp.asarray(np.pad(wx, (0, wpad - wp)))
+        in_specs += [P(ROWS_AXIS), P()]
+        operands += [
+            jax.lax.with_sharding_constraint(
+                wy, NamedSharding(mesh, P(ROWS_AXIS))
+            ),
+            wx,
+        ]
     restored = jax.shard_map(
         local_fn,
         mesh=mesh,
         check_vma=False,
-        in_specs=(P(None, ROWS_AXIS, None), P(ROWS_AXIS, None), P(ROWS_AXIS, None), P()),
+        in_specs=tuple(in_specs),
         out_specs=P(None, ROWS_AXIS, None),
-    )(chans, psf_pad, lap, K)
+    )(*operands)
 
     # Post-processing on the global view, PLANAR (see models/pipeline.py);
     # GSPMD partitions these, means become psums (SURVEY §7 hard part 4).
@@ -491,6 +540,7 @@ class ShardedWienerPipeline:
         white_balance: bool = True,
         fft_engine: str = "mxu",
         pad_mode: str = "pow2",
+        edgetaper: bool = False,
     ):
         self.mesh = mesh or make_mesh()
         self.fft_backend = fft_backend
@@ -501,6 +551,9 @@ class ShardedWienerPipeline:
         # kernels (models/pipeline.pad_extents); verified against the
         # oracle at matching extents
         self.pad_mode = pad_mode
+        # border blend toward the circular blur (models/edgetaper.py),
+        # run sharded inside the shard_map body
+        self.edgetaper = edgetaper
         self._cache = {}
 
     def _compiled(self, h: int, w: int, psf_length: int):
@@ -515,6 +568,7 @@ class ShardedWienerPipeline:
                 white_balance=self.white_balance,
                 fft_engine=self.fft_engine,
                 pad_mode=self.pad_mode,
+                edgetaper=self.edgetaper,
             )
             self._cache[key] = jax.jit(fn)
         return self._cache[key]

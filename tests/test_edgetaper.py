@@ -149,8 +149,6 @@ def test_taper_cli_end_to_end(tmp_path, rng):
     rc = main([str(src), "7", "30", "--mode", "oracle", "--edgetaper",
                "-o", str(tmp_path / "out_oracle.png")])
     assert rc == 0
-    rc = main([str(src), "7", "30", "--mode", "sharded", "--edgetaper"])
-    assert rc == 2
 
 
 def test_taper_batched_matches_single(rng):
@@ -179,3 +177,46 @@ def test_taper_with_rl(rng):
         fft_backend="matmul", filter_name="rl", rl_iters=3, edgetaper=True
     ).restore(img, 7, 30.0)
     assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_taper_sharded_matches_single(rng):
+    """Sharded edgetaper (taper's blur inside the shard_map body, +1
+    all_to_all pair) vs the single-chip tapered restore."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+    from fft_restoration_tpu.parallel.mesh import make_mesh
+    from fft_restoration_tpu.parallel.sharded_pipeline import (
+        ShardedWienerPipeline,
+    )
+
+    img = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    out_s = ShardedWienerPipeline(
+        mesh=make_mesh(8), fft_backend="matmul", edgetaper=True
+    ).restore(img, 7, 45.0)
+    out_1 = WienerDeblurPipeline(
+        fft_backend="matmul", edgetaper=True
+    ).restore(img, 7, 45.0)
+    assert np.abs(out_s.astype(int) - out_1.astype(int)).max() <= 1
+
+
+def test_taper_sharded_cli(tmp_path, rng):
+    """--edgetaper --mode sharded end to end (incl. tapered-oracle
+    verification); directory input keeps the contract error."""
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    img = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    src = tmp_path / "in.png"
+    imwrite(str(src), img)
+    rc = main(
+        [str(src), "5", "30", "--mode", "sharded", "--devices", "4",
+         "--edgetaper", "-o", str(tmp_path / "out.png")]
+    )
+    assert rc == 0
+    d = tmp_path / "frames"
+    d.mkdir()
+    imwrite(str(d / "a.png"), img)
+    rc = main(
+        [str(d), "5", "30", "--mode", "sharded", "--edgetaper",
+         "-o", str(tmp_path)]
+    )
+    assert rc == 2

@@ -25,7 +25,7 @@ Usage: python tools/perf_ab.py [select realout donate twrite megakernel radix4 |
 
 EXPERIMENTS = {"select", "realout", "donate", "twrite", "megakernel",
                "radix4", "engine", "megamxu", "precision", "stage",
-               "smoothpad"}
+               "smoothpad", "features"}
 
 import functools
 import os
@@ -257,6 +257,37 @@ def main():
             print(f"  pow2-vs-smooth output PSNR {10*np.log10(255.0**2/(mse+1e-12)):.1f} dB "
                   f"(extent-dependent outputs; parity is vs the oracle at "
                   f"matching extents, tests/test_mixed_radix.py)")
+
+    if "features" in which:
+        # Device cost of the round-3 restoration-family extensions at
+        # 2048²x3 on the serving graph: edge tapering (one extra conv
+        # round trip before the forward FFT) and Richardson-Lucy
+        # (2 conv round trips per iteration, fori_loop).
+        img_u8 = jax.device_put(jnp.asarray(
+            (np.random.default_rng(2).random((H, W, 3)) * 255)
+            .astype(np.uint8)))
+
+        def serving(**kw):
+            return jax.jit(functools.partial(
+                _restore_core, psf_length=50, fft_backend="pallas",
+                filter_name="wiener", white_balance=True,
+                emit_planes=False, **kw))
+
+        base = compile_guarded(lambda: serving())
+        taper = compile_guarded(lambda: serving(edgetaper=True))
+        results["feat_base"] = measure(
+            "wiener serving (baseline)", base, (img_u8, ang, k))
+        results["feat_taper"] = measure(
+            "wiener serving + edgetaper", taper, (img_u8, ang, k))
+        for iters in (10, 25):
+            rl = compile_guarded(lambda n=iters: jax.jit(functools.partial(
+                _restore_core, psf_length=50, fft_backend="pallas",
+                filter_name="rl", white_balance=True,
+                emit_planes=False, rl_iters=n)))
+            results[f"feat_rl{iters}"] = measure(
+                f"richardson-lucy {iters} iters", rl, (img_u8, ang, k))
+        results["feat_base2"] = measure(
+            "wiener serving (re-measure)", base, (img_u8, ang, k))
 
     if "engine" in which:
         mxu = compile_guarded(lambda: pallas_pipe(fft_engine="mxu"))
