@@ -25,23 +25,46 @@ from fft_restoration_tpu.ops.fft import fft2d
 def _conv_planes_pallas(re, im, s_re, s_im, engine, rad_h, rad_w):
     """Circular convolution of independent real planes (re, im) with the
     spectrum (s_re, s_im) in the transposed/scrambled pallas layout.
-    (..., Hp, Wp) in natural order -> (..., Hp, Wp) natural, scaled."""
+    (..., Hp, Wp) in natural order -> (..., Hp, Wp) natural, scaled.
+
+    At megakernel-viable shapes the middle (colFFT + spectral multiply
+    + colIFFT) runs as ONE fused kernel (wiener_spectral_rows_t with
+    spectral_filter='conv'): 3 kernel passes per conv instead of 4, and
+    the 2D spectrum never round-trips HBM."""
+    from fft_restoration_tpu.models.pipeline import (
+        _spectral_megakernel_profitable,
+    )
     from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+    from fft_restoration_tpu.ops.pallas.wiener_spectral import (
+        wiener_spectral_rows_t,
+    )
 
     hp, wp = re.shape[-2:]
     a_re, a_im = fft_rows_pallas(
         re, im, False, ordering="revorder", transposed_output=True,
         engine=engine, radices=rad_w,
     )
-    a_re, a_im = fft_rows_pallas(
-        a_re, a_im, False, ordering="revorder", engine=engine, radices=rad_h
-    )
-    c_re = a_re * s_re - a_im * s_im
-    c_im = a_re * s_im + a_im * s_re
-    b_re, b_im = fft_rows_pallas(
-        c_re, c_im, True, ordering="revorder", transposed_output=True,
-        engine=engine, radices=rad_h,
-    )
+    r = None
+    if _spectral_megakernel_profitable(
+        a_re.shape[-2], a_re.shape[-1], engine, rad_h
+    ):
+        r = wiener_spectral_rows_t(
+            (a_re, a_im), (s_re, s_im), 0.0, engine=engine,
+            radices=rad_h, spectral_filter="conv",
+        )
+    if r is not None:
+        b_re, b_im = r
+    else:
+        a_re, a_im = fft_rows_pallas(
+            a_re, a_im, False, ordering="revorder", engine=engine,
+            radices=rad_h,
+        )
+        c_re = a_re * s_re - a_im * s_im
+        c_im = a_re * s_im + a_im * s_re
+        b_re, b_im = fft_rows_pallas(
+            c_re, c_im, True, ordering="revorder", transposed_output=True,
+            engine=engine, radices=rad_h,
+        )
     b_re, b_im = fft_rows_pallas(
         b_re, b_im, True, ordering="revorder", engine=engine, radices=rad_w
     )

@@ -294,9 +294,15 @@ def wiener_spectral_rows_t(
     vmem_budget_mb: int = 24,
     out_dtype=None,
     radices: tuple = (),
+    spectral_filter: str = "wiener",
 ) -> SoA:
     """Full fused middle with TRANSPOSED block writes:
-    colIFFT(wiener(colFFT(A), H)) -> (..., N, M).
+    colIFFT(filter(colFFT(A), H)) -> (..., N, M).
+
+    spectral_filter: 'wiener' (F = G*conj(H)/(|H|^2+K), the restoration
+    middle) or 'conv' (F = G*H, K ignored — the circular-convolution
+    middle used by models/convolve.py for edge tapering and
+    Richardson-Lucy round trips).
 
     One kernel replaces the fwd_wiener + inverse-T-write pair of the
     fused pipeline: the filtered 2D spectrum never round-trips HBM at
@@ -382,16 +388,20 @@ def wiener_spectral_rows_t(
         x_re, x_im = _run_stages(x_re, x_im, ftbls, dif=True, radices=radices)
         hrb = _load_f32(hre[:])
         hib = _load_f32(him[:])
-        inv = 1.0 / (hrb * hrb + hib * hib + k_ref[0])
-        f_re = (x_re * hrb + x_im * hib) * inv
-        f_im = (x_im * hrb - x_re * hib) * inv
+        if spectral_filter == "conv":
+            f_re = x_re * hrb - x_im * hib
+            f_im = x_re * hib + x_im * hrb
+        else:
+            inv = 1.0 / (hrb * hrb + hib * hib + k_ref[0])
+            f_re = (x_re * hrb + x_im * hib) * inv
+            f_im = (x_im * hrb - x_re * hib) * inv
         x_re, x_im = _run_stages(f_re, f_im, itbls, dif=False, radices=radices)
         ore.at[0][:] = jnp.swapaxes(x_re, 0, 1).astype(odt)
         oim.at[0][:] = jnp.swapaxes(x_im, 0, 1).astype(odt)
 
     out_re, out_im = pl.pallas_call(
         kernel,
-        name="fftr_spectral_mid_T",
+        name=f"fftr_spectral_mid_T_{spectral_filter}",
         grid=(chans, m // rows),
         in_specs=[k_spec, a_spec, a_spec, h_spec, h_spec] + tbl_specs,
         out_specs=[o_spec, o_spec],

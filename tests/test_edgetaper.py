@@ -220,3 +220,18 @@ def test_taper_sharded_cli(tmp_path, rng):
          "-o", str(tmp_path)]
     )
     assert rc == 2
+
+
+def test_taper_fused_conv_middle_matches_matmul(rng):
+    """edge_taper_planes at a megakernel-viable shape exercises the
+    fused conv middle; parity vs matmul."""
+    from fft_restoration_tpu.models.edgetaper import edge_taper_planes
+    from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+
+    psf = jnp.asarray(motion_blur_kernel_oracle(11, 20.0))
+    x = jnp.asarray(rng.random((3, 512, 256)).astype(np.float32))
+    live = (480, 230)
+    x = x.at[:, live[0]:, :].set(0.0).at[:, :, live[1]:].set(0.0)
+    a = np.asarray(edge_taper_planes(x, psf, live, fft_backend="pallas"))
+    b = np.asarray(edge_taper_planes(x, psf, live, fft_backend="matmul"))
+    assert np.abs(a - b).max() < 1e-4

@@ -193,3 +193,22 @@ def test_rl_batched_matches_single():
         d = np.abs(batched[i].astype(np.int16) - one.astype(np.int16))
         assert d.max() <= 8 and d.mean() <= 0.2, (i, d.max(), d.mean())
     assert d.max() == 0  # last image: aligned pairing -> bit-exact
+
+
+def test_rl_fused_conv_middle_matches_matmul(rng):
+    """At megakernel-viable shapes (n >= 512) the conv round trips run
+    the fused spectral middle (wiener_spectral_rows_t filter='conv');
+    parity vs the matmul backend proves the fused path."""
+    from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+
+    psf = motion_blur_kernel_oracle(9, 60.0)
+    y = rng.random((3, 512, 256)).astype(np.float32)
+    a = np.asarray(
+        richardson_lucy_planes(jnp.asarray(y), jnp.asarray(psf), 4,
+                               fft_backend="pallas")
+    )
+    b = np.asarray(
+        richardson_lucy_planes(jnp.asarray(y), jnp.asarray(psf), 4,
+                               fft_backend="matmul")
+    )
+    assert np.abs(a - b).max() < 1e-3
