@@ -99,6 +99,11 @@ def _compile_pipeline(x, ang, k):
                 # diagnostic planes are a 50 MB HBM materialization
                 # per frame that only verification consumes
                 emit_planes=False,
+                # strided WB stats (8-row stripes, every 4th): -0.15 ms
+                # device at 2048² for <=1 uint8 count of parity — the
+                # same adopt-with-documented-parity trade as bf16 MXU
+                # DFTs (docs/PERF.md round 3)
+                wb_stats_stride=4,
             )
             old = signal.signal(signal.SIGALRM, _alarm)
             signal.alarm(budget_s)

@@ -90,6 +90,17 @@ def build_parser() -> argparse.ArgumentParser:
         "real photos; applied on BOTH the pipeline and the oracle side "
         "so verification still runs). oracle/jit/batch modes.",
     )
+    p.add_argument(
+        "--wb-stride",
+        type=int,
+        default=1,
+        help="white-balance statistics stride (pallas jit mode): sample "
+        "every Nth 8-row stripe for the Lab-L means. The gain is a "
+        "ratio of means over the SAME pixels, so sampling adds only "
+        "the stripe-sampled gain deviation (~0.04 uint8 counts at "
+        "2048 rows, <= 2 on small structured frames; docs/PERF.md). "
+        "1 = exact (default)",
+    )
     p.add_argument("-K", type=float, default=0.01, help="Wiener K (default 0.01)")
     p.add_argument(
         "--devices",
@@ -588,6 +599,7 @@ def main(argv=None) -> int:
                 pad_mode=args.pad,
                 rl_iters=args.iters,
                 edgetaper=args.edgetaper,
+                wb_stats_stride=args.wb_stride,
             )
         else:
             from fft_restoration_tpu.parallel.mesh import make_mesh

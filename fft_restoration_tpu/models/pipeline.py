@@ -591,6 +591,7 @@ def _restore_core(
     pad_mode: str = "pow2",
     rl_iters: int = 10,
     edgetaper: bool = False,
+    wb_stats_stride: int = 1,
 ):
     """(H, W, 3) BGR image -> (H, W, 3) uint8 BGR restored.
 
@@ -680,10 +681,29 @@ def _restore_core(
                 wb_encode_u8,
             )
 
-            parts = lab_l_sum_partials(
-                raw, chans0, norm=(lo, scale), live_hw=(h, w)
+            from fft_restoration_tpu.ops.pallas.postprocess import (
+                sampled_live_pixels,
             )
-            npix = jnp.float32(h * w)
+
+            # wb_stats_stride > 1: the L-mean pass samples every
+            # stride-th row block — the gain is a ratio of means over
+            # the SAME pixels, so equal sampling leaves it unbiased
+            # (postprocess.py docstring; measured <= 1 uint8 count)
+            # strided stats use FINE 8-row stripes: equal read fraction
+            # but far better spatial stratification than 64-row chunks
+            # (gain rel-err 2.8e-4 vs 2.3e-3 at 2048 rows, stride 4 —
+            # measured, docs/PERF.md)
+            _sb = 8 if wb_stats_stride > 1 else 64
+            parts = lab_l_sum_partials(
+                raw, chans0, norm=(lo, scale), live_hw=(h, w),
+                stride=wb_stats_stride, block_rows=_sb,
+            )
+            npix = jnp.float32(
+                sampled_live_pixels(
+                    raw.shape[-2], raw.shape[-1], live_hw=(h, w),
+                    stride=wb_stats_stride, block_rows=_sb,
+                )
+            )
             gain = (jnp.sum(parts[:, 1]) / npix) / (
                 jnp.sum(parts[:, 0]) / npix + 1e-6
             )
@@ -766,6 +786,7 @@ class WienerDeblurPipeline:
         pad_mode: str = "pow2",
         rl_iters: int = 10,
         edgetaper: bool = False,
+        wb_stats_stride: int = 1,
     ):
         # emit_planes=False compiles the SERVING graph: restore() skips
         # the (3, H, W) f32 diagnostic planes output (a 50 MB HBM
@@ -786,6 +807,8 @@ class WienerDeblurPipeline:
         self.rl_iters = rl_iters
         # border blend toward the circular blur (models/edgetaper.py)
         self.edgetaper = edgetaper
+        # >1: strided row-block sampling of the white-balance L means
+        self.wb_stats_stride = wb_stats_stride
         # 'bf16' stores the inter-kernel spectral planes half-width
         # (restore_planes stage_dtype); None/'f32' keeps full precision
         self.stage_dtype = stage_dtype
@@ -822,6 +845,7 @@ class WienerDeblurPipeline:
                 pad_mode=self.pad_mode,
                 rl_iters=self.rl_iters,
                 edgetaper=self.edgetaper,
+                wb_stats_stride=self.wb_stats_stride,
             )
             donate = (0,) if self.donate_input else ()
             self._cache[key] = jax.jit(fn, donate_argnums=donate)

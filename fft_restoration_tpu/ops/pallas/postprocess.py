@@ -220,6 +220,20 @@ def _block_geometry(h, w, block_rows):
     return rows, hp, wp
 
 
+def sampled_live_pixels(
+    h0: int, w0: int, live_hw=None, block_rows: int = 64, stride: int = 1
+) -> int:
+    """Static pixel count the strided partials actually sum over (the
+    caller's mean denominator). stride=1 -> full live h*w."""
+    h, w = live_hw if live_hw is not None else (h0, w0)
+    rows, hp, _ = _block_geometry(h0, w0, block_rows)
+    n_blocks = hp // rows
+    return sum(
+        max(0, min(h - j * rows, rows))
+        for j in range(0, n_blocks, stride)
+    ) * w
+
+
 def lab_l_sum_partials(
     restored: jnp.ndarray,
     orig: jnp.ndarray,
@@ -228,6 +242,7 @@ def lab_l_sum_partials(
     fast: bool = False,
     norm=None,
     live_hw=None,
+    stride: int = 1,
 ):
     """Partial Lab-L sums of the restored and original images in one
     HBM pass each.
@@ -246,7 +261,15 @@ def lab_l_sum_partials(
     Returns (n_blocks, 4) float32 partials (the emit-minmax geometry,
     proven on hardware): column 0 = restored-L block sums, column 1 =
     original-L block sums. The caller sums the columns and divides by
-    h*w.
+    h*w (stride=1) or sampled_live_pixels(...) (stride>1).
+
+    stride: sample every stride-th row block. The white-balance gain is
+    a RATIO of two means over the SAME pixels, so equal subsampling
+    leaves it unbiased; for stride s the pass reads and transforms 1/s
+    of the planes. Statistical cost: the gain moves by the sampled-mean
+    error of Lab-L (relative ~sigma_L/(mean_L*sqrt(n_px/s))), well under
+    one uint8 count at >=1 MP frames with s=4 (tests/test_postproc.py
+    bounds it at 1 count on 2048-row frames).
     """
     if restored.ndim != 3 or restored.shape[0] < 3:
         raise ValueError(f"need (C>=3, H, W) planes, got {restored.shape}")
@@ -262,7 +285,7 @@ def lab_l_sum_partials(
     orig = jnp.pad(
         orig, ((0, 0), (0, hp - h), (0, wp - w))
     ) if (h, w) != (hp, wp) else orig
-    n_blocks = hp // rows
+    n_blocks = -(-(hp // rows) // stride)  # sampled row blocks
     interp = (
         jax.default_backend() == "cpu" if interpret is None else interpret
     )
@@ -290,7 +313,7 @@ def lab_l_sum_partials(
             # full-extent path's zero pads contribute L=0 for free.
             ri = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
-            live = (ri + i * rows < h) & (ci < w)
+            live = (ri + i * stride * rows < h) & (ci < w)
             l_deb = jnp.where(live, l_deb, 0.0)
         ob = _to_f32(o_ref.at[0][:])
         og = _to_f32(o_ref.at[1][:])
@@ -302,7 +325,8 @@ def lab_l_sum_partials(
         out_ref[pl.dslice(i, 1), :] = vals
 
     plane_spec = pl.BlockSpec(
-        (3, rows, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (3, rows, wp), lambda i: (0, i * stride, 0),
+        memory_space=pltpu.VMEM,
     )
     in_specs = [plane_spec, plane_spec]
     operands = [restored, orig]

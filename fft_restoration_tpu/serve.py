@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
         "reference gpu-tier parity) or 'highest' (f32 emulation)",
     )
     p.add_argument(
+        "--wb-stride",
+        type=int,
+        default=4,
+        help="white-balance statistics stride (8-row stripes, every "
+        "Nth): -12%% device time at 2048² for <=1 uint8 count of "
+        "parity; 1 = exact means (docs/PERF.md round 3)",
+    )
+    p.add_argument(
         "--max-body-mb",
         type=float,
         default=64.0,
@@ -307,6 +315,7 @@ class RestorationService:
             # 50 MB/frame diagnostic planes materialization
             emit_planes=False,
             pad_mode=pad_mode,
+            wb_stats_stride=getattr(args, "wb_stride", 4),
         )
         self.batched = BatchedWienerPipeline(
             fft_backend=args.backend,
@@ -359,6 +368,7 @@ class RestorationService:
                 pad_mode=getattr(self.args, "pad", "pow2"),
                 rl_iters=iters,
                 edgetaper=taper,
+                wb_stats_stride=getattr(self.args, "wb_stride", 4),
             )
         return self._pipes[opts]
 

@@ -225,3 +225,50 @@ def test_pipeline_ppk_ragged_shape():
         np.asarray(out_p).astype(int) - np.asarray(out_m).astype(int)
     )
     assert diff.max() <= 1
+
+
+def test_wb_stats_stride_unbiased(rng):
+    """Strided L-mean sampling (wb_stats_stride) moves the output by at
+    most 2 uint8 counts on an adversarially row-structured 500-row
+    frame (8-row stripes, stride 4 = 1/4 of the rows); the error is the
+    stripe-sampled gain deviation, which shrinks with frame size
+    (measured 0.04 counts at 2048 rows — docs/PERF.md)."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+    from fft_restoration_tpu.utils.blurgen import blur_image
+
+    yy, xx = np.mgrid[0:500, 0:640]
+    img = np.zeros((500, 640, 3), np.float32)
+    img[..., 0] = 80 + 100 * np.sin(yy / 19.0) * np.cos(xx / 11.0)
+    img[..., 1] = 60 + 0.2 * xx
+    img[..., 2] = 70 + 0.3 * yy
+    img[100:400, 200:220] += 120
+    blurred = blur_image(np.clip(img, 0, 255).astype(np.uint8), 11, 30.0)
+
+    exact = WienerDeblurPipeline(fft_backend="pallas").restore(
+        blurred, 11, 30.0
+    )
+    strided = WienerDeblurPipeline(
+        fft_backend="pallas", wb_stats_stride=4
+    ).restore(blurred, 11, 30.0)
+    d = np.abs(exact.astype(np.int16) - strided.astype(np.int16))
+    assert d.max() <= 2, d.max()
+
+
+def test_sampled_live_pixels_counts():
+    from fft_restoration_tpu.ops.pallas.postprocess import (
+        _block_geometry,
+        sampled_live_pixels,
+    )
+
+    # stride 1 == exact live pixel count
+    assert sampled_live_pixels(512, 640, live_hw=(500, 600)) == 500 * 600
+    # strided: sum of live rows over every 4th block
+    rows, hp, _ = _block_geometry(512, 640, 64)
+    expect = sum(
+        max(0, min(500 - j * rows, rows))
+        for j in range(0, hp // rows, 4)
+    ) * 600
+    assert (
+        sampled_live_pixels(512, 640, live_hw=(500, 600), stride=4)
+        == expect
+    )

@@ -336,7 +336,8 @@ def test_serve_pad_smooth_roundtrip(rng):
         from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
 
         pipe = WienerDeblurPipeline(
-            fft_backend="pallas", pad_mode="smooth", emit_planes=False
+            fft_backend="pallas", pad_mode="smooth", emit_planes=False,
+            wb_stats_stride=4,  # the serving default (--wb-stride)
         )
         # server decodes to BGR, restores, re-encodes RGB (see
         # test_restore_matches_pipeline for the convention)

@@ -275,8 +275,15 @@ def main():
 
         base = compile_guarded(lambda: serving())
         taper = compile_guarded(lambda: serving(edgetaper=True))
+        wbs = compile_guarded(lambda: serving(wb_stats_stride=4))
         results["feat_base"] = measure(
             "wiener serving (baseline)", base, (img_u8, ang, k))
+        out_b = np.asarray(base(img_u8, ang, k)[0])
+        out_s = np.asarray(wbs(img_u8, ang, k)[0])
+        print(f"  wb-stride-4 parity (uint8 max abs diff): "
+              f"{np.abs(out_b.astype(np.int32) - out_s.astype(np.int32)).max()}")
+        results["feat_wbstride"] = measure(
+            "wiener serving wb_stride=4", wbs, (img_u8, ang, k))
         results["feat_taper"] = measure(
             "wiener serving + edgetaper", taper, (img_u8, ang, k))
         for iters in (10, 25):
