@@ -65,7 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("wiener", "inverse", "cls", "rl"),
         default="wiener",
         help="restoration filter: one-shot spectral (wiener/inverse/cls) "
-        "or iterative Richardson-Lucy ('rl', --iters steps; jit mode)",
+        "or iterative Richardson-Lucy ('rl', --iters steps; jit and "
+        "sharded modes)",
     )
     p.add_argument(
         "--iters",
@@ -267,7 +268,10 @@ def _run_batch(args) -> int:
             "--profile/--reference and oracle mode are ignored"
         )
     if args.filter == "rl" and args.mode == "sharded":
-        print("[Error] --filter rl runs in jit mode only (iterative loop)")
+        print(
+            "[Error] --filter rl with directory input runs in jit mode "
+            "only (the 2D-mesh batch path has no RL)"
+        )
         return 2
     if args.edgetaper and args.mode == "sharded":
         print(
@@ -544,9 +548,6 @@ def main(argv=None) -> int:
 
     from fft_restoration_tpu.models.pipeline import pad_extents
 
-    if args.filter == "rl" and args.mode == "sharded":
-        print("[Error] --filter rl runs in jit mode only (iterative loop)")
-        return 2
     if args.pad == "smooth" and args.mode == "oracle":
         print(
             "[INFO] oracle mode implements the reference's pow2 pad "
@@ -615,6 +616,7 @@ def main(argv=None) -> int:
                 fft_engine=args.fft_engine,
                 pad_mode=args.pad,
                 edgetaper=args.edgetaper,
+                rl_iters=args.iters,
             )
 
         # warm-up run (compile), then timed — the gpu.cpp:96-104 pattern.

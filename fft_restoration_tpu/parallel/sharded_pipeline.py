@@ -56,6 +56,7 @@ def _local_restore_planes(
     fft_engine: str = "mxu",
     radices_hw: tuple = ((), ()),
     edgetaper: bool = False,
+    rl_iters: int = 10,
 ) -> jnp.ndarray:
     """Per-device body (inside shard_map). Blocks: ch (C, Hpad/D, Wpad),
     psf/lap (Hpad/D, Wpad). Returns normalized restored block.
@@ -116,6 +117,51 @@ def _local_restore_planes(
         p_im = jnp.where(
             valid, alpha * p_im + (1.0 - alpha) * b_im * inv_scale, p_im
         )
+    if filter_name == "rl":
+        # Richardson-Lucy inside the shard_map body: the multiplicative
+        # fixed point of models/richardson_lucy.py with the convs riding
+        # the conv-layout distributed FFTs — 2 convs = 4 all_to_all
+        # exchanges per iteration (1 per conv_fwd/conv_inv), one traced
+        # fori_loop body regardless of rl_iters. Plane-wise
+        # nonlinear steps keep the channel packing valid (richardson_
+        # lucy.py docstring). Output is CLIPPED to [0,1], not min-max
+        # normalized (flux-preserving iteration; boundary spikes would
+        # crush the stretch).
+        inv_scale = jnp.float32(1.0 / (hp * wp))
+        eps32 = jnp.float32(1e-6)
+
+        def _conv(re, im, conj):
+            g_re, g_im = sharded_fft2d_conv_fwd(
+                re, im, fft_backend, axis_name, **tw
+            )
+            hr, hi = H[0], (-H[1] if conj else H[1])
+            c_re = g_re * hr - g_im * hi
+            c_im = g_re * hi + g_im * hr
+            b_re, b_im = sharded_fft2d_conv_inv(
+                c_re, c_im, fft_backend, axis_name, **tw
+            )
+            return b_re * inv_scale, b_im * inv_scale
+
+        y_re, y_im = p_re, p_im
+
+        def _body(_, x):
+            x_re, x_im = x
+            d_re, d_im = _conv(x_re, x_im, conj=False)
+            r_re = y_re / (d_re + eps32)
+            r_im = y_im / (d_im + eps32)
+            g_re, g_im = _conv(r_re, r_im, conj=True)
+            return (
+                jnp.maximum(x_re * g_re, 0.0),
+                jnp.maximum(x_im * g_im, 0.0),
+            )
+
+        x_re, x_im = jax.lax.fori_loop(0, rl_iters, _body, (y_re, y_im))
+        restored = (
+            x_re if n_chan is None
+            else _unpack_channel_pairs(x_re, x_im, n_chan)
+        )
+        return jnp.clip(restored, 0.0, 1.0)
+
     G = sharded_fft2d_conv_fwd(p_re, p_im, fft_backend, axis_name, **tw)
     if filter_name == "wiener":
         F = wiener_filter(G, H, K)
@@ -169,6 +215,7 @@ def _sharded_core(
     fft_engine: str = "mxu",
     pad_mode: str = "pow2",
     edgetaper: bool = False,
+    rl_iters: int = 10,
 ):
     """(H, W, 3) float32 BGR global -> (uint8 image, restored planes)."""
     from fft_restoration_tpu.models.pipeline import pad_extents
@@ -215,6 +262,7 @@ def _sharded_core(
         filter_name=filter_name,
         radices_hw=(rad_h, rad_w),
         edgetaper=edgetaper,
+        rl_iters=rl_iters,
     )
     in_specs = [P(None, ROWS_AXIS, None), P(ROWS_AXIS, None),
                 P(ROWS_AXIS, None), P()]
@@ -541,6 +589,7 @@ class ShardedWienerPipeline:
         fft_engine: str = "mxu",
         pad_mode: str = "pow2",
         edgetaper: bool = False,
+        rl_iters: int = 10,
     ):
         self.mesh = mesh or make_mesh()
         self.fft_backend = fft_backend
@@ -554,6 +603,8 @@ class ShardedWienerPipeline:
         # border blend toward the circular blur (models/edgetaper.py),
         # run sharded inside the shard_map body
         self.edgetaper = edgetaper
+        # iteration count for filter_name='rl'
+        self.rl_iters = rl_iters
         self._cache = {}
 
     def _compiled(self, h: int, w: int, psf_length: int):
@@ -569,6 +620,7 @@ class ShardedWienerPipeline:
                 fft_engine=self.fft_engine,
                 pad_mode=self.pad_mode,
                 edgetaper=self.edgetaper,
+                rl_iters=self.rl_iters,
             )
             self._cache[key] = jax.jit(fn)
         return self._cache[key]

@@ -153,8 +153,12 @@ def test_rl_through_pipeline_and_cli(tmp_path, rng):
     )
     assert rc == 0 and dst.exists()
 
-    rc = main([str(src), "7", "30", "--mode", "sharded", "--filter", "rl"])
-    assert rc == 2  # iterative loop is jit-mode only
+    rc = main(
+        [str(src), "7", "30", "--mode", "sharded", "--devices", "4",
+         "--filter", "rl", "--iters", "3",
+         "-o", str(tmp_path / "out_sharded.png")]
+    )
+    assert rc == 0  # RL runs inside the shard_map body too
 
 
 def test_rl_batched_matches_single():
@@ -212,3 +216,23 @@ def test_rl_fused_conv_middle_matches_matmul(rng):
                                fft_backend="matmul")
     )
     assert np.abs(a - b).max() < 1e-3
+
+
+def test_rl_sharded_matches_single(rng):
+    """Sharded RL (fori_loop of distributed convs inside the shard_map
+    body, 4 all_to_all exchanges per iteration) vs the single-chip RL."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+    from fft_restoration_tpu.parallel.mesh import make_mesh
+    from fft_restoration_tpu.parallel.sharded_pipeline import (
+        ShardedWienerPipeline,
+    )
+
+    img = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    out_s = ShardedWienerPipeline(
+        mesh=make_mesh(8), fft_backend="matmul", filter_name="rl",
+        rl_iters=4,
+    ).restore(img, 7, 45.0)
+    out_1 = WienerDeblurPipeline(
+        fft_backend="matmul", filter_name="rl", rl_iters=4
+    ).restore(img, 7, 45.0)
+    assert np.abs(out_s.astype(int) - out_1.astype(int)).max() <= 1
