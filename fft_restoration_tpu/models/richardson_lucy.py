@@ -70,6 +70,15 @@ def richardson_lucy_planes(
     The blur model is CIRCULAR convolution with the corner-anchored PSF
     (what blurgen.py synthesizes); boundary ringing on non-synthetic
     inputs is inherent to that model, exactly as for the Wiener path.
+
+    Cross-implementation parity note: the multiplicative divisions
+    amplify ANY f32 transform rounding difference — equivalent FFT
+    backends (matmul/radix2/xla, or sharded-vs-single) measure ~1e-2
+    plane INF apart after a few iterations on padded inputs (a few
+    uint8 counts), where the one-shot filters hold 1e-3. This is
+    intrinsic to RL, not an implementation defect; parity contracts
+    for RL are therefore uint8-level or 5e-2 plane INF
+    (__graft_entry__.py dryrun, tests/test_richardson_lucy.py).
     """
     from fft_restoration_tpu.models.pipeline import (
         _pack_channel_pairs,
