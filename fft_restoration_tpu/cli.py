@@ -203,7 +203,10 @@ def _oracle_channels(
 def _apply_psf_estimate(args, img) -> None:
     """--estimate-psf: override the positional PSF params from the
     cepstral estimate (models/estimate.py)."""
-    from fft_restoration_tpu.models.estimate import estimate_motion_psf
+    from fft_restoration_tpu.models.estimate import (
+        _CONF_WARN,
+        estimate_motion_psf,
+    )
 
     length, angle, conf = estimate_motion_psf(
         img,
@@ -213,10 +216,10 @@ def _apply_psf_estimate(args, img) -> None:
     )
     print(
         f"[INFO] estimated PSF: length={length} angle={angle:.1f} "
-        f"(confidence {conf:.3f}); positionals "
+        f"(confidence z={conf:.1f}); positionals "
         f"{args.psf_length}/{args.psf_angle} ignored"
     )
-    if conf < 0.005:
+    if conf < _CONF_WARN:
         print(
             "[INFO] low cepstral confidence - the frame may not carry "
             "a linear motion blur"

@@ -72,7 +72,17 @@ def _cepstral_peak(
     mask = jnp.asarray(_annulus_mask(hp, wp, r_min, r_max))
     cm = jnp.where(mask, c, jnp.inf)
     idx = jnp.argmin(cm)
-    return idx, cm.reshape(-1)[idx], c_re[0, 0]
+    # robust annulus statistics for the confidence z-score: how far the
+    # peak sits below the cepstrum's own noise floor
+    vals = jnp.where(mask, c, jnp.nan)
+    med = jnp.nanmedian(vals)
+    mad = jnp.nanmedian(jnp.abs(vals - med)) + jnp.float32(1e-12)
+    return idx, cm.reshape(-1)[idx], med, mad
+
+
+# confidence z-score below which the frame likely carries no linear
+# motion blur (sharp structured scene measured ~10; blurred 18-69)
+_CONF_WARN = 14.0
 
 
 def estimate_motion_psf(
@@ -87,9 +97,13 @@ def estimate_motion_psf(
     length is in the CLI's psf-length units (the PSF side synthesized
     by ops/psf.motion_blur_kernel); angle is in [0, 180) degrees, the
     same convention the CLI positionals take (the PSF is symmetric, so
-    angle is defined mod 180). confidence is the cepstral peak depth
-    normalized by the cepstrum origin — empirically > 0.01 for real
-    motion blur, near 0 when no linear blur is present.
+    angle is defined mod 180). confidence is a robust z-score: how many
+    MAD-sigmas the cepstral peak sits below the annulus median —
+    measured 18-69 on most linearly blurred frames (fixtures 50-55)
+    vs ~10 on a sharp structured scene; long oblique blurs can dip to
+    ~13 (correct estimate, spread peak), so _CONF_WARN=14 is a warning
+    threshold, not a rejection — the CLI proceeds with the estimate
+    either way and only prints a note.
     """
     img = np.asarray(img_bgr)
     if img.ndim == 3:
@@ -101,7 +115,7 @@ def estimate_motion_psf(
     r_max = float(
         min(min(h, w) // 3, max_length if max_length else 10**9)
     )
-    idx, peak, origin = _cepstral_peak(
+    idx, peak, med, mad = _cepstral_peak(
         jnp.asarray(gray), hp=hp, wp=wp, r_min=3.0, r_max=r_max,
         fft_backend=fft_backend,
     )
@@ -110,5 +124,5 @@ def estimate_motion_psf(
     length = int(round(float(np.hypot(dy, dx))))
     # y points down in image coords -> the cepstral angle is mirrored
     angle = float((-np.degrees(np.arctan2(dy, dx))) % 180.0)
-    conf = float(-peak / (abs(float(origin)) + 1e-12))
+    conf = float((med - peak) / (1.4826 * mad))
     return length, angle, conf

@@ -39,7 +39,9 @@ def test_estimate_recovers_blur_params(rng, true_len, true_ang):
     length, angle, conf = estimate_motion_psf(blurred)
     assert abs(length - true_len) <= 2, (length, true_len)
     assert _angle_diff(angle, true_ang) <= 3.0, (angle, true_ang)
-    assert conf > 0.005, conf
+    # long oblique blurs spread the cepstral peak: (41, 120deg)
+    # measures z=13.4 — correct estimate, confidence near _CONF_WARN
+    assert conf > 12.0, conf
 
 
 def test_estimate_angle_is_cli_convention(rng):
@@ -77,3 +79,15 @@ def test_estimate_cli_blind_mode(tmp_path, rng):
          "-o", str(dst)]
     )
     assert rc == 0 and dst.exists()
+
+
+def test_estimate_confidence_separates_sharp(rng):
+    """The z-score confidence flags frames with no linear blur: a sharp
+    structured scene scores below _CONF_WARN, its blurred version far
+    above (measured ~10 vs 18-69; fixtures 50-55)."""
+    from fft_restoration_tpu.models.estimate import _CONF_WARN
+
+    sharp = _scene(rng)
+    _, _, c_sharp = estimate_motion_psf(sharp)
+    _, _, c_blur = estimate_motion_psf(blur_image(sharp, 25, 60.0))
+    assert c_sharp < _CONF_WARN < c_blur, (c_sharp, c_blur)
