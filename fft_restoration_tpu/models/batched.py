@@ -90,6 +90,7 @@ def _batched_images_core(
     pad_mode: str = "pow2",
     rl_iters: int = 10,
     edgetaper: bool = False,
+    wb_stats_stride: int = 1,
 ):
     """(B, H, W, 3) uint8/float BGR -> ((B, H, W, 3) uint8, (B, 3, H, W)
     planes): the batched analog of pipeline._restore_core — ALL
@@ -145,10 +146,31 @@ def _batched_images_core(
             stage_dtype=stage_dtype, radices_hw=(rad_h, rad_w),
         )
         orig3b = chans0.reshape(b * 3, h, w)
-        parts = lab_l_sum_partials_batched(
-            raw, orig3b, b, norm=(lo, scale), live_hw=(h, w)
+        from fft_restoration_tpu.ops.pallas.postprocess import (
+            effective_wb_stride,
         )
-        npix = jnp.float32(h * w)
+
+        # strided WB stats (see pipeline._restore_core): fine 8-row
+        # stripes, per-image gains stay ratios over the SAME pixels;
+        # small frames fall back to exact means
+        wb_stats_stride = effective_wb_stride(
+            raw.shape[-2], wb_stats_stride
+        )
+        _sb = 8 if wb_stats_stride > 1 else 64
+        parts = lab_l_sum_partials_batched(
+            raw, orig3b, b, norm=(lo, scale), live_hw=(h, w),
+            stride=wb_stats_stride, block_rows=_sb,
+        )
+        from fft_restoration_tpu.ops.pallas.postprocess import (
+            sampled_live_pixels,
+        )
+
+        npix = jnp.float32(
+            sampled_live_pixels(
+                raw.shape[-2], raw.shape[-1], live_hw=(h, w),
+                stride=wb_stats_stride, block_rows=_sb,
+            )
+        )
         gains = (jnp.sum(parts[:, :, 1], axis=1) / npix) / (
             jnp.sum(parts[:, :, 0], axis=1) / npix + 1e-6
         )
@@ -221,6 +243,7 @@ class BatchedWienerPipeline:
         pad_mode: str = "pow2",
         rl_iters: int = 10,
         edgetaper: bool = False,
+        wb_stats_stride: int = 1,
     ):
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
@@ -236,6 +259,8 @@ class BatchedWienerPipeline:
         self.rl_iters = rl_iters
         # border blend toward the circular blur (models/edgetaper.py)
         self.edgetaper = edgetaper
+        # >1: strided row-block sampling of the per-image WB L means
+        self.wb_stats_stride = wb_stats_stride
         self._cache = {}
         self._img_cache = {}
 
@@ -299,6 +324,7 @@ class BatchedWienerPipeline:
                     pad_mode=self.pad_mode,
                     rl_iters=self.rl_iters,
                     edgetaper=self.edgetaper,
+                    wb_stats_stride=self.wb_stats_stride,
                 )
             )
         out, _ = self._img_cache[key](

@@ -689,10 +689,17 @@ def _restore_core(
             # stride-th row block — the gain is a ratio of means over
             # the SAME pixels, so equal sampling leaves it unbiased
             # (postprocess.py docstring; measured <= 1 uint8 count)
+            from fft_restoration_tpu.ops.pallas.postprocess import (
+                effective_wb_stride,
+            )
+
             # strided stats use FINE 8-row stripes: equal read fraction
             # but far better spatial stratification than 64-row chunks
             # (gain rel-err 2.8e-4 vs 2.3e-3 at 2048 rows, stride 4 —
-            # measured, docs/PERF.md)
+            # measured, docs/PERF.md); small frames fall back to exact
+            wb_stats_stride = effective_wb_stride(
+                raw.shape[-2], wb_stats_stride
+            )
             _sb = 8 if wb_stats_stride > 1 else 64
             parts = lab_l_sum_partials(
                 raw, chans0, norm=(lo, scale), live_hw=(h, w),

@@ -220,6 +220,14 @@ def _block_geometry(h, w, block_rows):
     return rows, hp, wp
 
 
+def effective_wb_stride(h0: int, stride: int) -> int:
+    """Clamp the WB-stats stride so at least ~8 8-row stripes are
+    sampled: below 64*stride padded rows the sampling error on the gain
+    outgrows its ~0.1-count budget (small frames' stats pass is cheap
+    anyway), so fall back to exact means."""
+    return stride if stride > 1 and h0 >= 64 * stride else 1
+
+
 def sampled_live_pixels(
     h0: int, w0: int, live_hw=None, block_rows: int = 64, stride: int = 1
 ) -> int:
@@ -451,6 +459,7 @@ def lab_l_sum_partials_batched(
     block_rows: int = 64,
     norm=None,
     live_hw=None,
+    stride: int = 1,
 ):
     """Batched Lab-L partial sums: one kernel over a whole image stack.
 
@@ -462,7 +471,9 @@ def lab_l_sum_partials_batched(
     norm:     optional (lo, scale) arrays of shape (3*batch,) — fused
               per-plane min-max normalize.
     Returns (batch, n_blocks, 4) partials; [..., 0] sums restored-L,
-    [..., 1] sums original-L per image. Sum axis 1, divide by h*w.
+    [..., 1] sums original-L per image. Sum axis 1, divide by h*w
+    (stride=1) or sampled_live_pixels(...) (stride>1 — every stride-th
+    row block per image; see lab_l_sum_partials).
     """
     if restored.ndim != 3 or restored.shape[0] < 3 * batch:
         raise ValueError(
@@ -481,7 +492,7 @@ def lab_l_sum_partials_batched(
         if (h, w) != (hp, wp)
         else orig
     )
-    n_blocks = hp // rows
+    n_blocks = -(-(hp // rows) // stride)  # sampled row blocks
     interp = (
         jax.default_backend() == "cpu" if interpret is None else interpret
     )
@@ -505,7 +516,7 @@ def lab_l_sum_partials_batched(
         if padded and (lo_ref is not None or live_hw is not None):
             ri = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
-            live = (ri + j * rows < h) & (ci < w)
+            live = (ri + j * stride * rows < h) & (ci < w)
             l_deb = jnp.where(live, l_deb, 0.0)
         ob = _to_f32(o_ref.at[0][:])
         og = _to_f32(o_ref.at[1][:])
@@ -517,7 +528,8 @@ def lab_l_sum_partials_batched(
         out_ref[pl.dslice(i, 1), pl.dslice(j, 1), :] = vals
 
     plane_spec = pl.BlockSpec(
-        (3, rows, wp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        (3, rows, wp), lambda i, j: (i, j * stride, 0),
+        memory_space=pltpu.VMEM,
     )
     in_specs = [plane_spec, plane_spec]
     operands = [restored, orig]

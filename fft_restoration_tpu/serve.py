@@ -323,6 +323,7 @@ class RestorationService:
             fft_engine=args.fft_engine,
             emit_planes=False,
             pad_mode=pad_mode,
+            wb_stats_stride=getattr(args, "wb_stride", 4),
         )
         # per-(filter, iters, edgetaper) pipeline caches; the defaults
         # above stay the warm/startup instances
@@ -388,6 +389,7 @@ class RestorationService:
                 pad_mode=getattr(self.args, "pad", "pow2"),
                 rl_iters=iters,
                 edgetaper=taper,
+                wb_stats_stride=getattr(self.args, "wb_stride", 4),
             )
         return self._batcheds[opts]
 

@@ -272,3 +272,39 @@ def test_sampled_live_pixels_counts():
         sampled_live_pixels(512, 640, live_hw=(500, 600), stride=4)
         == expect
     )
+
+
+def test_wb_stats_stride_batched(rng):
+    """Batched strided WB stats: per-image parity with the exact-stats
+    batched path within 5 counts AT THE MINIMUM qualifying size
+    (64*stride = 256 padded rows -> only 8 stripes sampled; the error
+    shrinks ~1/sqrt(stripes) toward ~0.1 counts at 2048 rows), and
+    exact fallback below the cutoff."""
+    from fft_restoration_tpu.models.batched import BatchedWienerPipeline
+    from fft_restoration_tpu.ops.pallas.postprocess import (
+        effective_wb_stride,
+    )
+    from fft_restoration_tpu.utils.blurgen import blur_image
+
+    assert effective_wb_stride(256, 4) == 4
+    assert effective_wb_stride(128, 4) == 1
+    assert effective_wb_stride(2048, 4) == 4
+
+    stack = []
+    for i in range(2):
+        yy, xx = np.mgrid[0:250, 0:140]
+        f = np.zeros((250, 140, 3), np.float32)
+        f[..., 0] = 70 + 90 * np.sin(yy / (13.0 + i))
+        f[..., 1] = 60 + 0.4 * xx
+        f[..., 2] = 50 + 0.5 * yy
+        f[40:200, 50 + 10 * i : 70] += 120
+        stack.append(blur_image(np.clip(f, 0, 255).astype(np.uint8), 9, 30.0))
+    imgs = np.stack(stack)  # pads to 256 rows -> stride active
+    exact = BatchedWienerPipeline(fft_backend="pallas").restore(
+        imgs, 9, 30.0
+    )
+    strided = BatchedWienerPipeline(
+        fft_backend="pallas", wb_stats_stride=4
+    ).restore(imgs, 9, 30.0)
+    d = np.abs(exact.astype(np.int16) - strided.astype(np.int16))
+    assert d.max() <= 5, d.max()

@@ -25,7 +25,7 @@ Usage: python tools/perf_ab.py [select realout donate twrite megakernel radix4 |
 
 EXPERIMENTS = {"select", "realout", "donate", "twrite", "megakernel",
                "radix4", "engine", "megamxu", "precision", "stage",
-               "smoothpad", "features"}
+               "smoothpad", "features", "batchwb"}
 
 import functools
 import os
@@ -295,6 +295,32 @@ def main():
                 f"richardson-lucy {iters} iters", rl, (img_u8, ang, k))
         results["feat_base2"] = measure(
             "wiener serving (re-measure)", base, (img_u8, ang, k))
+
+    if "batchwb" in which:
+        # strided WB stats on the batched serving path: 64x256² stack
+        # (BASELINE config 3), exact vs stride-4 per-image L means.
+        from fft_restoration_tpu.models.batched import _batched_images_core
+
+        stack = jax.device_put(jnp.asarray(
+            (np.random.default_rng(3).random((64, 256, 256, 3)) * 255)
+            .astype(np.uint8)))
+
+        def batched(stride):
+            return jax.jit(functools.partial(
+                _batched_images_core, psf_length=25, fft_backend="pallas",
+                filter_name="wiener", white_balance=True,
+                emit_planes=False, wb_stats_stride=stride))
+
+        b1 = compile_guarded(lambda: batched(1))
+        b4 = compile_guarded(lambda: batched(4))
+        o1 = np.asarray(b1(stack, ang, k)[0])
+        o4 = np.asarray(b4(stack, ang, k)[0])
+        print(f"  batch wb-stride parity (uint8 max abs diff): "
+              f"{np.abs(o1.astype(np.int32) - o4.astype(np.int32)).max()}")
+        results["batchwb1"] = measure(
+            "batch64 256² wb_stride=1", b1, (stack, ang, k))
+        results["batchwb4"] = measure(
+            "batch64 256² wb_stride=4", b4, (stack, ang, k))
 
     if "engine" in which:
         mxu = compile_guarded(lambda: pallas_pipe(fft_engine="mxu"))
