@@ -378,6 +378,7 @@ def _run_batch(args) -> int:
             pad_mode=args.pad,
             rl_iters=args.iters,
             edgetaper=args.edgetaper,
+            wb_stats_stride=args.wb_stride,
         )
     for (h, w), group in groups.items():
         try:
@@ -419,6 +420,7 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
             pad_mode=args.pad,
             rl_iters=args.iters,
             edgetaper=args.edgetaper,
+            wb_stats_stride=args.wb_stride,
         )
 
     _dst = dst_map.__getitem__

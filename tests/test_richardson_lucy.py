@@ -36,14 +36,6 @@ def _rl_ref(y, psf, iters, eps=1e-6, hp=None, wp=None):
     return np.stack(out)
 
 
-def _blur(rng, shape, psf):
-    """Synthesize a circularly-blurred stack (the blurgen model)."""
-    from fft_restoration_tpu.utils.blurgen import blur_image
-
-    sharp = (rng.random(shape[::-1] + (3,)) * 255).astype(np.uint8)
-    return sharp
-
-
 @pytest.mark.parametrize("backend", ("matmul", "pallas"))
 def test_rl_matches_f64_reference(rng, backend):
     from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
