@@ -535,6 +535,15 @@ def main(argv=None) -> int:
 
     from fft_restoration_tpu.utils.imageio import imread, imwrite
 
+    if args.filter == "rl" and args.iters < 1:
+        print("[Error] --iters must be >= 1 (got "
+              f"{args.iters}: a 0-iteration RL loop would silently "
+              "return the blurred input)")
+        return 2
+    if args.wb_stride < 1:
+        print(f"[Error] --wb-stride must be >= 1 (got {args.wb_stride})")
+        return 2
+
     total_start = time.perf_counter()
 
     import os

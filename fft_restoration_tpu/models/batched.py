@@ -153,9 +153,7 @@ def _batched_images_core(
         # strided WB stats (see pipeline._restore_core): fine 8-row
         # stripes, per-image gains stay ratios over the SAME pixels;
         # small frames fall back to exact means
-        wb_stats_stride = effective_wb_stride(
-            raw.shape[-2], wb_stats_stride
-        )
+        wb_stats_stride = effective_wb_stride(h, wb_stats_stride)
         _sb = 8 if wb_stats_stride > 1 else 64
         parts = lab_l_sum_partials_batched(
             raw, orig3b, b, norm=(lo, scale), live_hw=(h, w),

@@ -93,33 +93,33 @@ def circular_conv_builder(
     fft_engine: str = "mxu",
     radices_hw=((), ()),
     psf_rows: int | None = None,
+    psf_spectrum=None,
 ):
     """Build conv(re, im, conj=False) circularly convolving independent
     real (..., hp, wp) planes with the corner-anchored PSF (conj=True
     convolves with the mirrored PSF — conj(H) for a real kernel).
 
     The PSF spectrum is computed once at build (traced) time and closed
-    over; frames below one (8,128) tile reroute pallas -> matmul, the
-    same gate as restore_planes."""
-    from fft_restoration_tpu.models.pipeline import _pad2d
-
-    psf_pad = _pad2d(psf, hp, wp)
+    over — via pipeline.psf_spectrum_planes on the pallas path (the
+    canonical layout builder) — or passed in precomputed via
+    psf_spectrum=(H_re, H_im) in the matching backend layout (the
+    pipeline's fixed-PSF cache). Frames below one (8,128) tile reroute
+    pallas -> matmul, the same gate as restore_planes."""
     rad_h, rad_w = radices_hw
     pallas = fft_backend == "pallas" and min(hp, wp) >= 128
     if fft_backend == "pallas" and not pallas:
         fft_backend = "matmul"
+        psf_spectrum = None  # a pallas-layout spectrum can't be reused
 
     if pallas:
-        from fft_restoration_tpu.models.pipeline import _fwd_rows_t_live
-        from fft_restoration_tpu.ops.pallas.fft_kernel import fft_rows_pallas
+        from fft_restoration_tpu.models.pipeline import psf_spectrum_planes
 
-        rows = psf.shape[-2] if psf_rows is None else psf_rows
-        h_re, h_im = _fwd_rows_t_live(
-            psf_pad, None, rows, fft_engine, radices=rad_w
-        )
-        h_re, h_im = fft_rows_pallas(
-            h_re, h_im, False, ordering="revorder", engine=fft_engine,
-            radices=rad_h,
+        h_re, h_im = (
+            psf_spectrum
+            if psf_spectrum is not None
+            else psf_spectrum_planes(
+                psf, hp, wp, fft_engine, psf_rows, radices_hw=radices_hw
+            )
         )
 
         def conv(re, im, conj=False):
@@ -128,9 +128,15 @@ def circular_conv_builder(
                 rad_h, rad_w,
             )
     else:
-        h_re, h_im = fft2d(
-            psf_pad, jnp.zeros_like(psf_pad), False, fft_backend
-        )
+        from fft_restoration_tpu.models.pipeline import _pad2d
+
+        if psf_spectrum is not None:
+            h_re, h_im = psf_spectrum
+        else:
+            psf_pad = _pad2d(psf, hp, wp)
+            h_re, h_im = fft2d(
+                psf_pad, jnp.zeros_like(psf_pad), False, fft_backend
+            )
 
         def conv(re, im, conj=False):
             return _conv_planes_generic(

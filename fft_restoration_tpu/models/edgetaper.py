@@ -38,6 +38,7 @@ def edge_taper_planes(
     fft_engine: str = "mxu",
     radices_hw=((), ()),
     psf_rows: int | None = None,
+    psf_spectrum=None,
 ) -> jnp.ndarray:
     """Taper (..., Hp, Wp) zero-padded float32 planes whose live image
     occupies the top-left live_hw = (h, w) extent. Returns planes of the
@@ -52,6 +53,7 @@ def edge_taper_planes(
     conv = circular_conv_builder(
         psf, hp, wp, fft_backend=fft_backend, fft_engine=fft_engine,
         radices_hw=radices_hw, psf_rows=psf_rows,
+        psf_spectrum=psf_spectrum,
     )
 
     packed = channels.ndim >= 3 and channels.shape[-3] >= 2

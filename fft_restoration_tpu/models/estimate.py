@@ -111,6 +111,13 @@ def estimate_motion_psf(
     else:
         gray = img.astype(np.float32)
     h, w = gray.shape
+    if min(h, w) < 12:
+        # r_max = min(h,w)//3 must clear r_min=3 or the annulus is
+        # empty and the argmin returns garbage (the fftshift origin)
+        raise ValueError(
+            f"image too small for blur estimation (min dim {min(h, w)} "
+            f"< 12)"
+        )
     hp, wp = next_power_of_two(h), next_power_of_two(w)
     r_max = float(
         min(min(h, w) // 3, max_length if max_length else 10**9)
@@ -125,4 +132,6 @@ def estimate_motion_psf(
     # y points down in image coords -> the cepstral angle is mirrored
     angle = float((-np.degrees(np.arctan2(dy, dx))) % 180.0)
     conf = float((med - peak) / (1.4826 * mad))
+    if not np.isfinite(conf):
+        conf = 0.0  # degenerate cepstrum (constant frame): no blur signal
     return length, angle, conf

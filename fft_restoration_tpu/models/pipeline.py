@@ -177,6 +177,9 @@ def restore_planes(
             channels, psf, rl_iters, fft_backend=fft_backend,
             fft_engine=fft_engine, radices_hw=radices_hw,
             psf_rows=psf_rows,
+            psf_spectrum=(
+                psf_spectrum if fft_backend == "pallas" else None
+            ),
         )
     if fft_backend == "pallas" and min(hp, wp) < 128:
         import jax as _jax
@@ -635,6 +638,12 @@ def _restore_core(
             chans = edge_taper_planes(
                 chans, psf, (h, w), fft_backend=fft_backend,
                 fft_engine=fft_engine, radices_hw=(rad_h, rad_w),
+                # fixed-PSF serving: reuse the cached pallas spectrum
+                psf_spectrum=(
+                    (h_re, h_im)
+                    if h_re is not None and fft_backend == "pallas"
+                    else None
+                ),
             )
     # Fused pallas post-processing (ops/pallas/postprocess.py): the XLA
     # lowering of the WB+encode chain materializes a full f32 planes_bgr
@@ -697,9 +706,7 @@ def _restore_core(
             # but far better spatial stratification than 64-row chunks
             # (gain rel-err 2.8e-4 vs 2.3e-3 at 2048 rows, stride 4 —
             # measured, docs/PERF.md); small frames fall back to exact
-            wb_stats_stride = effective_wb_stride(
-                raw.shape[-2], wb_stats_stride
-            )
+            wb_stats_stride = effective_wb_stride(h, wb_stats_stride)
             _sb = 8 if wb_stats_stride > 1 else 64
             parts = lab_l_sum_partials(
                 raw, chans0, norm=(lo, scale), live_hw=(h, w),

@@ -54,6 +54,7 @@ def richardson_lucy_planes(
     fft_engine: str = "mxu",
     radices_hw=((), ()),
     psf_rows: int | None = None,
+    psf_spectrum=None,
 ) -> jnp.ndarray:
     """RL-deconvolve (..., Hp, Wp) padded planes with a (S, S) PSF.
 
@@ -94,6 +95,7 @@ def richardson_lucy_planes(
     conv = circular_conv_builder(
         psf, hp, wp, fft_backend=fft_backend, fft_engine=fft_engine,
         radices_hw=radices_hw, psf_rows=psf_rows,
+        psf_spectrum=psf_spectrum,
     )
 
     packed = channels.ndim >= 3 and channels.shape[-3] >= 2

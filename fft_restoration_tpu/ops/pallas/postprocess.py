@@ -220,12 +220,14 @@ def _block_geometry(h, w, block_rows):
     return rows, hp, wp
 
 
-def effective_wb_stride(h0: int, stride: int) -> int:
-    """Clamp the WB-stats stride so at least ~8 8-row stripes are
-    sampled: below 64*stride padded rows the sampling error on the gain
-    outgrows its ~0.1-count budget (small frames' stats pass is cheap
-    anyway), so fall back to exact means."""
-    return stride if stride > 1 and h0 >= 64 * stride else 1
+def effective_wb_stride(h_live: int, stride: int) -> int:
+    """Clamp the WB-stats stride so at least ~8 8-row stripes intersect
+    the LIVE image: below 64*stride live rows the sampling error on the
+    gain outgrows its ~0.1-count budget (small frames' stats pass is
+    cheap anyway), so fall back to exact means. Pass the live row count,
+    not the padded extent — a 129-row frame padded to 256 still has
+    only ~5 live stripes at stride 4."""
+    return stride if stride > 1 and h_live >= 64 * stride else 1
 
 
 def sampled_live_pixels(

@@ -73,6 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
         "parity; 1 = exact means (docs/PERF.md round 3)",
     )
     p.add_argument(
+        "--max-rl-iters",
+        type=int,
+        default=100,
+        help="cap on the per-request Richardson-Lucy iteration count "
+        "(device time is linear in iters; an uncapped request would be "
+        "a device-time DoS while the dispatcher holds the lock)",
+    )
+    p.add_argument(
         "--max-body-mb",
         type=float,
         default=64.0,
@@ -351,10 +359,23 @@ class RestorationService:
             self, max_batch=args.max_batch, max_wait_ms=args.batch_wait_ms
         )
 
+    # per-option pipeline caches are bounded: beyond this many distinct
+    # (filter, iters, edgetaper) combinations the oldest non-default
+    # entry is evicted (each entry holds compiled executables)
+    _MAX_OPT_PIPES = 16
+
+    def _evict(self, cache):
+        if len(cache) >= self._MAX_OPT_PIPES:
+            for k in cache:
+                if k != ("wiener", 10, False):
+                    del cache[k]
+                    break
+
     def pipe_for(self, opts):
         """Single-frame pipeline for (filter_name, rl_iters, edgetaper);
-        lazily built, cached for the service lifetime."""
+        lazily built, cached (bounded) for the service lifetime."""
         if opts not in self._pipes:
+            self._evict(self._pipes)
             from fft_restoration_tpu.models.pipeline import (
                 WienerDeblurPipeline,
             )
@@ -375,6 +396,7 @@ class RestorationService:
 
     def batched_for(self, opts):
         if opts not in self._batcheds:
+            self._evict(self._batcheds)
             from fft_restoration_tpu.models.batched import (
                 BatchedWienerPipeline,
             )
@@ -451,14 +473,20 @@ class RestorationService:
                 estimate_motion_psf,
             )
 
-            length, angle, _conf = estimate_motion_psf(
-                img,
-                fft_backend=(
-                    self.args.backend
-                    if self.args.backend != "pallas"
-                    else "matmul"
-                ),
-            )
+            # under the device lock: estimation is device work and the
+            # module contract serializes device work per process
+            with self.lock:
+                length, angle, _conf = estimate_motion_psf(
+                    img,
+                    fft_backend=(
+                        self.args.backend
+                        if self.args.backend != "pallas"
+                        else "matmul"
+                    ),
+                    # bound the estimated length: it feeds psf_length
+                    # into the compile cache (huge PSFs = huge kernels)
+                    max_length=128,
+                )
         out = self.batcher.submit(
             np.ascontiguousarray(img), length, angle, K, opts
         )
@@ -529,8 +557,16 @@ def make_handler(service: RestorationService):
                 if filt not in ("wiener", "inverse", "cls", "rl"):
                     raise ValueError(f"bad query param 'filter'")
                 iters = one("iters", int, 10)
-                if not 1 <= iters <= 1000:
-                    raise ValueError("bad query param 'iters'")
+                if filt != "rl":
+                    # iters is meaningless for one-shot filters: pin it
+                    # so ?filter=wiener&iters=N sweeps can't mint
+                    # per-value pipeline cache entries
+                    iters = 10
+                max_iters = getattr(service.args, "max_rl_iters", 100)
+                if not 1 <= iters <= max_iters:
+                    raise ValueError(
+                        f"bad query param 'iters' (1..{max_iters})"
+                    )
                 taper = bool(one("edgetaper", int, 0))
                 estimate = bool(one("estimate", int, 0))
                 n = int(self.headers.get("Content-Length", 0))

@@ -91,3 +91,22 @@ def test_estimate_confidence_separates_sharp(rng):
     _, _, c_sharp = estimate_motion_psf(sharp)
     _, _, c_blur = estimate_motion_psf(blur_image(sharp, 25, 60.0))
     assert c_sharp < _CONF_WARN < c_blur, (c_sharp, c_blur)
+
+
+def test_estimate_rejects_tiny_images():
+    """min dim < 12 would make the cepstral annulus empty (argmin
+    garbage, NaN confidence): contract error instead."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="too small"):
+        estimate_motion_psf(np.zeros((6, 512, 3), np.uint8))
+
+
+def test_cli_rejects_bad_iters(tmp_path, rng):
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    src = tmp_path / "in.png"
+    imwrite(str(src), (rng.random((32, 32, 3)) * 255).astype(np.uint8))
+    assert main([str(src), "5", "30", "--filter", "rl", "--iters", "0"]) == 2
+    assert main([str(src), "5", "30", "--wb-stride", "0"]) == 2

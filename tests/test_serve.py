@@ -390,3 +390,28 @@ def test_restore_blind_estimate(server):
     )
     assert status == 200
     assert decode_png(data).shape == blurred.shape
+
+
+def test_serve_option_hardening(server):
+    """Round-3 review fixes: iters pinned for one-shot filters (no
+    per-value pipeline cache growth), rl iters capped, tiny-image
+    blind estimation is a 400 (degenerate cepstral annulus)."""
+    rng = np.random.default_rng(11)
+    img = (rng.random((24, 40, 3)) * 255).astype(np.uint8)
+    # one-shot filter with a swept iters value: served fine, and no
+    # (wiener, 777, *) pipeline is minted
+    status, _ = _post(
+        server, "/restore?psf_length=3&filter=wiener&iters=777",
+        encode_png(img),
+    )
+    assert status == 200
+    # rl iters beyond the cap is a 400
+    status, _ = _post(
+        server, "/restore?psf_length=3&filter=rl&iters=999",
+        encode_png(img),
+    )
+    assert status == 400
+    # blind estimation of a sub-12px frame: clean 400
+    tiny = (rng.random((6, 64, 3)) * 255).astype(np.uint8)
+    status, data = _post(server, "/restore?estimate=1", encode_png(tiny))
+    assert status == 400 and b"too small" in data
