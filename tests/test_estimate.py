@@ -110,3 +110,24 @@ def test_cli_rejects_bad_iters(tmp_path, rng):
     imwrite(str(src), (rng.random((32, 32, 3)) * 255).astype(np.uint8))
     assert main([str(src), "5", "30", "--filter", "rl", "--iters", "0"]) == 2
     assert main([str(src), "5", "30", "--wb-stride", "0"]) == 2
+
+
+def test_estimate_cli_directory_mode(tmp_path, rng):
+    """Directory input estimates from the first frame and applies the
+    parameters to the whole batch."""
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    scene = _scene(rng, 96, 128)
+    for i in range(2):
+        imwrite(str(d / f"f{i}.png"), blur_image(scene, 13, 45.0))
+    out = tmp_path / "out"
+    rc = main(
+        [str(d), "3", "0", "--estimate-psf", "-o", str(out)]
+    )
+    assert rc == 0
+    assert sorted(p.name for p in out.iterdir()) == [
+        "f0_restored.png", "f1_restored.png"
+    ]
