@@ -89,7 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="blend the frame toward its circular blur at the borders "
         "before deconvolving (suppresses wrap-discontinuity ringing on "
         "real photos; applied on BOTH the pipeline and the oracle side "
-        "so verification still runs). oracle/jit/batch modes.",
+        "so verification still runs). All modes except the sharded "
+        "2D-mesh directory batch.",
     )
     p.add_argument(
         "--wb-stride",
