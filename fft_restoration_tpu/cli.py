@@ -677,6 +677,10 @@ def main(argv=None) -> int:
                         white_balance=wb,
                         fft_engine=args.fft_engine,
                         pad_mode=args.pad,
+                        rl_iters=args.iters,
+                        edgetaper=args.edgetaper,
+                        wb_stats_stride=args.wb_stride,
+                        stage_dtype=args.stage_dtype,
                     )
                 )
             rep = device_trace(
