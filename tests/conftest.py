@@ -43,3 +43,21 @@ def car_image():
 def small_bgr(rng):
     """Random small BGR float image in [0,1] for fast pipeline tests."""
     return rng.random((48, 56, 3)).astype(np.float32)
+
+
+@pytest.fixture(autouse=True)
+def _reset_mxu_precision():
+    """Test isolation for the process-global MXU precision knob.
+
+    CLI runs inside tests call set_mxu_precision('default') (bf16 group
+    DFTs — the gpu-tier flagship), which would silently leak into later
+    strict-parity tests (sharded-vs-single RL at <=1 count, smooth-pad
+    oracle INF tiers) depending on collection order. Every test starts
+    from the unset state; on CPU interpret runs the knob only matters
+    through matmul precision, but the leak was observed to flip two
+    sharded parity tests in full-suite order."""
+    from fft_restoration_tpu.ops.pallas.fft_kernel import set_mxu_precision
+
+    set_mxu_precision(None)
+    yield
+    set_mxu_precision(None)
