@@ -235,3 +235,19 @@ def test_taper_fused_conv_middle_matches_matmul(rng):
     a = np.asarray(edge_taper_planes(x, psf, live, fft_backend="pallas"))
     b = np.asarray(edge_taper_planes(x, psf, live, fft_backend="matmul"))
     assert np.abs(a - b).max() < 1e-4
+
+
+def test_taper_pipeline_pallas_cached_spectrum(rng):
+    """Pipeline-level pallas taper at a cacheable frame size: the taper
+    reuses the fixed-PSF cached spectrum (review fix) — parity vs the
+    matmul pipeline."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+    img = (rng.random((160, 192, 3)) * 255).astype(np.uint8)
+    a = WienerDeblurPipeline(fft_backend="pallas", edgetaper=True).restore(
+        img, 9, 30.0
+    )
+    b = WienerDeblurPipeline(fft_backend="matmul", edgetaper=True).restore(
+        img, 9, 30.0
+    )
+    assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 2
