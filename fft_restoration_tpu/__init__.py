@@ -20,12 +20,17 @@ each parallelism strategy to its TPU-native equivalent:
     channel loop-> vmap over channels / image batches (models.batched)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "WienerDeblurPipeline",
+    "BatchedWienerPipeline",
+    "ShardedWienerPipeline",
     "deblur_image",
     "motion_blur_kernel",
+    "richardson_lucy_planes",
+    "edge_taper_planes",
+    "estimate_motion_psf",
     "__version__",
 ]
 
@@ -37,6 +42,30 @@ def __getattr__(name):
         from fft_restoration_tpu.models import pipeline
 
         return getattr(pipeline, name)
+    if name == "BatchedWienerPipeline":
+        from fft_restoration_tpu.models.batched import BatchedWienerPipeline
+
+        return BatchedWienerPipeline
+    if name == "ShardedWienerPipeline":
+        from fft_restoration_tpu.parallel.sharded_pipeline import (
+            ShardedWienerPipeline,
+        )
+
+        return ShardedWienerPipeline
+    if name == "richardson_lucy_planes":
+        from fft_restoration_tpu.models.richardson_lucy import (
+            richardson_lucy_planes,
+        )
+
+        return richardson_lucy_planes
+    if name == "edge_taper_planes":
+        from fft_restoration_tpu.models.edgetaper import edge_taper_planes
+
+        return edge_taper_planes
+    if name == "estimate_motion_psf":
+        from fft_restoration_tpu.models.estimate import estimate_motion_psf
+
+        return estimate_motion_psf
     if name == "motion_blur_kernel":
         from fft_restoration_tpu.ops import psf
 
