@@ -75,6 +75,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="Richardson-Lucy iteration count (--filter rl)",
     )
     p.add_argument(
+        "--psf-type",
+        choices=("motion", "gaussian", "disk"),
+        default="motion",
+        help="PSF family: 'motion' (the reference's rotated line; "
+        "psf_angle in degrees), 'gaussian' (isotropic; psf_angle is "
+        "REUSED as sigma in px), 'disk' (defocus of diameter "
+        "psf_length; psf_angle ignored). Every filter and mode is "
+        "kernel-agnostic; the oracle verifies with the same kernel.",
+    )
+    p.add_argument(
         "--estimate-psf",
         action="store_true",
         help="blind mode: estimate the motion-blur length/angle from "
@@ -186,13 +196,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _oracle_channels(
     img: np.ndarray, length: int, angle: float, K: float, pad_to=None,
-    edgetaper: bool = False,
+    edgetaper: bool = False, psf_type: str = "motion",
 ) -> np.ndarray:
-    from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+    from fft_restoration_tpu.oracle.psf import make_psf_oracle
     from fft_restoration_tpu.oracle.serial import restore_channels
 
     imgf = img.astype(np.float32) / np.float32(255.0)
-    psf = motion_blur_kernel_oracle(length, angle)
+    psf = make_psf_oracle(psf_type, length, angle)
     return restore_channels(
         np.moveaxis(imgf, -1, 0), psf, K, pad_to=pad_to,
         edgetaper=edgetaper,
@@ -208,6 +218,14 @@ def _apply_psf_estimate(args, img) -> None:
         _CONF_WARN,
         estimate_motion_psf,
     )
+
+    if args.psf_type != "motion":
+        print(
+            "[Error] --estimate-psf identifies LINEAR motion blur only "
+            f"(cepstral method); --psf-type {args.psf_type} has no "
+            "spectral-zero signature to estimate"
+        )
+        raise SystemExit(2)
 
     length, angle, conf = estimate_motion_psf(
         img,
@@ -380,6 +398,7 @@ def _run_batch(args) -> int:
             rl_iters=args.iters,
             edgetaper=args.edgetaper,
             wb_stats_stride=args.wb_stride,
+            psf_type=args.psf_type,
         )
     for (h, w), group in groups.items():
         try:
@@ -422,6 +441,7 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
             rl_iters=args.iters,
             edgetaper=args.edgetaper,
             wb_stats_stride=args.wb_stride,
+            psf_type=args.psf_type,
         )
 
     _dst = dst_map.__getitem__
@@ -590,7 +610,7 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         out = restore_image(
             img, args.psf_length, args.psf_angle, args.K,
-            edgetaper=args.edgetaper,
+            edgetaper=args.edgetaper, psf_type=args.psf_type,
         )
         t1 = time.perf_counter()
         print(
@@ -616,6 +636,7 @@ def main(argv=None) -> int:
                 rl_iters=args.iters,
                 edgetaper=args.edgetaper,
                 wb_stats_stride=args.wb_stride,
+                psf_type=args.psf_type,
             )
         else:
             from fft_restoration_tpu.parallel.mesh import make_mesh
@@ -632,6 +653,7 @@ def main(argv=None) -> int:
                 pad_mode=args.pad,
                 edgetaper=args.edgetaper,
                 rl_iters=args.iters,
+                psf_type=args.psf_type,
             )
 
         # warm-up run (compile), then timed — the gpu.cpp:96-104 pattern.
@@ -720,7 +742,7 @@ def main(argv=None) -> int:
             oracle = _oracle_channels(
                 img, args.psf_length, args.psf_angle, args.K,
                 pad_to=(hp, wp) if args.pad == "smooth" else None,
-                edgetaper=args.edgetaper,
+                edgetaper=args.edgetaper, psf_type=args.psf_type,
             )
             t1 = time.perf_counter()
             serial_ms = (t1 - t0) * 1e3

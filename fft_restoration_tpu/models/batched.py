@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from fft_restoration_tpu.models.pipeline import restore_planes
-from fft_restoration_tpu.ops.psf import motion_blur_kernel
+from fft_restoration_tpu.ops.psf import make_psf, motion_blur_kernel
 from fft_restoration_tpu.utils.padding import next_power_of_two
 
 
@@ -37,13 +37,14 @@ def _batched_core(
     pad_mode: str = "pow2",
     rl_iters: int = 10,
     edgetaper: bool = False,
+    psf_type: str = "motion",
 ):
     """(B, H, W, 3) float32 in [0,1] -> (B, 3, H, W) restored planes."""
     from fft_restoration_tpu.models.pipeline import pad_extents
 
     b, h, w = imgs_f32.shape[:3]
     hp, wp, rad_h, rad_w = pad_extents(h, w, pad_mode)
-    psf = motion_blur_kernel(psf_length, angle_deg)
+    psf = make_psf(psf_type, psf_length, angle_deg)
     chans = jnp.moveaxis(imgs_f32, -1, 1)  # (B, 3, H, W)
     chans = jnp.pad(chans, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
     # restore_planes batches over all leading axes at once; one PSF FFT.
@@ -91,6 +92,7 @@ def _batched_images_core(
     rl_iters: int = 10,
     edgetaper: bool = False,
     wb_stats_stride: int = 1,
+    psf_type: str = "motion",
 ):
     """(B, H, W, 3) uint8/float BGR -> ((B, H, W, 3) uint8, (B, 3, H, W)
     planes): the batched analog of pipeline._restore_core — ALL
@@ -120,7 +122,7 @@ def _batched_images_core(
         )
 
         hp, wp, rad_h, rad_w = pad_extents(h, w, pad_mode)
-        psf = motion_blur_kernel(psf_length, angle_deg)
+        psf = make_psf(psf_type, psf_length, angle_deg)
         if edgetaper and chans0.dtype == jnp.uint8:
             # tapering needs f32 planes before the forward FFT, so the
             # in-kernel u8 ingest is forfeited (same as _restore_core)
@@ -197,6 +199,7 @@ def _batched_images_core(
         pad_mode=pad_mode,
         rl_iters=rl_iters,
         edgetaper=edgetaper,
+        psf_type=psf_type,
     )
     if white_balance:
         from fft_restoration_tpu.ops.color import (
@@ -242,6 +245,7 @@ class BatchedWienerPipeline:
         rl_iters: int = 10,
         edgetaper: bool = False,
         wb_stats_stride: int = 1,
+        psf_type: str = "motion",
     ):
         self.fft_backend = fft_backend
         self.fft_engine = fft_engine
@@ -259,6 +263,7 @@ class BatchedWienerPipeline:
         self.edgetaper = edgetaper
         # >1: strided row-block sampling of the per-image WB L means
         self.wb_stats_stride = wb_stats_stride
+        self.psf_type = psf_type
         self._cache = {}
         self._img_cache = {}
 
@@ -276,6 +281,7 @@ class BatchedWienerPipeline:
                     pad_mode=self.pad_mode,
                     rl_iters=self.rl_iters,
                     edgetaper=self.edgetaper,
+                    psf_type=self.psf_type,
                 )
             )
         return self._cache[key]
@@ -323,6 +329,7 @@ class BatchedWienerPipeline:
                     rl_iters=self.rl_iters,
                     edgetaper=self.edgetaper,
                     wb_stats_stride=self.wb_stats_stride,
+                    psf_type=self.psf_type,
                 )
             )
         out, _ = self._img_cache[key](

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from fft_restoration_tpu.models.filters import apply_filter
 from fft_restoration_tpu.ops.color import apply_white_balance, bgr_to_lab, lab_to_bgr
 from fft_restoration_tpu.ops.fft import fft2d
-from fft_restoration_tpu.ops.psf import motion_blur_kernel
+from fft_restoration_tpu.ops.psf import make_psf, motion_blur_kernel
 from fft_restoration_tpu.utils.padding import next_power_of_two, next_smooth_size
 
 PAD_MODES = ("pow2", "smooth")
@@ -595,6 +595,7 @@ def _restore_core(
     rl_iters: int = 10,
     edgetaper: bool = False,
     wb_stats_stride: int = 1,
+    psf_type: str = "motion",
 ):
     """(H, W, 3) BGR image -> (H, W, 3) uint8 BGR restored.
 
@@ -611,7 +612,9 @@ def _restore_core(
     hp, wp, rad_h, rad_w = pad_extents(h, w, pad_mode)
 
     with jax.named_scope("fphase_pre_process"):
-        psf = motion_blur_kernel(psf_length, angle_deg)
+        # PSF family: 'motion' (reference), 'gaussian' (angle_deg is
+        # sigma), 'disk' defocus — every filter is kernel-agnostic
+        psf = make_psf(psf_type, psf_length, angle_deg)
         chans0 = jnp.moveaxis(img_f32, -1, 0)  # (3, H, W) BGR planes
         if chans0.dtype == jnp.uint8 and (
             edgetaper
@@ -801,6 +804,7 @@ class WienerDeblurPipeline:
         rl_iters: int = 10,
         edgetaper: bool = False,
         wb_stats_stride: int = 1,
+        psf_type: str = "motion",
     ):
         # emit_planes=False compiles the SERVING graph: restore() skips
         # the (3, H, W) f32 diagnostic planes output (a 50 MB HBM
@@ -823,6 +827,8 @@ class WienerDeblurPipeline:
         self.edgetaper = edgetaper
         # >1: strided row-block sampling of the white-balance L means
         self.wb_stats_stride = wb_stats_stride
+        # 'motion' | 'gaussian' | 'disk' (ops/psf.py make_psf)
+        self.psf_type = psf_type
         # 'bf16' stores the inter-kernel spectral planes half-width
         # (restore_planes stage_dtype); None/'f32' keeps full precision
         self.stage_dtype = stage_dtype
@@ -860,6 +866,7 @@ class WienerDeblurPipeline:
                 rl_iters=self.rl_iters,
                 edgetaper=self.edgetaper,
                 wb_stats_stride=self.wb_stats_stride,
+                psf_type=self.psf_type,
             )
             donate = (0,) if self.donate_input else ()
             self._cache[key] = jax.jit(fn, donate_argnums=donate)
@@ -888,7 +895,7 @@ class WienerDeblurPipeline:
                 def make_h(
                     ang, _hp=hp, _wp=wp, _len=psf_length, _rad=(rad_h, rad_w)
                 ):
-                    psf = motion_blur_kernel(_len, ang)
+                    psf = make_psf(self.psf_type, _len, ang)
                     return psf_spectrum_planes(
                         psf, _hp, _wp, engine=self.fft_engine, psf_rows=_len,
                         stage_dtype=self.stage_dtype, radices_hw=_rad,
@@ -1011,7 +1018,7 @@ def profile_phases(
 
     from fft_restoration_tpu.models.filters import apply_filter
     from fft_restoration_tpu.ops.fft import fft2d
-    from fft_restoration_tpu.ops.psf import motion_blur_kernel
+    from fft_restoration_tpu.ops.psf import make_psf, motion_blur_kernel
     from fft_restoration_tpu.utils.timing import PhaseProfiler
 
     prof = profiler or PhaseProfiler(mode="jit")

@@ -76,3 +76,47 @@ def motion_blur_kernel(size: int, angle_deg) -> jnp.ndarray:
     wy0 = 1.0 - fy
     out = s00 * (wy0 * wx0) + s01 * (wy0 * fx) + s10 * (fy * wx0) + s11 * (fy * fx)
     return out.astype(jnp.float32)
+
+
+def gaussian_kernel(size: int, sigma) -> jnp.ndarray:
+    """(size, size) isotropic Gaussian PSF, sum-normalized; sigma may be
+    traced. The defocus/soft-blur member of the PSF family the
+    reference lacks (it synthesizes motion lines only, utils.hpp:15-24);
+    Wiener/CLS/RL are kernel-agnostic so the whole pipeline works
+    unchanged."""
+    sigma = jnp.maximum(jnp.asarray(sigma, jnp.float32), 1e-3)
+    c = jnp.float32(size // 2)
+    x = jnp.arange(size, dtype=jnp.float32)[None, :] - c
+    y = jnp.arange(size, dtype=jnp.float32)[:, None] - c
+    g = jnp.exp(-(x * x + y * y) / (2.0 * sigma * sigma))
+    return (g / jnp.sum(g)).astype(jnp.float32)
+
+
+def disk_kernel(size: int) -> jnp.ndarray:
+    """(size, size) defocus disk of diameter `size`, sum-normalized,
+    with a linear antialiased rim (pixel weight = clamped distance to
+    the circle edge — the standard coverage approximation)."""
+    c = jnp.float32(size // 2)
+    r = jnp.float32(size) / 2.0
+    x = jnp.arange(size, dtype=jnp.float32)[None, :] - c
+    y = jnp.arange(size, dtype=jnp.float32)[:, None] - c
+    d = jnp.sqrt(x * x + y * y)
+    w = jnp.clip(r + 0.5 - d, 0.0, 1.0)
+    return (w / jnp.sum(w)).astype(jnp.float32)
+
+
+PSF_TYPES = ("motion", "gaussian", "disk")
+
+
+def make_psf(psf_type: str, size: int, param) -> jnp.ndarray:
+    """PSF family dispatcher: 'motion' (param = angle in degrees, the
+    reference's kernel), 'gaussian' (param = sigma in px), 'disk'
+    (defocus of diameter `size`; param ignored). size is static, param
+    may be traced."""
+    if psf_type == "motion":
+        return motion_blur_kernel(size, param)
+    if psf_type == "gaussian":
+        return gaussian_kernel(size, param)
+    if psf_type == "disk":
+        return disk_kernel(size)
+    raise ValueError(f"unknown psf type {psf_type!r}; one of {PSF_TYPES}")

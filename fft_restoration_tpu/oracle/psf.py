@@ -102,3 +102,35 @@ def motion_blur_kernel_oracle(size: int, angle_deg: float) -> np.ndarray:
     kernel[center[1], :] = np.float32(1.0 / size)
     rot = get_rotation_matrix_2d(center, angle_deg, 1.0)
     return warp_affine_linear(kernel, rot, (size, size))
+
+
+def gaussian_kernel_oracle(size: int, sigma: float) -> np.ndarray:
+    """NumPy twin of ops.psf.gaussian_kernel (float32-matching math)."""
+    sigma = max(float(sigma), 1e-3)
+    c = float(size // 2)
+    x = (np.arange(size, dtype=np.float32)[None, :] - c)
+    y = (np.arange(size, dtype=np.float32)[:, None] - c)
+    g = np.exp(-(x * x + y * y) / np.float32(2.0 * sigma * sigma))
+    return (g / g.sum()).astype(np.float32)
+
+
+def disk_kernel_oracle(size: int) -> np.ndarray:
+    """NumPy twin of ops.psf.disk_kernel."""
+    c = float(size // 2)
+    r = size / 2.0
+    x = np.arange(size, dtype=np.float32)[None, :] - c
+    y = np.arange(size, dtype=np.float32)[:, None] - c
+    d = np.sqrt(x * x + y * y)
+    w = np.clip(r + 0.5 - d, 0.0, 1.0)
+    return (w / w.sum()).astype(np.float32)
+
+
+def make_psf_oracle(psf_type: str, size: int, param: float) -> np.ndarray:
+    """Oracle-side PSF family dispatcher (ops.psf.make_psf twin)."""
+    if psf_type == "motion":
+        return motion_blur_kernel_oracle(size, param)
+    if psf_type == "gaussian":
+        return gaussian_kernel_oracle(size, param)
+    if psf_type == "disk":
+        return disk_kernel_oracle(size)
+    raise ValueError(f"unknown psf type {psf_type!r}")

@@ -252,13 +252,14 @@ def restore_image(
     psf_angle: float,
     K: float = 0.01,
     edgetaper: bool = False,
+    psf_type: str = "motion",
 ) -> np.ndarray:
     """Full serial driver: uint8 BGR -> restored uint8 BGR (serial.cpp:9-61).
 
     Steps: /255 float32 -> per-channel Wiener deblur -> merge -> BGR->Lab ->
     white balance (L gain) -> Lab->BGR -> *255 uint8.
     """
-    from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+    from fft_restoration_tpu.oracle.psf import make_psf_oracle
     from fft_restoration_tpu.oracle.color import (
         bgr_to_lab,
         lab_to_bgr,
@@ -266,7 +267,7 @@ def restore_image(
     )
 
     img = np.asarray(img_bgr, dtype=np.float32) / np.float32(255.0)
-    psf = motion_blur_kernel_oracle(psf_length, psf_angle)
+    psf = make_psf_oracle(psf_type, psf_length, psf_angle)
     chans = np.moveaxis(img, -1, 0)  # (3, H, W), BGR order
     restored = restore_channels(chans, psf, K, edgetaper=edgetaper)
     merged = np.moveaxis(restored, 0, -1)  # (H, W, 3)

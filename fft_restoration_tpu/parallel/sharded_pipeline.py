@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fft_restoration_tpu.ops.psf import motion_blur_kernel
+from fft_restoration_tpu.ops.psf import make_psf, motion_blur_kernel
 from fft_restoration_tpu.ops.wiener import wiener_filter, inverse_filter, cls_filter
 from fft_restoration_tpu.parallel.mesh import ROWS_AXIS, make_mesh
 from fft_restoration_tpu.parallel.sharded_fft import (
@@ -216,6 +216,7 @@ def _sharded_core(
     pad_mode: str = "pow2",
     edgetaper: bool = False,
     rl_iters: int = 10,
+    psf_type: str = "motion",
 ):
     """(H, W, 3) float32 BGR global -> (uint8 image, restored planes)."""
     from fft_restoration_tpu.models.pipeline import pad_extents
@@ -233,7 +234,7 @@ def _sharded_core(
     hpad = -(-hp // n_dev) * n_dev
     wpad = -(-wp // n_dev) * n_dev
 
-    psf = motion_blur_kernel(psf_length, angle_deg)
+    psf = make_psf(psf_type, psf_length, angle_deg)
     psf_pad = jnp.pad(psf, ((0, hpad - psf_length), (0, wpad - psf_length)))
     chans = jnp.moveaxis(img_f32, -1, 0)
     chans = jnp.pad(chans, ((0, 0), (0, hpad - h), (0, wpad - w)))
@@ -490,7 +491,7 @@ def profile_phases_sharded(
     with a host sync. Returns (restored planes (3,H,W), PhaseProfiler)."""
     import jax as _jax
 
-    from fft_restoration_tpu.ops.psf import motion_blur_kernel
+    from fft_restoration_tpu.ops.psf import make_psf, motion_blur_kernel
     from fft_restoration_tpu.utils.timing import PhaseProfiler
 
     mesh = mesh or make_mesh()
@@ -590,6 +591,7 @@ class ShardedWienerPipeline:
         pad_mode: str = "pow2",
         edgetaper: bool = False,
         rl_iters: int = 10,
+        psf_type: str = "motion",
     ):
         self.mesh = mesh or make_mesh()
         self.fft_backend = fft_backend
@@ -605,6 +607,7 @@ class ShardedWienerPipeline:
         self.edgetaper = edgetaper
         # iteration count for filter_name='rl'
         self.rl_iters = rl_iters
+        self.psf_type = psf_type
         self._cache = {}
 
     def _compiled(self, h: int, w: int, psf_length: int):
@@ -621,6 +624,7 @@ class ShardedWienerPipeline:
                 pad_mode=self.pad_mode,
                 edgetaper=self.edgetaper,
                 rl_iters=self.rl_iters,
+                psf_type=self.psf_type,
             )
             self._cache[key] = jax.jit(fn)
         return self._cache[key]

@@ -18,9 +18,11 @@ from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
 
 
 def blur_image(
-    img_bgr: np.ndarray, psf_length: int, psf_angle: float
+    img_bgr: np.ndarray, psf_length: int, psf_angle: float,
+    psf_type: str = "motion",
 ) -> np.ndarray:
-    """uint8 BGR (H, W, 3) -> motion-blurred uint8 BGR.
+    """uint8 BGR (H, W, 3) -> blurred uint8 BGR (psf_type: 'motion'
+    default, 'gaussian' with psf_angle as sigma, 'disk' defocus).
 
     Per channel: zero-pad the PSF to the image size with its center at
     the image center, np.roll it to the corner (so the convolution is
@@ -28,7 +30,9 @@ def blur_image(
     """
     img = np.asarray(img_bgr, np.float64)
     h, w = img.shape[:2]
-    psf = motion_blur_kernel_oracle(psf_length, psf_angle).astype(np.float64)
+    from fft_restoration_tpu.oracle.psf import make_psf_oracle
+
+    psf = make_psf_oracle(psf_type, psf_length, psf_angle).astype(np.float64)
     # normalize so the blur preserves brightness (the notebook's PSF is
     # sum-normalized before convolution)
     s = psf.sum()
