@@ -17,7 +17,9 @@ API:
                            blend, models/edgetaper.py), estimate=1
                            (blind per-request PSF estimation,
                            models/estimate.py — psf_length/psf_angle are
-                           then ignored). Response: PNG bytes.
+                           then ignored), psf_type=motion|gaussian|disk
+                           (gaussian reuses psf_angle as sigma).
+                           Response: PNG bytes.
   GET  /healthz            JSON liveness + device + compiled-shape list.
 
 Concurrency: requests are served on a thread pool; device work is
@@ -125,12 +127,15 @@ class _Req:
         "img", "length", "angle", "K", "opts", "done", "result", "error"
     )
 
-    def __init__(self, img, length, angle, K, opts=("wiener", 10, False)):
+    def __init__(
+        self, img, length, angle, K,
+        opts=("wiener", 10, False, "motion"),
+    ):
         self.img = img
         self.length = length
         self.angle = angle
         self.K = K
-        self.opts = opts  # (filter_name, rl_iters, edgetaper)
+        self.opts = opts  # (filter_name, rl_iters, edgetaper, psf_type)
         self.done = threading.Event()
         self.result = None
         self.error = None
@@ -164,7 +169,10 @@ class DynamicBatcher:
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
-    def submit(self, img, length, angle, K, opts=("wiener", 10, False)):
+    def submit(
+        self, img, length, angle, K,
+        opts=("wiener", 10, False, "motion"),
+    ):
         if self.stop or not self.thread.is_alive():
             # fail fast instead of blocking forever on a dead dispatcher
             raise RuntimeError("service is shutting down")
@@ -335,8 +343,8 @@ class RestorationService:
         )
         # per-(filter, iters, edgetaper) pipeline caches; the defaults
         # above stay the warm/startup instances
-        self._pipes = {("wiener", 10, False): self.pipe}
-        self._batcheds = {("wiener", 10, False): self.batched}
+        self._pipes = {("wiener", 10, False, "motion"): self.pipe}
+        self._batcheds = {("wiener", 10, False, "motion"): self.batched}
         self.lock = threading.Lock()
         self.n_served = 0
         self.started = time.time()
@@ -367,7 +375,7 @@ class RestorationService:
     def _evict(self, cache):
         if len(cache) >= self._MAX_OPT_PIPES:
             for k in cache:
-                if k != ("wiener", 10, False):
+                if k != ("wiener", 10, False, "motion"):
                     del cache[k]
                     break
 
@@ -380,7 +388,7 @@ class RestorationService:
                 WienerDeblurPipeline,
             )
 
-            f, iters, taper = opts
+            f, iters, taper, ptype = opts
             self._pipes[opts] = WienerDeblurPipeline(
                 fft_backend=self.args.backend,
                 filter_name=f,
@@ -391,6 +399,7 @@ class RestorationService:
                 rl_iters=iters,
                 edgetaper=taper,
                 wb_stats_stride=getattr(self.args, "wb_stride", 4),
+                psf_type=ptype,
             )
         return self._pipes[opts]
 
@@ -401,7 +410,7 @@ class RestorationService:
                 BatchedWienerPipeline,
             )
 
-            f, iters, taper = opts
+            f, iters, taper, ptype = opts
             self._batcheds[opts] = BatchedWienerPipeline(
                 fft_backend=self.args.backend,
                 filter_name=f,
@@ -412,6 +421,7 @@ class RestorationService:
                 rl_iters=iters,
                 edgetaper=taper,
                 wb_stats_stride=getattr(self.args, "wb_stride", 4),
+                psf_type=ptype,
             )
         return self._batcheds[opts]
 
@@ -458,7 +468,7 @@ class RestorationService:
 
     def restore(
         self, blob: bytes, length: int, angle: float, K: float,
-        opts=("wiener", 10, False), estimate: bool = False,
+        opts=("wiener", 10, False, "motion"), estimate: bool = False,
     ) -> bytes:
         import numpy as np
 
@@ -568,7 +578,14 @@ def make_handler(service: RestorationService):
                         f"bad query param 'iters' (1..{max_iters})"
                     )
                 taper = bool(one("edgetaper", int, 0))
+                ptype = one("psf_type", str, "motion")
+                if ptype not in ("motion", "gaussian", "disk"):
+                    raise ValueError("bad query param 'psf_type'")
                 estimate = bool(one("estimate", int, 0))
+                if estimate and ptype != "motion":
+                    raise ValueError(
+                        "estimate=1 identifies linear motion blur only"
+                    )
                 n = int(self.headers.get("Content-Length", 0))
                 if n <= 0:
                     raise ValueError("empty body")
@@ -584,7 +601,7 @@ def make_handler(service: RestorationService):
                 blob = self.rfile.read(n)
                 png = service.restore(
                     blob, length, angle, K,
-                    opts=(filt, iters, taper), estimate=estimate,
+                    opts=(filt, iters, taper, ptype), estimate=estimate,
                 )
             except ValueError as e:
                 self._send(
