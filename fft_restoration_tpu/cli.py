@@ -703,6 +703,7 @@ def main(argv=None) -> int:
                         edgetaper=args.edgetaper,
                         wb_stats_stride=args.wb_stride,
                         stage_dtype=args.stage_dtype,
+                        psf_type=args.psf_type,
                     )
                 )
             rep = device_trace(
@@ -720,6 +721,7 @@ def main(argv=None) -> int:
                     args.K,
                     fft_backend=args.fft_backend,
                     white_balance=wb,
+                    psf_type=args.psf_type,
                 )
                 print(prof.report())
             elif args.mode == "sharded":
@@ -734,6 +736,7 @@ def main(argv=None) -> int:
                     args.K,
                     mesh=pipe.mesh,
                     fft_backend=args.fft_backend,
+                    psf_type=args.psf_type,
                 )
                 print(prof.report())
 

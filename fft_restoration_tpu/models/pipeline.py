@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from fft_restoration_tpu.models.filters import apply_filter
 from fft_restoration_tpu.ops.color import apply_white_balance, bgr_to_lab, lab_to_bgr
 from fft_restoration_tpu.ops.fft import fft2d
-from fft_restoration_tpu.ops.psf import make_psf, motion_blur_kernel
+from fft_restoration_tpu.ops.psf import make_psf
 from fft_restoration_tpu.utils.padding import next_power_of_two, next_smooth_size
 
 PAD_MODES = ("pow2", "smooth")
@@ -1002,6 +1002,7 @@ def profile_phases(
     fft_backend: str = "matmul",
     white_balance: bool = True,
     profiler=None,
+    psf_type: str = "motion",
 ):
     """Run the pipeline as six separately-dispatched device phases and
     accumulate per-phase wall time, preserving the reference's phase
@@ -1018,7 +1019,7 @@ def profile_phases(
 
     from fft_restoration_tpu.models.filters import apply_filter
     from fft_restoration_tpu.ops.fft import fft2d
-    from fft_restoration_tpu.ops.psf import make_psf, motion_blur_kernel
+    from fft_restoration_tpu.ops.psf import make_psf
     from fft_restoration_tpu.utils.timing import PhaseProfiler
 
     prof = profiler or PhaseProfiler(mode="jit")
@@ -1032,7 +1033,7 @@ def profile_phases(
 
     @jax.jit
     def pre(img):
-        psf = motion_blur_kernel(psf_length, jnp.float32(psf_angle))
+        psf = make_psf(psf_type, psf_length, jnp.float32(psf_angle))
         chans = _pad2d(jnp.moveaxis(img, -1, 0), hp, wp)
         psf_pad = _pad2d(psf, hp, wp)
         return chans, psf_pad

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fft_restoration_tpu.ops.psf import make_psf, motion_blur_kernel
+from fft_restoration_tpu.ops.psf import make_psf
 from fft_restoration_tpu.ops.wiener import wiener_filter, inverse_filter, cls_filter
 from fft_restoration_tpu.parallel.mesh import ROWS_AXIS, make_mesh
 from fft_restoration_tpu.parallel.sharded_fft import (
@@ -484,6 +484,7 @@ def profile_phases_sharded(
     mesh: Optional[Mesh] = None,
     fft_backend: str = "matmul",
     profiler=None,
+    psf_type: str = "motion",
 ):
     """Per-phase timing of the sharded pipeline, preserving the MPI
     mode's phase breakdown (fft_mpi.cpp:380-467: scatter/FFT img/FFT psf/
@@ -491,7 +492,7 @@ def profile_phases_sharded(
     with a host sync. Returns (restored planes (3,H,W), PhaseProfiler)."""
     import jax as _jax
 
-    from fft_restoration_tpu.ops.psf import make_psf, motion_blur_kernel
+    from fft_restoration_tpu.ops.psf import make_psf
     from fft_restoration_tpu.utils.timing import PhaseProfiler
 
     mesh = mesh or make_mesh()
@@ -509,7 +510,7 @@ def profile_phases_sharded(
 
     @_jax.jit
     def pre(img):
-        psf = motion_blur_kernel(psf_length, jnp.float32(psf_angle))
+        psf = make_psf(psf_type, psf_length, jnp.float32(psf_angle))
         chans = jnp.pad(jnp.moveaxis(img, -1, 0), ((0, 0), (0, hp - h), (0, wp - w)))
         psf_pad = jnp.pad(psf, ((0, hp - psf_length), (0, wp - psf_length)))
         return (

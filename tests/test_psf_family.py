@@ -102,6 +102,32 @@ def test_sharded_gaussian_matches_single(rng):
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
+def test_profilers_honor_psf_type(rng):
+    """profile_phases / profile_phases_sharded build the session's PSF
+    family (the --profile paths must measure the graph the session
+    actually runs, not the motion default)."""
+    from fft_restoration_tpu.models.pipeline import (
+        WienerDeblurPipeline,
+        profile_phases,
+    )
+    from fft_restoration_tpu.parallel.sharded_pipeline import (
+        profile_phases_sharded,
+    )
+
+    img = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    ref = WienerDeblurPipeline(
+        fft_backend="matmul", psf_type="gaussian"
+    ).restore(img, 9, 2.5)
+    out, _ = profile_phases(
+        img, 9, 2.5, fft_backend="matmul", psf_type="gaussian"
+    )
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    planes, _ = profile_phases_sharded(
+        img, 9, 2.5, fft_backend="matmul", psf_type="gaussian"
+    )
+    assert planes.shape == (3, 40, 56)
+
+
 def test_cli_psf_type(tmp_path, rng):
     """--psf-type end to end incl. verification; --estimate-psf is
     rejected for non-motion kernels."""
