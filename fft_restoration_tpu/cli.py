@@ -85,6 +85,17 @@ def build_parser() -> argparse.ArgumentParser:
         "kernel-agnostic; the oracle verifies with the same kernel.",
     )
     p.add_argument(
+        "--psf-file",
+        default=None,
+        metavar="PATH",
+        help="load the PSF kernel from a file (.npy/.txt/.csv array or "
+        "a grayscale image) instead of synthesizing one — the "
+        "interchange surface for externally-estimated PSFs. "
+        "Sum-normalized, zero-padded square; the psf-length/psf-angle "
+        "positionals and --psf-type are ignored. Every filter and "
+        "mode works; the oracle verifies with the same loaded kernel.",
+    )
+    p.add_argument(
         "--estimate-psf",
         action="store_true",
         help="blind mode: estimate the motion-blur length/angle from "
@@ -219,10 +230,15 @@ def _apply_psf_estimate(args, img) -> None:
         estimate_motion_psf,
     )
 
-    if args.psf_type != "motion":
+    if not isinstance(args.psf_type, str) or args.psf_type != "motion":
+        kind = (
+            "--psf-file kernels have"
+            if not isinstance(args.psf_type, str)
+            else f"--psf-type {args.psf_type} has"
+        )
         print(
             "[Error] --estimate-psf identifies LINEAR motion blur only "
-            f"(cepstral method); --psf-type {args.psf_type} has no "
+            f"(cepstral method); {kind} no "
             "spectral-zero signature to estimate"
         )
         raise SystemExit(2)
@@ -538,6 +554,19 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.psf_file is not None:
+        # A loaded kernel replaces the synthesized family: psf_type
+        # becomes the concrete array (make_psf/make_psf_oracle pass it
+        # through) and psf_length its static extent.
+        from fft_restoration_tpu.ops.psf import load_psf_file
+
+        try:
+            kernel = load_psf_file(args.psf_file)
+        except (OSError, ValueError) as e:
+            print(f"[Error] Cannot load PSF {args.psf_file!r}: {e}")
+            return 2
+        args.psf_type = kernel
+        args.psf_length = kernel.shape[0]
     if args.psf_length < 1:
         print(f"[Error] psf-length must be >= 1, got {args.psf_length}")
         return 2

@@ -108,11 +108,20 @@ def disk_kernel(size: int) -> jnp.ndarray:
 PSF_TYPES = ("motion", "gaussian", "disk")
 
 
-def make_psf(psf_type: str, size: int, param) -> jnp.ndarray:
+def make_psf(psf_type, size: int, param) -> jnp.ndarray:
     """PSF family dispatcher: 'motion' (param = angle in degrees, the
     reference's kernel), 'gaussian' (param = sigma in px), 'disk'
-    (defocus of diameter `size`; param ignored). size is static, param
+    (defocus of diameter `size`; param ignored) — or a CONCRETE (size,
+    size) kernel array (the --psf-file surface; param ignored, the
+    array rides the jit graph as a constant). size is static, param
     may be traced."""
+    if not isinstance(psf_type, str):
+        kernel = jnp.asarray(psf_type, jnp.float32)
+        if kernel.shape != (size, size):
+            raise ValueError(
+                f"custom PSF kernel shape {kernel.shape} != ({size}, {size})"
+            )
+        return kernel
     if psf_type == "motion":
         return motion_blur_kernel(size, param)
     if psf_type == "gaussian":
@@ -120,3 +129,38 @@ def make_psf(psf_type: str, size: int, param) -> jnp.ndarray:
     if psf_type == "disk":
         return disk_kernel(size)
     raise ValueError(f"unknown psf type {psf_type!r}; one of {PSF_TYPES}")
+
+
+def load_psf_file(path: str):
+    """Host-side loader for user-supplied PSF kernels (--psf-file):
+    .npy / .txt / .csv arrays or any decodable grayscale image (the
+    common interchange formats of external PSF estimators). Returns a
+    float32 (S, S) kernel, zero-padded square (bottom/right — the
+    corner-anchored pad convention, so alignment is preserved) and
+    sum-normalized like every synthesized family member."""
+    import os
+
+    import numpy as np
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        k = np.load(path)
+    elif ext in (".txt", ".csv"):
+        k = np.loadtxt(path, delimiter="," if ext == ".csv" else None)
+    else:
+        from fft_restoration_tpu.utils.imageio import imread
+
+        k = np.asarray(imread(path), np.float64)
+        if k.ndim == 3:
+            k = k.mean(axis=-1)
+    k = np.atleast_2d(np.asarray(k, np.float64))
+    if k.ndim != 2 or k.size == 0:
+        raise ValueError(f"PSF file {path!r}: need a 2D kernel, got shape {k.shape}")
+    if not np.isfinite(k).all():
+        raise ValueError(f"PSF file {path!r}: kernel has non-finite values")
+    s = max(k.shape)
+    k = np.pad(k, ((0, s - k.shape[0]), (0, s - k.shape[1])))
+    total = k.sum()
+    if total <= 0:
+        raise ValueError(f"PSF file {path!r}: kernel sum must be > 0")
+    return (k / total).astype(np.float32)

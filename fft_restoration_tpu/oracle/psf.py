@@ -125,8 +125,17 @@ def disk_kernel_oracle(size: int) -> np.ndarray:
     return (w / w.sum()).astype(np.float32)
 
 
-def make_psf_oracle(psf_type: str, size: int, param: float) -> np.ndarray:
-    """Oracle-side PSF family dispatcher (ops.psf.make_psf twin)."""
+def make_psf_oracle(psf_type, size: int, param: float) -> np.ndarray:
+    """Oracle-side PSF family dispatcher (ops.psf.make_psf twin).
+    Like the device side, a concrete (size, size) ndarray passes
+    through verbatim (the --psf-file surface)."""
+    if not isinstance(psf_type, str):
+        kernel = np.asarray(psf_type, np.float32)
+        if kernel.shape != (size, size):
+            raise ValueError(
+                f"custom PSF kernel shape {kernel.shape} != ({size}, {size})"
+            )
+        return kernel
     if psf_type == "motion":
         return motion_blur_kernel_oracle(size, param)
     if psf_type == "gaussian":

@@ -102,6 +102,91 @@ def test_sharded_gaussian_matches_single(rng):
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
+def test_load_psf_file_formats(tmp_path):
+    """load_psf_file: npy/txt/image inputs, square zero-pad, sum
+    normalization, and the error contract."""
+    from fft_restoration_tpu.ops.psf import load_psf_file
+    from fft_restoration_tpu.oracle.psf import gaussian_kernel_oracle
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    k = gaussian_kernel_oracle(9, 1.7)
+    np.save(tmp_path / "k.npy", k * 3.0)  # unnormalized on purpose
+    got = load_psf_file(str(tmp_path / "k.npy"))
+    assert got.shape == (9, 9) and abs(got.sum() - 1.0) < 1e-6
+    assert np.abs(got - k).max() < 1e-6
+
+    np.savetxt(tmp_path / "k.txt", k[:5])  # non-square: 5x9 -> 9x9 pad
+    got = load_psf_file(str(tmp_path / "k.txt"))
+    assert got.shape == (9, 9)
+    assert np.all(got[5:] == 0.0) and abs(got.sum() - 1.0) < 1e-6
+
+    imwrite(
+        str(tmp_path / "k.png"),
+        np.repeat((k / k.max() * 255).astype(np.uint8)[..., None], 3, -1),
+    )
+    got = load_psf_file(str(tmp_path / "k.png"))
+    assert got.shape == (9, 9) and abs(got.sum() - 1.0) < 1e-6
+
+    np.save(tmp_path / "bad.npy", np.zeros((3, 3)))
+    with pytest.raises(ValueError, match="sum"):
+        load_psf_file(str(tmp_path / "bad.npy"))
+    np.save(tmp_path / "nan.npy", np.full((3, 3), np.nan))
+    with pytest.raises(ValueError, match="finite"):
+        load_psf_file(str(tmp_path / "nan.npy"))
+
+
+def test_custom_kernel_pipeline_matches_oracle(rng):
+    """A concrete kernel array flows through psf_type end to end
+    (pipeline + oracle verify with the SAME kernel)."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+    from fft_restoration_tpu.oracle.psf import make_psf_oracle
+    from fft_restoration_tpu.oracle.serial import restore_channels
+    from fft_restoration_tpu.utils.verify import channels_equal
+
+    k = np.asarray(rng.random((7, 7)), np.float32)
+    k /= k.sum()
+    img = (rng.random((64, 80, 3)) * 255).astype(np.uint8)
+    pipe = WienerDeblurPipeline(fft_backend="matmul", psf_type=k)
+    _, ours = pipe.restore_with_planes(img, 7, 0.0)
+    oracle = restore_channels(
+        np.moveaxis(img.astype(np.float32) / 255.0, -1, 0),
+        make_psf_oracle(k, 7, 0.0),
+    )
+    report = channels_equal(np.asarray(ours), oracle, "gpu")
+    assert report.passed, report
+    with pytest.raises(ValueError, match="shape"):
+        WienerDeblurPipeline(fft_backend="matmul", psf_type=k).restore(
+            img, 9, 0.0
+        )
+
+
+def test_cli_psf_file(tmp_path, rng):
+    """--psf-file end to end incl. in-process verification, and the
+    --estimate-psf conflict."""
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.oracle.psf import gaussian_kernel_oracle
+    from fft_restoration_tpu.utils.blurgen import blur_image
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    img = blur_image(
+        (rng.random((48, 64, 3)) * 255).astype(np.uint8), 9, 1.7,
+        psf_type="gaussian",
+    )
+    src = tmp_path / "in.png"
+    imwrite(str(src), img)
+    np.save(tmp_path / "k.npy", gaussian_kernel_oracle(9, 1.7))
+    rc = main(
+        [str(src), "1", "0", "--psf-file", str(tmp_path / "k.npy"),
+         "-o", str(tmp_path / "out.png")]
+    )
+    assert rc == 0
+    rc = main([str(src), "1", "0", "--psf-file", str(tmp_path / "missing.npy")])
+    assert rc == 2
+    with pytest.raises(SystemExit):
+        main([str(src), "1", "0", "--psf-file", str(tmp_path / "k.npy"),
+              "--estimate-psf"])
+
+
 def test_profilers_honor_psf_type(rng):
     """profile_phases / profile_phases_sharded build the session's PSF
     family (the --profile paths must measure the graph the session
