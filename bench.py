@@ -113,8 +113,10 @@ def _compile_pipeline(x, ang, k):
                     # spectrum is computed once (WienerDeblurPipeline
                     # cache_psf_spectrum) and fed to the restore graph
                     from fft_restoration_tpu.models.pipeline import (
-                        motion_blur_kernel,
                         psf_spectrum_planes,
+                    )
+                    from fft_restoration_tpu.ops.psf import (
+                        motion_blur_kernel,
                     )
 
                     h_fn = jax.jit(

@@ -25,9 +25,9 @@ def main(h=2048, w=2048):
 
     from fft_restoration_tpu.models.pipeline import (
         _restore_core,
-        motion_blur_kernel,
         psf_spectrum_planes,
     )
+    from fft_restoration_tpu.ops.psf import motion_blur_kernel
     from fft_restoration_tpu.utils.trace_profile import device_trace
 
     rng = np.random.default_rng(0)
