@@ -85,6 +85,16 @@ def build_parser() -> argparse.ArgumentParser:
         "kernel-agnostic; the oracle verifies with the same kernel.",
     )
     p.add_argument(
+        "--auto-K",
+        dest="auto_K",
+        action="store_true",
+        help="noise-adaptive regularization: estimate the frame's noise "
+        "sigma (Immerkaer stencil, models/estimate.py) and set K to the "
+        "measured noise-to-signal power ratio instead of the fixed -K "
+        "(the reference hardcodes K=0.01). Directories estimate once "
+        "per size-group from its first frame.",
+    )
+    p.add_argument(
         "--psf-file",
         default=None,
         metavar="PATH",
@@ -418,6 +428,20 @@ def _run_batch(args) -> int:
         )
     for (h, w), group in groups.items():
         try:
+            if args.auto_K:
+                # one estimate per size-group, from its first frame (a
+                # directory is typically one capture session, one noise
+                # level; per-frame K would fragment the batched graph)
+                from fft_restoration_tpu.models.estimate import (
+                    estimate_noise_K,
+                )
+                from fft_restoration_tpu.utils.imageio import imread
+
+                sigma, args.K = estimate_noise_K(imread(group[0]))
+                print(
+                    f"[INFO] auto-K[{w}x{h}]: noise sigma {sigma:.4f} "
+                    f"-> K {args.K:g}"
+                )
             _restore_group(args, group, dst_map, single)
             n_done += len(group)
         except (OSError, ValueError, struct.error) as e:
@@ -489,7 +513,7 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
             # FFT row-sharded (parallel/sharded_pipeline.py)
             import jax
 
-            from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+            from fft_restoration_tpu.oracle.psf import make_psf_oracle
             from fft_restoration_tpu.models.pipeline import pad_extents
             from fft_restoration_tpu.parallel.mesh import make_mesh2d
             from fft_restoration_tpu.parallel.sharded_pipeline import (
@@ -508,7 +532,9 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
             )
             planes = sharded_batched_restore_planes(
                 chans,
-                motion_blur_kernel_oracle(args.psf_length, args.psf_angle),
+                make_psf_oracle(
+                    args.psf_type, args.psf_length, args.psf_angle
+                ),
                 args.K,
                 mesh=make_mesh2d(n_b, n_dev // n_b),
                 fft_backend=args.fft_backend,
@@ -609,6 +635,16 @@ def main(argv=None) -> int:
 
     if args.estimate_psf:
         _apply_psf_estimate(args, img)
+
+    if args.auto_K:
+        from fft_restoration_tpu.models.estimate import estimate_noise_K
+
+        sigma, k = estimate_noise_K(img)
+        print(
+            f"[INFO] auto-K: noise sigma {sigma:.4f} -> K {k:g} "
+            f"(was {args.K:g}); verification runs at the estimated K"
+        )
+        args.K = k
 
     from fft_restoration_tpu.models.pipeline import pad_extents
 

@@ -135,3 +135,62 @@ def estimate_motion_psf(
     if not np.isfinite(conf):
         conf = 0.0  # degenerate cepstrum (constant frame): no blur signal
     return length, angle, conf
+
+
+@jax.jit
+def _noise_stats(gray: jnp.ndarray):
+    """(H, W) float32 in [0,1] -> (noise sigma, signal variance).
+
+    Immerkaer's fast noise-variance estimator (PRL 1996): the 3x3 mask
+    [[1,-2,1],[-2,4,-2],[1,-2,1]] annihilates locally-linear image
+    structure, so its response is ~pure noise; for gaussian noise
+    sigma = sqrt(pi/2) * mean|I*N| / 6. One shift-stencil pass +
+    reductions — a single cheap jit graph, like the cepstral estimator.
+    """
+    c = gray[1:-1, 1:-1]
+    u, d = gray[:-2, 1:-1], gray[2:, 1:-1]
+    l, r = gray[1:-1, :-2], gray[1:-1, 2:]
+    ul, ur = gray[:-2, :-2], gray[:-2, 2:]
+    dl, dr = gray[2:, :-2], gray[2:, 2:]
+    lap = 4.0 * c - 2.0 * (u + d + l + r) + (ul + ur + dl + dr)
+    sigma = (
+        jnp.sqrt(jnp.float32(np.pi / 2.0)) * jnp.mean(jnp.abs(lap)) / 6.0
+    )
+    return sigma, jnp.var(gray)
+
+
+def estimate_noise_K(
+    img_bgr: np.ndarray, *, k_min: float = 1e-4, k_max: float = 0.5
+) -> tuple[float, float]:
+    """Noise-adaptive Wiener regularization: estimate the noise sigma
+    (Immerkaer) and return (sigma, K) with K = the noise-to-signal
+    power ratio sigma^2 / max(var - sigma^2, eps) — the quantity the
+    Wiener filter's K term stands in for (the reference hardcodes
+    K=0.01, serial.cpp:28). K is clamped to [k_min, k_max] and rounded
+    to 2 significant digits (stable co-batch keys in serve.py; the
+    filter is insensitive at that granularity).
+
+    Works on uint8 or float BGR/gray frames; the blur itself helps —
+    a blurred image has little high-frequency content, so the stencil
+    response is dominated by the noise being estimated.
+    """
+    img = np.asarray(img_bgr)
+    gray = (
+        img.astype(np.float32).mean(axis=-1) if img.ndim == 3
+        else img.astype(np.float32)
+    )
+    if img.dtype == np.uint8:
+        gray = gray / np.float32(255.0)
+    if min(gray.shape) < 3:
+        raise ValueError(
+            f"image too small for noise estimation (min dim "
+            f"{min(gray.shape)} < 3)"
+        )
+    sigma, var = (float(v) for v in _noise_stats(jnp.asarray(gray)))
+    k = (sigma * sigma) / max(var - sigma * sigma, 1e-8)
+    k = min(max(k, k_min), k_max)
+    # 2 significant digits
+    from math import floor, log10
+
+    k = round(k, 1 - floor(log10(k)))
+    return sigma, float(k)

@@ -18,7 +18,9 @@ API:
                            (blind per-request PSF estimation,
                            models/estimate.py — psf_length/psf_angle are
                            then ignored), psf_type=motion|gaussian|disk
-                           (gaussian reuses psf_angle as sigma).
+                           (gaussian reuses psf_angle as sigma),
+                           auto_k=1 (noise-adaptive K from the frame's
+                           Immerkaer sigma — K is then ignored).
                            Response: PNG bytes.
   GET  /healthz            JSON liveness + device + compiled-shape list.
 
@@ -469,6 +471,7 @@ class RestorationService:
     def restore(
         self, blob: bytes, length: int, angle: float, K: float,
         opts=("wiener", 10, False, "motion"), estimate: bool = False,
+        auto_k: bool = False,
     ) -> bytes:
         import numpy as np
 
@@ -497,6 +500,14 @@ class RestorationService:
                     # into the compile cache (huge PSFs = huge kernels)
                     max_length=128,
                 )
+        if auto_k:
+            from fft_restoration_tpu.models.estimate import estimate_noise_K
+
+            # K is rounded to 2 significant digits by the estimator, so
+            # same-noise-level requests keep co-batching (K is part of
+            # the batch key)
+            with self.lock:
+                _sigma, K = estimate_noise_K(img)
         out = self.batcher.submit(
             np.ascontiguousarray(img), length, angle, K, opts
         )
@@ -586,6 +597,7 @@ def make_handler(service: RestorationService):
                     raise ValueError(
                         "estimate=1 identifies linear motion blur only"
                     )
+                auto_k = bool(one("auto_k", int, 0))
                 n = int(self.headers.get("Content-Length", 0))
                 if n <= 0:
                     raise ValueError("empty body")
@@ -602,6 +614,7 @@ def make_handler(service: RestorationService):
                 png = service.restore(
                     blob, length, angle, K,
                     opts=(filt, iters, taper, ptype), estimate=estimate,
+                    auto_k=auto_k,
                 )
             except ValueError as e:
                 self._send(

@@ -131,3 +131,54 @@ def test_estimate_cli_directory_mode(tmp_path, rng):
     assert sorted(p.name for p in out.iterdir()) == [
         "f0_restored.png", "f1_restored.png"
     ]
+
+
+def test_noise_K_estimation_accuracy(rng):
+    """Immerkaer sigma within ~15% of truth on a smooth scene, and K
+    monotone in the noise level (the auto-K contract)."""
+    from fft_restoration_tpu.models.estimate import estimate_noise_K
+
+    h, w = 256, 320
+    base = np.linspace(0.2, 0.8, w, dtype=np.float32)[None, :].repeat(h, 0)
+    ks = []
+    for true_sigma in (0.005, 0.02, 0.05):
+        noisy = np.clip(base + rng.normal(0, true_sigma, (h, w)), 0, 1)
+        frame = (noisy[..., None].repeat(3, -1) * 255).astype(np.uint8)
+        sigma, k = estimate_noise_K(frame)
+        assert abs(sigma - true_sigma) / true_sigma < 0.15, (
+            sigma, true_sigma,
+        )
+        ks.append(k)
+    assert ks[0] < ks[1] < ks[2], ks
+    # clamp floor on a noise-free frame
+    _, k0 = estimate_noise_K((base * 255).astype(np.uint8)[..., None])
+    assert k0 == pytest.approx(1e-4)
+    with pytest.raises(ValueError, match="too small"):
+        estimate_noise_K(np.zeros((2, 2), np.uint8))
+
+
+def test_cli_auto_K(tmp_path, rng, capsys):
+    """--auto-K end to end: single frame (verification runs at the
+    estimated K) and directory mode (one estimate per size-group)."""
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    scene = blur_image(_scene(rng, 96, 128), 9, 30.0)
+    noisy = np.clip(
+        scene.astype(np.float32) + rng.normal(0, 5.0, scene.shape), 0, 255
+    ).astype(np.uint8)
+    src = tmp_path / "in.png"
+    imwrite(str(src), noisy)
+    rc = main([str(src), "9", "30", "--auto-K", "-o", str(tmp_path / "o.png")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "[INFO] auto-K" in out and "[Success]" in out
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(2):
+        imwrite(str(d / f"f{i}.png"), noisy)
+    rc = main([str(d), "9", "30", "--auto-K", "-o", str(tmp_path / "outd")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "[INFO] auto-K[128x96]" in out

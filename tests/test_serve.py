@@ -429,3 +429,19 @@ def test_serve_option_hardening(server):
         server, "/restore?psf_type=nope", encode_png(img)
     )
     assert status == 400
+
+
+def test_restore_auto_k(server):
+    """auto_k=1 computes a noise-adaptive K per request (models/
+    estimate.estimate_noise_K) and still returns a valid PNG."""
+    rng = np.random.default_rng(11)
+    img = np.clip(
+        rng.random((40, 48, 3)) * 120 + rng.normal(0, 12, (40, 48, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    status, data = _post(server, "/restore?auto_k=1", encode_png(img))
+    assert status == 200
+    out = decode_png(data)
+    assert out.shape == (40, 48, 3)
+    status, _ = _post(server, "/restore?auto_k=2", encode_png(img))
+    assert status == 200  # any nonzero int is truthy; 0 disables
