@@ -412,6 +412,7 @@ def _run_batch(args) -> int:
             white_balance=not args.no_white_balance,
             fft_engine=args.fft_engine,
             pad_mode=args.pad,
+            psf_type=args.psf_type,
         )
     else:
         single = WienerDeblurPipeline(
@@ -431,7 +432,9 @@ def _run_batch(args) -> int:
             if args.auto_K:
                 # one estimate per size-group, from its first frame (a
                 # directory is typically one capture session, one noise
-                # level; per-frame K would fragment the batched graph)
+                # level; per-frame K would fragment the batched graph).
+                # Costs one extra decode per GROUP — negligible next to
+                # the group's own imread_batch pass.
                 from fft_restoration_tpu.models.estimate import (
                     estimate_noise_K,
                 )

@@ -114,7 +114,9 @@ def make_psf(psf_type, size: int, param) -> jnp.ndarray:
     (defocus of diameter `size`; param ignored) — or a CONCRETE (size,
     size) kernel array (the --psf-file surface; param ignored, the
     array rides the jit graph as a constant). size is static, param
-    may be traced."""
+    may be traced. NOTE: array psf_types are for the CLI/library paths;
+    serve.py's per-request option caches key on psf_type and accept
+    strings only (arrays are unhashable by design there)."""
     if not isinstance(psf_type, str):
         kernel = jnp.asarray(psf_type, jnp.float32)
         if kernel.shape != (size, size):
@@ -158,6 +160,15 @@ def load_psf_file(path: str):
         raise ValueError(f"PSF file {path!r}: need a 2D kernel, got shape {k.shape}")
     if not np.isfinite(k).all():
         raise ValueError(f"PSF file {path!r}: kernel has non-finite values")
+    # a PSF is a light-spread density: negative lobes (a Laplacian/DoG
+    # saved by mistake) would silently corrupt RL's multiplicative
+    # updates. Tiny float noise below zero is clipped, real lobes error.
+    if k.min() < -1e-6 * max(k.max(), 0.0):
+        raise ValueError(
+            f"PSF file {path!r}: kernel has negative entries "
+            f"(min {k.min():.3g}); a PSF must be non-negative"
+        )
+    k = np.clip(k, 0.0, None)
     s = max(k.shape)
     k = np.pad(k, ((0, s - k.shape[0]), (0, s - k.shape[1])))
     total = k.sum()

@@ -343,7 +343,7 @@ class RestorationService:
             pad_mode=pad_mode,
             wb_stats_stride=getattr(args, "wb_stride", 4),
         )
-        # per-(filter, iters, edgetaper) pipeline caches; the defaults
+        # per-(filter, iters, edgetaper, psf_type) pipeline caches; the defaults
         # above stay the warm/startup instances
         self._pipes = {("wiener", 10, False, "motion"): self.pipe}
         self._batcheds = {("wiener", 10, False, "motion"): self.batched}
@@ -370,7 +370,7 @@ class RestorationService:
         )
 
     # per-option pipeline caches are bounded: beyond this many distinct
-    # (filter, iters, edgetaper) combinations the oldest non-default
+    # (filter, iters, edgetaper, psf_type) combinations the oldest non-default
     # entry is evicted (each entry holds compiled executables)
     _MAX_OPT_PIPES = 16
 
@@ -382,8 +382,9 @@ class RestorationService:
                     break
 
     def pipe_for(self, opts):
-        """Single-frame pipeline for (filter_name, rl_iters, edgetaper);
-        lazily built, cached (bounded) for the service lifetime."""
+        """Single-frame pipeline for (filter_name, rl_iters, edgetaper,
+        psf_type); lazily built, cached (bounded) for the service
+        lifetime."""
         if opts not in self._pipes:
             self._evict(self._pipes)
             from fft_restoration_tpu.models.pipeline import (

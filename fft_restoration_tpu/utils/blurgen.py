@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from fft_restoration_tpu.oracle.psf import motion_blur_kernel_oracle
+from fft_restoration_tpu.oracle.psf import make_psf_oracle
 
 
 def blur_image(
@@ -30,8 +30,6 @@ def blur_image(
     """
     img = np.asarray(img_bgr, np.float64)
     h, w = img.shape[:2]
-    from fft_restoration_tpu.oracle.psf import make_psf_oracle
-
     psf = make_psf_oracle(psf_type, psf_length, psf_angle).astype(np.float64)
     # normalize so the blur preserves brightness (the notebook's PSF is
     # sum-normalized before convolution)

@@ -133,6 +133,10 @@ def test_load_psf_file_formats(tmp_path):
     np.save(tmp_path / "nan.npy", np.full((3, 3), np.nan))
     with pytest.raises(ValueError, match="finite"):
         load_psf_file(str(tmp_path / "nan.npy"))
+    lap = np.array([[0, -1, 0], [-1, 5.0, -1], [0, -1, 0]])
+    np.save(tmp_path / "lap.npy", lap)  # positive sum, negative lobes
+    with pytest.raises(ValueError, match="negative"):
+        load_psf_file(str(tmp_path / "lap.npy"))
 
 
 def test_custom_kernel_pipeline_matches_oracle(rng):
@@ -211,6 +215,32 @@ def test_profilers_honor_psf_type(rng):
         img, 9, 2.5, fft_backend="matmul", psf_type="gaussian"
     )
     assert planes.shape == (3, 40, 56)
+
+
+def test_cli_sharded_directory_singleton_honors_psf_type(tmp_path, rng):
+    """Regression: the sharded directory mode's singleton-group pipeline
+    must build the session's PSF family, matching the jit mode's
+    output (it has no oracle verification to catch a wrong kernel)."""
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.utils.imageio import imread, imwrite
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    img = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    imwrite(str(d / "f.png"), img)
+    rc = main(
+        [str(d), "9", "2.5", "--psf-type", "gaussian", "--mode", "sharded",
+         "--fft-backend", "matmul", "-o", str(tmp_path / "out_sh")]
+    )
+    assert rc == 0
+    rc = main(
+        [str(d), "9", "2.5", "--psf-type", "gaussian",
+         "--fft-backend", "matmul", "-o", str(tmp_path / "out_jit")]
+    )
+    assert rc == 0
+    a = imread(str(tmp_path / "out_sh" / "f_restored.png"))
+    b = imread(str(tmp_path / "out_jit" / "f_restored.png"))
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
 def test_cli_psf_type(tmp_path, rng):
