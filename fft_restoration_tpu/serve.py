@@ -22,7 +22,9 @@ API:
                            auto_k=1 (noise-adaptive K from the frame's
                            Immerkaer sigma — K is then ignored).
                            Response: PNG bytes.
-  GET  /healthz            JSON liveness + device + compiled-shape list.
+  GET  /healthz            JSON liveness + device + compiled-shape list
+                           + queue depth / batch occupancy + rolling
+                           p50/p95/p99 request latency (1024-window).
 
 Concurrency: requests are served on a thread pool; device work is
 serialized per process around the single device context. Concurrent
@@ -350,6 +352,12 @@ class RestorationService:
         self.lock = threading.Lock()
         self.n_served = 0
         self.started = time.time()
+        # rolling window of end-to-end request latencies (decode ->
+        # restored PNG) for the /healthz percentiles; deque append is
+        # GIL-atomic, so no extra lock on the hot path
+        from collections import deque
+
+        self._latencies = deque(maxlen=1024)
         self.max_body = int(args.max_body_mb * 1024 * 1024)
         # resolve the device string off-thread: jax.devices() blocks
         # indefinitely when the pool tunnel is down, and /healthz must
@@ -478,6 +486,7 @@ class RestorationService:
 
         from fft_restoration_tpu.utils.imageio import decode_image_bgr, encode_png
 
+        t_req = time.perf_counter()
         # Shared decoder with cli/imread: same format dispatch, same
         # channel canonicalisation (gray / gray+alpha / RGBA -> 3ch BGR),
         # decoder-internal failures normalised to ValueError -> HTTP 400.
@@ -512,10 +521,25 @@ class RestorationService:
         out = self.batcher.submit(
             np.ascontiguousarray(img), length, angle, K, opts
         )
-        return encode_png(out[..., ::-1])  # BGR -> RGB PNG
+        png = encode_png(out[..., ::-1])  # BGR -> RGB PNG
+        self._latencies.append((time.perf_counter() - t_req) * 1e3)
+        return png
 
     def health(self) -> dict:
+        import numpy as np
+
         b = self.batcher
+        lat = np.asarray(self._latencies, np.float64)
+        lat_ms = (
+            {
+                "p50": round(float(np.percentile(lat, 50)), 1),
+                "p95": round(float(np.percentile(lat, 95)), 1),
+                "p99": round(float(np.percentile(lat, 99)), 1),
+                "window": int(lat.size),
+            }
+            if lat.size
+            else None
+        )
         return {
             "status": "ok",
             "backend": self.args.backend,
@@ -525,6 +549,7 @@ class RestorationService:
             ),
             "served": self.n_served,
             "uptime_s": round(time.time() - self.started, 1),
+            "latency_ms": lat_ms,
             "queue_depth": b.queue_depth(),
             "batches_dispatched": b.batches_dispatched,
             "frames_batched": b.frames_batched,

@@ -105,6 +105,9 @@ def test_health_after_serving(server):
     conn.close()
     assert body["served"] >= 1
     assert any("x" in s for s in body["compiled_shapes"])
+    lat = body["latency_ms"]
+    assert lat is not None and lat["window"] >= 1
+    assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"]
 
 
 def test_restore_gray_alpha_png(server):
