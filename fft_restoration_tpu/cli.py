@@ -85,6 +85,26 @@ def build_parser() -> argparse.ArgumentParser:
         "kernel-agnostic; the oracle verifies with the same kernel.",
     )
     p.add_argument(
+        "--tile",
+        type=int,
+        default=0,
+        metavar="N",
+        help="tiled restoration for arbitrarily large frames: cover the "
+        "image with overlapping pow2 NxN tiles, deconvolve them as "
+        "batched stacks (each tile edge-tapered), stitch the cores, "
+        "normalize/white-balance globally. Device memory stays bounded "
+        "by the tile working set regardless of image size. Approximate "
+        "vs the global restore (models/tiled.py docstring); 0 = off.",
+    )
+    p.add_argument(
+        "--tile-overlap",
+        type=int,
+        default=None,
+        metavar="M",
+        help="discarded margin between a tile's read extent and its "
+        "stitched core (default max(2*psf_length, 32))",
+    )
+    p.add_argument(
         "--auto-K",
         dest="auto_K",
         action="store_true",
@@ -667,7 +687,44 @@ def main(argv=None) -> int:
 
     wb = not args.no_white_balance
 
-    if args.mode == "oracle":
+    if args.tile:
+        # Tiled restoration (models/tiled.py): device memory bounded by
+        # the tile working set regardless of frame size. Approximate by
+        # construction (tile-local deconvolution + per-tile taper) —
+        # there is no oracle counterpart, so in-process verification is
+        # vs the global pipeline in tests, not here.
+        if args.mode != "jit":
+            print("[Error] --tile supports --mode jit only")
+            return 2
+        if args.edgetaper:
+            print(
+                "[INFO] --tile tapers every tile by construction; "
+                "--edgetaper is implied"
+            )
+        from fft_restoration_tpu.models.tiled import tiled_restore_image
+
+        t0 = time.perf_counter()
+        try:
+            out = tiled_restore_image(
+                img, args.psf_length, args.psf_angle, args.K,
+                tile=args.tile, overlap=args.tile_overlap,
+                fft_backend=args.fft_backend, fft_engine=args.fft_engine,
+                filter_name=args.filter, rl_iters=args.iters,
+                psf_type=args.psf_type, white_balance=wb,
+            )
+        except ValueError as e:
+            print(f"[Error] {e}")
+            return 2
+        t1 = time.perf_counter()
+        print(
+            f"Deblurring 3 channels took(tiled): {(t1 - t0) * 1e3:.2f} ms"
+        )
+        print(
+            "[INFO] tiled mode is an overlap-discard approximation of "
+            "the global restore (models/tiled.py); oracle verification "
+            "not applicable"
+        )
+    elif args.mode == "oracle":
         if args.filter != "wiener":
             print(
                 f"[INFO] oracle mode implements wiener only; ignoring "

@@ -121,6 +121,7 @@ def restore_planes(
     stage_dtype: str | None = None,
     radices_hw=((), ()),
     rl_iters: int = 10,
+    normalize: bool = True,
 ) -> jnp.ndarray:
     """Restore (..., Hp, Wp) power-of-two — or, with radices_hw, smooth
     mixed-radix — planes with a (S, S) PSF.
@@ -151,6 +152,13 @@ def restore_planes(
     path's transposed/hybrid layout (psf_spectrum_planes) — serving with
     a fixed PSF skips the per-frame PSF transform (~0.15 ms at 2048²).
     Only honored by the pallas backend.
+
+    normalize=False returns the RAW unscaled-inverse planes instead of
+    min-max normalizing them — the tiled-restore path (models/tiled.py)
+    stitches raw tiles and normalizes globally so tile brightness stays
+    consistent. The filter is linear in the input, so raw planes from
+    same-extent transforms are directly comparable. ('rl' ignores it:
+    the RL loop's clipped [0,1] output is already flux-calibrated.)
 
     The (...) leading axes batch channels/images — the TPU equivalent of
     the reference's sequential per-channel loop (serial.cpp:34-39); the
@@ -199,6 +207,7 @@ def restore_planes(
             filter_name=filter_name, img_rows=img_rows,
             psf_spectrum=psf_spectrum, return_norm=return_norm,
             stage_dtype=stage_dtype, radices_hw=radices_hw,
+            normalize=normalize,
         )
     if return_norm:
         raise ValueError("return_norm requires the pallas backend")
@@ -221,7 +230,7 @@ def restore_planes(
     # serial oracle also normalizes the unscaled inverse directly
     # (fft_serial.cpp:229,246 — SURVEY.md §7 item 5). Saves a full
     # elementwise pass over the restored planes.
-    return _minmax_normalize(restored)
+    return _minmax_normalize(restored) if normalize else restored
 
 
 def _spectral_megakernel_profitable(
@@ -299,7 +308,7 @@ def psf_spectrum_planes(psf, hp, wp, engine="mxu", psf_rows=None,
 def _restore_planes_pallas_fused(
     channels, psf_pad, K, psf_rows=None, engine="mxu", filter_name="wiener",
     img_rows=None, psf_spectrum=None, return_norm=False, stage_dtype=None,
-    radices_hw=((), ()),
+    radices_hw=((), ()), normalize=True,
 ):
     """Pallas fast path: revorder (DIF fwd / DIT inv, zero bit-reversal
     passes) row-FFT kernels + fused Wiener kernel, with the filter
@@ -574,7 +583,7 @@ def _restore_planes_pallas_fused(
             hi = jnp.max(restored, axis=(-2, -1))
             scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
             return restored, lo, scale
-        return _minmax_normalize(restored)
+        return _minmax_normalize(restored) if normalize else restored
 
 
 def _restore_core(

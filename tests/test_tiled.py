@@ -1,0 +1,115 @@
+"""Tiled restoration (models/tiled.py): bounded-memory restore of
+arbitrarily large frames, verified against the global pipeline.
+
+The tiled output is approximate by construction (tile-local
+deconvolution; see the module docstring), so the contract is
+structural agreement with the global edge-tapered restore after a
+per-channel affine alignment (the two paths stretch over different
+extents — live frame vs padded plane — so a global gain/offset is
+expected and removed before comparing).
+"""
+
+import numpy as np
+import pytest
+
+from fft_restoration_tpu.models.tiled import tile_grid, tiled_restore_image
+from fft_restoration_tpu.utils.blurgen import blur_image
+from fft_restoration_tpu.utils.verify import psnr
+
+
+def _scene(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 0] = 80 + 100 * np.sin(yy / 17.0) * np.cos(xx / 13.0)
+    img[..., 1] = 60 + 0.5 * xx + 30 * np.sin(xx / 7.0)
+    img[..., 2] = 70 + 0.5 * yy
+    img[60 : h - 60, 100:110] += 120
+    img[120:130, 40 : w - 40] += 90
+    return np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _affine_align(a, b):
+    out = np.empty_like(b)
+    for c in range(3):
+        x, y = b[..., c].ravel(), a[..., c].ravel()
+        A = np.vstack([x, np.ones_like(x)]).T
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        out[..., c] = b[..., c] * coef[0] + coef[1]
+    return out
+
+
+def test_tile_grid_covers_exactly():
+    for extent, tile, ov in ((200, 128, 28), (1030, 1024, 32), (96, 128, 16)):
+        core = tile - 2 * ov
+        starts, cores = tile_grid(extent, tile, core, ov)
+        # cores partition [0, extent)
+        assert cores[0][0] == 0 and cores[-1][1] == extent
+        for (a0, a1), (b0, b1) in zip(cores, cores[1:]):
+            assert a1 == b0
+        # every tile read stays inside the image and contains its core
+        for t0, (c0, c1) in zip(starts, cores):
+            assert 0 <= t0 and t0 + min(tile, extent) <= extent or extent <= tile
+            assert t0 <= c0 and c1 <= t0 + tile
+
+
+def test_tiled_matches_global_after_alignment(rng):
+    h, w, S = 280, 360, 7
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+    blurred = blur_image(_scene(rng, h, w), S, 30.0)
+    glob = (
+        WienerDeblurPipeline(fft_backend="matmul", edgetaper=True)
+        .restore(blurred, S, 30.0)
+        .astype(np.float64)
+    )
+    t = tiled_restore_image(
+        blurred, S, 30.0, tile=128, overlap=32, chunk=4,
+        fft_backend="matmul",
+    )
+    assert t.shape == blurred.shape and t.dtype == np.uint8
+    d = psnr(glob, _affine_align(glob, t.astype(np.float64)), peak=255.0)
+    # measured 29.4 dB (docs/ROUND3.md); the global taper-on/off spread
+    # is 20.7 dB, so >26 means tiled sits well inside the family
+    assert d > 26.0, d
+
+
+def test_tiled_single_tile_small_image(rng):
+    """Frames smaller than one tile take the single-tile path (zero-pad
+    + live-extent taper) and still restore."""
+    img = blur_image(_scene(rng, 150, 200), 7, 30.0)
+    t = tiled_restore_image(
+        img, 7, 30.0, tile=256, overlap=32, fft_backend="matmul"
+    )
+    assert t.shape == (150, 200, 3)
+
+
+def test_tiled_validation_errors(rng):
+    img = blur_image(_scene(rng, 150, 200), 7, 30.0)
+    with pytest.raises(ValueError, match="power of two"):
+        tiled_restore_image(img, 7, 30.0, tile=100)
+    with pytest.raises(ValueError, match="core"):
+        tiled_restore_image(img, 7, 30.0, tile=64, overlap=30)
+    with pytest.raises(ValueError, match="DFT extent"):
+        tiled_restore_image(img, 300, 30.0, tile=256, overlap=8)
+
+
+def test_cli_tile_mode(tmp_path, rng, capsys):
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    src = tmp_path / "in.png"
+    imwrite(str(src), blur_image(_scene(rng, 200, 264), 7, 30.0))
+    rc = main(
+        [str(src), "7", "30", "--tile", "128", "--tile-overlap", "32",
+         "--fft-backend", "matmul", "-o", str(tmp_path / "out.png")]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "took(tiled)" in out and "overlap-discard" in out
+    assert (tmp_path / "out.png").exists()
+    rc = main(
+        [str(src), "7", "30", "--tile", "128", "--mode", "sharded"]
+    )
+    assert rc == 2
