@@ -94,7 +94,8 @@ def build_parser() -> argparse.ArgumentParser:
         "batched stacks (each tile edge-tapered), stitch the cores, "
         "normalize/white-balance globally. Device memory stays bounded "
         "by the tile working set regardless of image size. Approximate "
-        "vs the global restore (models/tiled.py docstring); 0 = off.",
+        "vs the global restore (models/tiled.py docstring); 0 = off. "
+        "Directory input restores per-frame (sizes need not match).",
     )
     p.add_argument(
         "--tile-overlap",
@@ -394,6 +395,48 @@ def _run_batch(args) -> int:
             name, k = f"{base}_{k}", k + 1
         _taken.add(name)
         dst_map[p] = os.path.join(out_dir, name + "_restored.png")
+
+    if args.tile:
+        # tiled mode restores each frame independently (its tiles are
+        # the batch; frame sizes need not match), so no size-grouping
+        if args.mode != "jit":
+            print("[Error] --tile supports --mode jit only")
+            return 2
+        from fft_restoration_tpu.models.tiled import tiled_restore_image
+        from fft_restoration_tpu.utils.imageio import imread, imwrite
+
+        t0 = time.perf_counter()
+        n_done = skipped = 0
+        for p in paths:
+            try:
+                frame = imread(p)
+                if args.auto_K:
+                    from fft_restoration_tpu.models.estimate import (
+                        estimate_noise_K,
+                    )
+
+                    _sigma, args.K = estimate_noise_K(frame)
+                out = tiled_restore_image(
+                    frame, args.psf_length, args.psf_angle, args.K,
+                    tile=args.tile, overlap=args.tile_overlap,
+                    fft_backend=args.fft_backend,
+                    fft_engine=args.fft_engine,
+                    filter_name=args.filter, rl_iters=args.iters,
+                    psf_type=args.psf_type,
+                    white_balance=not args.no_white_balance,
+                )
+                imwrite(dst_map[p], out)
+                n_done += 1
+            except (OSError, ValueError) as e:
+                print(f"[Error] skipping {p!r}: {e}")
+                skipped += 1
+        ms = (time.perf_counter() - t0) * 1e3
+        print(
+            f"Restored {n_done} frames in {ms:.1f} ms "
+            f"({ms / max(n_done, 1):.1f} ms/frame, tiled) -> {out_dir}"
+            + (f" [{skipped} skipped]" if skipped else "")
+        )
+        return 0 if n_done else 1
 
     # group by frame size, skipping unreadable files
     import struct

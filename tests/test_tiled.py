@@ -113,3 +113,24 @@ def test_cli_tile_mode(tmp_path, rng, capsys):
         [str(src), "7", "30", "--tile", "128", "--mode", "sharded"]
     )
     assert rc == 2
+
+
+def test_cli_tile_directory_mode(tmp_path, rng):
+    """--tile with a directory restores every frame per-frame (sizes
+    need not match) and respects --auto-K."""
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    imwrite(str(d / "a.png"), blur_image(_scene(rng, 150, 200), 7, 30.0))
+    imwrite(str(d / "b.png"), blur_image(_scene(rng, 180, 140), 7, 30.0))
+    out = tmp_path / "out"
+    rc = main(
+        [str(d), "7", "30", "--tile", "128", "--tile-overlap", "28",
+         "--auto-K", "--fft-backend", "matmul", "-o", str(out)]
+    )
+    assert rc == 0
+    assert sorted(p.name for p in out.iterdir()) == [
+        "a_restored.png", "b_restored.png"
+    ]
