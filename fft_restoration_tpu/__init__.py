@@ -31,6 +31,10 @@ __all__ = [
     "richardson_lucy_planes",
     "edge_taper_planes",
     "estimate_motion_psf",
+    "estimate_noise_K",
+    "tiled_restore_image",
+    "make_psf",
+    "load_psf_file",
     "__version__",
 ]
 
@@ -66,8 +70,16 @@ def __getattr__(name):
         from fft_restoration_tpu.models.estimate import estimate_motion_psf
 
         return estimate_motion_psf
-    if name == "motion_blur_kernel":
+    if name == "estimate_noise_K":
+        from fft_restoration_tpu.models.estimate import estimate_noise_K
+
+        return estimate_noise_K
+    if name == "tiled_restore_image":
+        from fft_restoration_tpu.models.tiled import tiled_restore_image
+
+        return tiled_restore_image
+    if name in ("motion_blur_kernel", "make_psf", "load_psf_file"):
         from fft_restoration_tpu.ops import psf
 
-        return psf.motion_blur_kernel
+        return getattr(psf, name)
     raise AttributeError(name)
