@@ -1,14 +1,13 @@
 """Tiled restoration for arbitrarily large frames.
 
 The single-frame pipeline transforms the whole padded frame at once,
-so its working set grows with the image: a 16384² frame is ~12 GB of
-SoA planes — past a v5e chip's HBM — and even where it fits, one giant
-FFT wastes the pow2 pad on non-pow2 giants. This module bounds device
-memory to a FIXED tile working set regardless of image size, the way a
-production service restores gigapixel scans: cover the frame with
-overlapping power-of-two tiles, deconvolve every tile independently
-(a batched stack through restore_planes — peak-throughput shapes, one
-PSF spectrum), and stitch the tile CORES (overlap-discard).
+so its FFT working set grows with the image: a 16384² frame is ~12 GB
+of SoA spectral planes — past a v5e chip's HBM — and even where it
+fits, one giant FFT wastes the pow2 pad on non-pow2 giants. This
+module bounds the TRANSFORM working set to one tile regardless of
+image size, the way a production service restores gigapixel scans:
+cover the frame with overlapping power-of-two tiles, deconvolve every
+tile independently, and stitch the tile CORES (overlap-discard).
 
 Correctness model: deconvolution is not local, but the Wiener/CLS
 kernels' spatial support decays fast away from the blur extent, so a
@@ -28,6 +27,21 @@ normalization would seam at every core boundary. ('rl' tiles come back
 clipped to [0,1], flux-calibrated — they are stitched and used as-is,
 matching the RL pipeline's no-stretch semantics.)
 
+Two execution paths:
+
+* device-resident (default): the u8 frame ships to HBM ONCE; a
+  fori_loop gathers each tile with dynamic_slice, restores it, and
+  dynamic_update_slice-stitches its core into the resident planes;
+  normalize + Lab white balance run on device and only the final u8
+  image crosses back. Measured on the pool-tunneled v5e: the first
+  host-stitch implementation moved ~600 MB of f32 planes per 25 MP
+  frame through the tunnel and took minutes; this path moves
+  75 MB u8 + 75 MB u8.
+* host-stitch (device_stitch=False): tiles stream through in chunks
+  and are stitched in NumPy — the fallback when even the RESIDENT
+  planes of a frame (3 f32 + Lab temporaries, ~0.5 GB/gigapixel·36)
+  would not fit next to the tile working set.
+
 The reference has no counterpart (it loads the whole frame always,
 serial.cpp:22-25); cited as the scaling member of the restoration
 family.
@@ -42,7 +56,8 @@ import jax.numpy as jnp
 
 
 def tile_grid(extent: int, tile: int, core: int, overlap: int):
-    """Start offsets of tiles and their core claims along one axis.
+    """Start offsets of tiles and their core claims along one axis
+    (host-stitch path: cores exactly partition [0, extent)).
 
     Returns (tile_starts, core_spans): for each tile i, the tile reads
     [tile_starts[i], tile_starts[i] + tile) of the image and its core
@@ -65,6 +80,115 @@ def tile_grid(extent: int, tile: int, core: int, overlap: int):
     return starts, cores
 
 
+def clamped_grid(extent: int, tile: int, core: int, overlap: int):
+    """Uniform-size grid for the device-resident path: every core is
+    exactly `core` long (a static dynamic_update_slice shape), with the
+    trailing core clamped to end at `extent` — it overlaps its
+    predecessor and overwrites part of it, which is valid restored
+    content either way. Returns (tile_starts, core_starts)."""
+    if extent <= tile:
+        return [0], [0]
+    t_starts, c_starts = [], []
+    for cy in range(0, extent, core):
+        c0 = min(cy, extent - core)
+        if c_starts and c0 <= c_starts[-1]:
+            break
+        c_starts.append(c0)
+        t_starts.append(min(max(c0 - overlap, 0), extent - tile))
+        if c0 == extent - core:
+            break
+    return t_starts, c_starts
+
+
+_DEVICE_FN_CACHE: dict = {}
+
+
+def _device_tiled_fn(
+    h: int,
+    w: int,
+    pad_h: int,
+    pad_w: int,
+    live_h: int,
+    live_w: int,
+    core_h: int,
+    core_w: int,
+    n_tiles: int,
+    psf_length: int,
+    fft_backend: str,
+    fft_engine: str,
+    filter_name: str,
+    rl_iters: int,
+    psf_type,
+    white_balance: bool,
+):
+    """jit graph: (H, W, 3) uint8 frame + tile/core start vectors ->
+    (H, W, 3) uint8 restored. The whole tiled restore — gather,
+    taper, deconvolve, stitch, global normalize, Lab white balance,
+    encode — is ONE device program; only u8 frames cross the tunnel."""
+    from fft_restoration_tpu.models.edgetaper import edge_taper_planes
+    from fft_restoration_tpu.models.pipeline import restore_planes
+    from fft_restoration_tpu.ops.color import (
+        apply_white_balance,
+        bgr_to_lab,
+        lab_to_bgr,
+    )
+    from fft_restoration_tpu.ops.psf import make_psf
+
+    def fn(img_u8, t_y, t_x, c_y, c_x, angle, K):
+        psf = make_psf(psf_type, psf_length, angle)
+        zero = jnp.int32(0)
+
+        def body(i, planes):
+            y0, x0 = t_y[i], t_x[i]
+            tile = jax.lax.dynamic_slice(
+                img_u8, (y0, x0, zero), (live_h, live_w, 3)
+            )
+            x = jnp.moveaxis(tile, -1, 0).astype(jnp.float32) / 255.0
+            x = jnp.pad(
+                x, ((0, 0), (0, pad_h - live_h), (0, pad_w - live_w))
+            )
+            # taper every tile toward its own circular blur: the tile
+            # boundary is an artificial cut through the scene, exactly
+            # the wrap discontinuity the taper suppresses at borders
+            x = edge_taper_planes(
+                x, psf, (live_h, live_w),
+                fft_backend=fft_backend, fft_engine=fft_engine,
+            )
+            raw = restore_planes(
+                x, psf, K, fft_backend=fft_backend,
+                filter_name=filter_name, fft_engine=fft_engine,
+                rl_iters=rl_iters, normalize=False,
+            )
+            cy0, cx0 = c_y[i], c_x[i]
+            blk = jax.lax.dynamic_slice(
+                raw, (zero, cy0 - y0, cx0 - x0), (3, core_h, core_w)
+            )
+            return jax.lax.dynamic_update_slice(
+                planes, blk, (zero, cy0, cx0)
+            )
+
+        planes = jax.lax.fori_loop(
+            0, n_tiles, body, jnp.zeros((3, h, w), jnp.float32)
+        )
+        if filter_name == "rl":
+            planes = jnp.clip(planes, 0.0, 1.0)
+        else:
+            lo = jnp.min(planes, axis=(-2, -1), keepdims=True)
+            hi = jnp.max(planes, axis=(-2, -1), keepdims=True)
+            planes = (planes - lo) * jnp.where(
+                hi > lo, 1.0 / (hi - lo), 0.0
+            )
+        merged = jnp.moveaxis(planes, 0, -1)
+        if white_balance:
+            orig = img_u8.astype(jnp.float32) / jnp.float32(255.0)
+            merged = lab_to_bgr(
+                apply_white_balance(bgr_to_lab(merged), bgr_to_lab(orig))
+            )
+        return jnp.clip(merged * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+    return jax.jit(fn)
+
+
 def _chunk_restore_fn(
     tile_h: int,
     tile_w: int,
@@ -77,11 +201,8 @@ def _chunk_restore_fn(
     rl_iters: int,
     psf_type,
 ):
-    """jit-compiled (B, 3, tile_h, tile_w) uint8 -> raw restored planes.
-
-    tile_h/tile_w are pow2 so the pad is free; live_h/live_w mark the
-    dense extent when the whole image is smaller than one tile (the
-    zero-pad case the edge taper is built for)."""
+    """Host-stitch path: jit-compiled (B, 3, tile_h, tile_w) uint8 ->
+    raw restored planes (fetched to the host per chunk)."""
     from fft_restoration_tpu.models.edgetaper import edge_taper_planes
     from fft_restoration_tpu.models.pipeline import restore_planes
     from fft_restoration_tpu.ops.psf import make_psf
@@ -98,9 +219,6 @@ def _chunk_restore_fn(
                 (0, tile_w - x.shape[-1]),
             ),
         )
-        # taper every tile toward its own circular blur: the tile
-        # boundary is an artificial cut through the scene, exactly the
-        # wrap discontinuity the taper suppresses at frame borders
         x = edge_taper_planes(
             x, psf, (live_h, live_w),
             fft_backend=fft_backend, fft_engine=fft_engine,
@@ -128,16 +246,23 @@ def tiled_restore_image(
     rl_iters: int = 10,
     psf_type="motion",
     white_balance: bool = True,
+    device_stitch: bool = True,
 ) -> np.ndarray:
     """(H, W, 3) uint8 BGR of ANY size -> (H, W, 3) uint8 restored,
-    with device memory bounded by `chunk` tiles of `tile`² regardless
-    of H and W.
+    with the transform working set bounded by the tile regardless of
+    H and W.
 
     tile must be a power of two (the tile transform then pays zero pow2
     pad). overlap defaults to max(2*psf_length, 32) — the discarded
     margin between a tile's read extent and its stitched core; larger
     overlap = closer to the global restore, more redundant compute
     (read amplification = (tile/(tile-2*overlap))²).
+
+    device_stitch=True (default) runs gather/stitch/normalize/WB on
+    device and moves only u8 frames over the host link (module
+    docstring); False streams raw tile planes back and stitches in
+    NumPy — for frames whose resident planes would crowd out the tile
+    working set.
     """
     from fft_restoration_tpu.utils.padding import is_power_of_two
 
@@ -155,16 +280,47 @@ def tiled_restore_image(
             f"(core {core} < 8); raise --tile or lower the overlap"
         )
     h, w = img.shape[:2]
-
-    ys, ycores = tile_grid(h, tile, core, overlap)
-    xs, xcores = tile_grid(w, tile, core, overlap)
     th, tw = min(tile, h), min(tile, w)  # dense tile read extent
-    if psf_length > min(
-        1 << (th - 1).bit_length(), 1 << (tw - 1).bit_length()
-    ):
+    pad_h, pad_w = 1 << (th - 1).bit_length(), 1 << (tw - 1).bit_length()
+    if psf_length > min(pad_h, pad_w):
         raise ValueError(
             f"psf_length {psf_length} exceeds the tile DFT extent"
         )
+
+    if device_stitch:
+        ys, cys = clamped_grid(h, tile, core, overlap)
+        xs, cxs = clamped_grid(w, tile, core, overlap)
+        core_h = h if h <= tile else core
+        core_w = w if w <= tile else core
+        fn_args = (
+            h, w, pad_h, pad_w, th, tw, core_h, core_w,
+            len(ys) * len(xs), psf_length, fft_backend, fft_engine,
+            filter_name, rl_iters, psf_type, white_balance,
+        )
+        if isinstance(psf_type, str):
+            # same-shape frames (a directory of scans) reuse one jit fn
+            # instead of re-tracing per frame; ndarray kernels skip the
+            # cache (unhashable, and typically one-off)
+            if fn_args not in _DEVICE_FN_CACHE:
+                if len(_DEVICE_FN_CACHE) >= 8:
+                    _DEVICE_FN_CACHE.pop(next(iter(_DEVICE_FN_CACHE)))
+                _DEVICE_FN_CACHE[fn_args] = _device_tiled_fn(*fn_args)
+            fn = _DEVICE_FN_CACHE[fn_args]
+        else:
+            fn = _device_tiled_fn(*fn_args)
+        t_y = np.repeat(np.asarray(ys, np.int32), len(xs))
+        t_x = np.tile(np.asarray(xs, np.int32), len(ys))
+        c_y = np.repeat(np.asarray(cys, np.int32), len(xs))
+        c_x = np.tile(np.asarray(cxs, np.int32), len(ys))
+        out = fn(
+            jnp.asarray(img), jnp.asarray(t_y), jnp.asarray(t_x),
+            jnp.asarray(c_y), jnp.asarray(c_x),
+            jnp.float32(psf_angle), jnp.float32(K),
+        )
+        return np.asarray(out)
+
+    ys, ycores = tile_grid(h, tile, core, overlap)
+    xs, xcores = tile_grid(w, tile, core, overlap)
 
     # gather the tile stack (host): (B, 3, th, tw) uint8
     tiles = np.empty((len(ys) * len(xs), 3, th, tw), np.uint8)
@@ -177,10 +333,8 @@ def tiled_restore_image(
             b += 1
 
     fn = _chunk_restore_fn(
-        # pad the read extent up to the pow2 tile inside the graph
-        1 << (th - 1).bit_length(), 1 << (tw - 1).bit_length(),
-        th, tw, psf_length, fft_backend, fft_engine, filter_name,
-        rl_iters, psf_type,
+        pad_h, pad_w, th, tw, psf_length, fft_backend, fft_engine,
+        filter_name, rl_iters, psf_type,
     )
     ang = jnp.float32(psf_angle)
     k = jnp.float32(K)

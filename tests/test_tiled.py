@@ -54,6 +54,39 @@ def test_tile_grid_covers_exactly():
             assert t0 <= c0 and c1 <= t0 + tile
 
 
+def test_clamped_grid_covers_with_uniform_cores():
+    from fft_restoration_tpu.models.tiled import clamped_grid
+
+    for extent, tile, ov in ((200, 128, 28), (1030, 1024, 32), (500, 256, 40)):
+        core = tile - 2 * ov
+        starts, cstarts = clamped_grid(extent, tile, core, ov)
+        covered = np.zeros(extent, bool)
+        for c0 in cstarts:
+            assert 0 <= c0 <= extent - core
+            covered[c0 : c0 + core] = True
+        assert covered.all()
+        for t0, c0 in zip(starts, cstarts):
+            assert 0 <= t0 <= extent - tile
+            assert t0 <= c0 and c0 + core <= t0 + tile
+
+
+def test_device_and_host_stitch_agree(rng):
+    """The device-resident path (dynamic_slice gather + resident stitch
+    + on-device WB) matches the host-stitch path to 1 uint8 count —
+    they differ only in the clamped-core overwrite bands and float
+    summation order."""
+    img = blur_image(_scene(rng, 200, 264), 7, 30.0)
+    a = tiled_restore_image(
+        img, 7, 30.0, tile=128, overlap=32, fft_backend="matmul",
+        device_stitch=True,
+    )
+    b = tiled_restore_image(
+        img, 7, 30.0, tile=128, overlap=32, fft_backend="matmul",
+        device_stitch=False,
+    )
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
 def test_tiled_matches_global_after_alignment(rng):
     h, w, S = 280, 360, 7
     from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
