@@ -489,7 +489,13 @@ def _restore_planes_pallas_fused(
         blk = 1 << (min(256, rows_per_plane).bit_length() - 1)
         while blk >= 8 and rows_per_plane % blk:
             blk //= 2
-        fuse_mm = blk >= 8 and rows_per_plane % blk == 0
+        # normalize=False callers want RAW planes: skip the minmax
+        # fusion (its only job is producing the normalized output)
+        fuse_mm = (
+            blk >= 8
+            and rows_per_plane % blk == 0
+            and (normalize or return_norm)
+        )
         if fuse_mm and r_re.ndim == 3:
             # final pass writes channel-INTERLEAVED planes directly
             # (fft_rows_packed_out): the unpack never materializes as a

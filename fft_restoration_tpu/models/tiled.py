@@ -137,6 +137,19 @@ def _device_tiled_fn(
     def fn(img_u8, t_y, t_x, c_y, c_x, angle, K):
         psf = make_psf(psf_type, psf_length, angle)
         zero = jnp.int32(0)
+        # the PSF spectrum is tile-invariant: hoist its transform out of
+        # the loop (pallas layout; the matmul backend ignores the hint
+        # and keeps its own loop-invariant subgraph for XLA to hoist)
+        H = None
+        if fft_backend == "pallas" and min(pad_h, pad_w) >= 128:
+            from fft_restoration_tpu.models.pipeline import (
+                psf_spectrum_planes,
+            )
+
+            H = psf_spectrum_planes(
+                psf, pad_h, pad_w, engine=fft_engine,
+                psf_rows=psf_length,
+            )
 
         def body(i, planes):
             y0, x0 = t_y[i], t_x[i]
@@ -153,11 +166,12 @@ def _device_tiled_fn(
             x = edge_taper_planes(
                 x, psf, (live_h, live_w),
                 fft_backend=fft_backend, fft_engine=fft_engine,
+                psf_spectrum=H,
             )
             raw = restore_planes(
                 x, psf, K, fft_backend=fft_backend,
                 filter_name=filter_name, fft_engine=fft_engine,
-                rl_iters=rl_iters, normalize=False,
+                rl_iters=rl_iters, normalize=False, psf_spectrum=H,
             )
             cy0, cx0 = c_y[i], c_x[i]
             blk = jax.lax.dynamic_slice(

@@ -167,3 +167,16 @@ def test_cli_tile_directory_mode(tmp_path, rng):
     assert sorted(p.name for p in out.iterdir()) == [
         "a_restored.png", "b_restored.png"
     ]
+
+
+def test_tiled_pallas_matches_matmul(rng):
+    """The pallas tile path (hoisted PSF spectrum through the fused
+    kernels, interpret mode here) agrees with the matmul tile path."""
+    img = blur_image(_scene(rng, 140, 200), 7, 30.0)
+    a = tiled_restore_image(
+        img, 7, 30.0, tile=128, overlap=28, fft_backend="pallas"
+    )
+    b = tiled_restore_image(
+        img, 7, 30.0, tile=128, overlap=28, fft_backend="matmul"
+    )
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
