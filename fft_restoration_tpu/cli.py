@@ -113,7 +113,7 @@ def build_parser() -> argparse.ArgumentParser:
         "sigma (Immerkaer stencil, models/estimate.py) and set K to the "
         "measured noise-to-signal power ratio instead of the fixed -K "
         "(the reference hardcodes K=0.01). Directories estimate once "
-        "per size-group from its first frame.",
+        "per size-group from its first frame (per frame with --tile).",
     )
     p.add_argument(
         "--psf-file",
@@ -402,8 +402,21 @@ def _run_batch(args) -> int:
         if args.mode != "jit":
             print("[Error] --tile supports --mode jit only")
             return 2
-        from fft_restoration_tpu.models.tiled import tiled_restore_image
+        from fft_restoration_tpu.models.tiled import (
+            tiled_restore_image,
+            validate_tile_params,
+        )
         from fft_restoration_tpu.utils.imageio import imread, imwrite
+
+        try:
+            # frame-independent config errors fail ONCE up front (exit
+            # 2, like the single-frame branch) instead of once per file
+            validate_tile_params(
+                args.tile, args.tile_overlap, args.psf_length
+            )
+        except ValueError as e:
+            print(f"[Error] {e}")
+            return 2
 
         t0 = time.perf_counter()
         n_done = skipped = 0
@@ -744,6 +757,14 @@ def main(argv=None) -> int:
                 "[INFO] --tile tapers every tile by construction; "
                 "--edgetaper is implied"
             )
+        for flag, active in (
+            ("--pad smooth", args.pad == "smooth"),
+            ("--wb-stride", args.wb_stride != 1),
+            ("--stage-dtype", args.stage_dtype == "bf16"),
+            ("--profile", bool(args.profile)),
+        ):
+            if active:
+                print(f"[INFO] {flag} is not supported in tiled mode; ignored")
         from fft_restoration_tpu.models.tiled import tiled_restore_image
 
         t0 = time.perf_counter()

@@ -80,6 +80,27 @@ def tile_grid(extent: int, tile: int, core: int, overlap: int):
     return starts, cores
 
 
+def validate_tile_params(tile: int, overlap, psf_length: int):
+    """Frame-independent --tile validation, shared with the CLI's
+    directory mode (which checks ONCE before its per-frame loop).
+    Returns (overlap, core)."""
+    from fft_restoration_tpu.utils.padding import is_power_of_two
+
+    if not is_power_of_two(tile):
+        raise ValueError(f"tile must be a power of two, got {tile}")
+    if overlap is None:
+        overlap = max(2 * psf_length, 32)
+    if overlap < 0:
+        raise ValueError(f"tile overlap must be >= 0, got {overlap}")
+    core = tile - 2 * overlap
+    if core < 8:
+        raise ValueError(
+            f"tile {tile} too small for overlap {overlap} "
+            f"(core {core} < 8); raise --tile or lower the overlap"
+        )
+    return overlap, core
+
+
 def clamped_grid(extent: int, tile: int, core: int, overlap: int):
     """Uniform-size grid for the device-resident path: every core is
     exactly `core` long (a static dynamic_update_slice shape), with the
@@ -187,11 +208,11 @@ def _device_tiled_fn(
         if filter_name == "rl":
             planes = jnp.clip(planes, 0.0, 1.0)
         else:
-            lo = jnp.min(planes, axis=(-2, -1), keepdims=True)
-            hi = jnp.max(planes, axis=(-2, -1), keepdims=True)
-            planes = (planes - lo) * jnp.where(
-                hi > lo, 1.0 / (hi - lo), 0.0
+            from fft_restoration_tpu.models.pipeline import (
+                _minmax_normalize,
             )
+
+            planes = _minmax_normalize(planes)
         merged = jnp.moveaxis(planes, 0, -1)
         if white_balance:
             orig = img_u8.astype(jnp.float32) / jnp.float32(255.0)
@@ -278,21 +299,10 @@ def tiled_restore_image(
     NumPy — for frames whose resident planes would crowd out the tile
     working set.
     """
-    from fft_restoration_tpu.utils.padding import is_power_of_two
-
     img = np.asarray(img_bgr)
     if img.ndim != 3 or img.shape[-1] != 3:
         raise ValueError(f"expected (H, W, 3) BGR, got {img.shape}")
-    if not is_power_of_two(tile):
-        raise ValueError(f"tile must be a power of two, got {tile}")
-    if overlap is None:
-        overlap = max(2 * psf_length, 32)
-    core = tile - 2 * overlap
-    if core < 8:
-        raise ValueError(
-            f"tile {tile} too small for overlap {overlap} "
-            f"(core {core} < 8); raise --tile or lower the overlap"
-        )
+    overlap, core = validate_tile_params(tile, overlap, psf_length)
     h, w = img.shape[:2]
     th, tw = min(tile, h), min(tile, w)  # dense tile read extent
     pad_h, pad_w = 1 << (th - 1).bit_length(), 1 << (tw - 1).bit_length()
@@ -311,17 +321,21 @@ def tiled_restore_image(
             len(ys) * len(xs), psf_length, fft_backend, fft_engine,
             filter_name, rl_iters, psf_type, white_balance,
         )
-        if isinstance(psf_type, str):
-            # same-shape frames (a directory of scans) reuse one jit fn
-            # instead of re-tracing per frame; ndarray kernels skip the
-            # cache (unhashable, and typically one-off)
-            if fn_args not in _DEVICE_FN_CACHE:
-                if len(_DEVICE_FN_CACHE) >= 8:
-                    _DEVICE_FN_CACHE.pop(next(iter(_DEVICE_FN_CACHE)))
-                _DEVICE_FN_CACHE[fn_args] = _device_tiled_fn(*fn_args)
-            fn = _DEVICE_FN_CACHE[fn_args]
-        else:
-            fn = _device_tiled_fn(*fn_args)
+        # same-shape frames (a directory of scans) reuse one jit fn
+        # instead of re-tracing — and, on hardware, re-Mosaic-compiling
+        # — per frame. ndarray kernels (--psf-file) key by their bytes:
+        # a tiled scan directory reuses one compile for one kernel.
+        psf_key = (
+            psf_type
+            if isinstance(psf_type, str)
+            else (np.asarray(psf_type).tobytes(), np.asarray(psf_type).shape)
+        )
+        key = fn_args[:-2] + (psf_key, white_balance)
+        if key not in _DEVICE_FN_CACHE:
+            if len(_DEVICE_FN_CACHE) >= 8:
+                _DEVICE_FN_CACHE.pop(next(iter(_DEVICE_FN_CACHE)))
+            _DEVICE_FN_CACHE[key] = _device_tiled_fn(*fn_args)
+        fn = _DEVICE_FN_CACHE[key]
         t_y = np.repeat(np.asarray(ys, np.int32), len(xs))
         t_x = np.tile(np.asarray(xs, np.int32), len(ys))
         c_y = np.repeat(np.asarray(cys, np.int32), len(xs))
@@ -335,16 +349,11 @@ def tiled_restore_image(
 
     ys, ycores = tile_grid(h, tile, core, overlap)
     xs, xcores = tile_grid(w, tile, core, overlap)
-
-    # gather the tile stack (host): (B, 3, th, tw) uint8
-    tiles = np.empty((len(ys) * len(xs), 3, th, tw), np.uint8)
-    b = 0
-    for y0 in ys:
-        for x0 in xs:
-            tiles[b] = np.moveaxis(
-                img[y0 : y0 + th, x0 : x0 + tw], -1, 0
-            )
-            b += 1
+    coords = [
+        (y0, x0, yc, xc)
+        for y0, yc in zip(ys, ycores)
+        for x0, xc in zip(xs, xcores)
+    ]
 
     fn = _chunk_restore_fn(
         pad_h, pad_w, th, tw, psf_length, fft_backend, fft_engine,
@@ -353,27 +362,28 @@ def tiled_restore_image(
     ang = jnp.float32(psf_angle)
     k = jnp.float32(K)
 
-    raw = np.empty((tiles.shape[0], 3, th, tw), np.float32)
-    for i in range(0, tiles.shape[0], chunk):
-        blk = tiles[i : i + chunk]
-        n = blk.shape[0]
-        if n < chunk:
+    # stream chunk-sized temporaries only: gather this chunk's tiles,
+    # restore, stitch its cores, drop — peak host footprint is the
+    # (3, h, w) planes buffer + one chunk, the point of this fallback
+    planes = np.empty((3, h, w), np.float32)
+    for i in range(0, len(coords), chunk):
+        cc = coords[i : i + chunk]
+        blk = np.stack(
+            [
+                np.moveaxis(img[y0 : y0 + th, x0 : x0 + tw], -1, 0)
+                for y0, x0, _, _ in cc
+            ]
+        )
+        if len(cc) < chunk:
             # pad the last chunk to the fixed batch (one compiled graph)
             blk = np.concatenate(
-                [blk, np.repeat(blk[-1:], chunk - n, axis=0)]
+                [blk, np.repeat(blk[-1:], chunk - len(cc), axis=0)]
             )
         out = np.asarray(fn(jnp.asarray(blk), ang, k))
-        raw[i : i + n] = out[:n, :, :th, :tw]
-
-    # stitch the cores into the global raw planes
-    planes = np.empty((3, h, w), np.float32)
-    b = 0
-    for y0, (cy0, cy1) in zip(ys, ycores):
-        for x0, (cx0, cx1) in zip(xs, xcores):
-            planes[:, cy0:cy1, cx0:cx1] = raw[
-                b, :, cy0 - y0 : cy1 - y0, cx0 - x0 : cx1 - x0
+        for j, (y0, x0, (cy0, cy1), (cx0, cx1)) in enumerate(cc):
+            planes[:, cy0:cy1, cx0:cx1] = out[
+                j, :, cy0 - y0 : cy1 - y0, cx0 - x0 : cx1 - x0
             ]
-            b += 1
 
     # ONE global stretch (the untiled pipeline's semantics, at frame
     # scope); RL tiles are already flux-calibrated in [0,1]

@@ -180,3 +180,35 @@ def test_tiled_pallas_matches_matmul(rng):
         img, 7, 30.0, tile=128, overlap=28, fft_backend="matmul"
     )
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+
+def test_tiled_negative_overlap_and_batch_validation(tmp_path, rng):
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    img = blur_image(_scene(rng, 150, 200), 7, 30.0)
+    with pytest.raises(ValueError, match=">= 0"):
+        tiled_restore_image(img, 7, 30.0, tile=128, overlap=-16)
+    # directory config error fails ONCE with exit code 2
+    d = tmp_path / "frames"
+    d.mkdir()
+    imwrite(str(d / "a.png"), img)
+    rc = main([str(d), "7", "30", "--tile", "100", "-o", str(tmp_path / "o")])
+    assert rc == 2
+
+
+def test_device_fn_cache_reuses_array_kernels(rng):
+    """--psf-file kernels key the device-fn cache by bytes: a directory
+    of same-shape frames reuses one compiled graph per kernel."""
+    from fft_restoration_tpu.models.tiled import _DEVICE_FN_CACHE
+    from fft_restoration_tpu.oracle.psf import gaussian_kernel_oracle
+
+    _DEVICE_FN_CACHE.clear()
+    img = blur_image(_scene(rng, 150, 200), 7, 1.7, psf_type="gaussian")
+    k = gaussian_kernel_oracle(7, 1.7)
+    tiled_restore_image(img, 7, 0.0, tile=128, psf_type=k,
+                        fft_backend="matmul")
+    assert len(_DEVICE_FN_CACHE) == 1
+    tiled_restore_image(img, 7, 0.0, tile=128, psf_type=k.copy(),
+                        fft_backend="matmul")
+    assert len(_DEVICE_FN_CACHE) == 1  # same bytes -> same entry
