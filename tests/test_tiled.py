@@ -212,3 +212,28 @@ def test_device_fn_cache_reuses_array_kernels(rng):
     tiled_restore_image(img, 7, 0.0, tile=128, psf_type=k.copy(),
                         fft_backend="matmul")
     assert len(_DEVICE_FN_CACHE) == 1  # same bytes -> same entry
+
+
+def test_tiled_rl_matches_untiled(rng):
+    """RL through the tiled path: clipped flux-calibrated tiles are
+    stitched as-is (no global stretch) and match the UNTILED RL
+    pipeline to ~1 uint8 count on a frame small enough to run both
+    (the tiling contract; RL's deblur quality itself is covered by
+    tests/test_richardson_lucy.py with the shift-free kernel)."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+
+    h, w, S = 150, 200, 5
+    sharp = np.zeros((h, w, 3), np.uint8)
+    sharp[40:110, 60:70] = 255
+    sharp[70:80, 30:170] = 200
+    blurred = blur_image(sharp, S, 0.0, psf_type="disk")
+    t = tiled_restore_image(
+        blurred, S, 0.0, tile=128, overlap=28, fft_backend="matmul",
+        filter_name="rl", rl_iters=15, psf_type="disk",
+        white_balance=False,
+    )
+    g = WienerDeblurPipeline(
+        fft_backend="matmul", filter_name="rl", rl_iters=15,
+        psf_type="disk", white_balance=False,
+    ).restore(blurred, S, 0.0)
+    assert np.abs(t.astype(int) - g.astype(int)).max() <= 2
