@@ -20,7 +20,10 @@ API:
                            then ignored), psf_type=motion|gaussian|disk
                            (gaussian reuses psf_angle as sigma),
                            auto_k=1 (noise-adaptive K from the frame's
-                           Immerkaer sigma — K is then ignored).
+                           Immerkaer sigma — K is then ignored),
+                           tile=N [tile_overlap=M] (device-resident
+                           tiled restore for giant frames,
+                           models/tiled.py — bypasses the batcher).
                            Response: PNG bytes.
   GET  /healthz            JSON liveness + device + compiled-shape list
                            + queue depth / batch occupancy + rolling
@@ -480,7 +483,7 @@ class RestorationService:
     def restore(
         self, blob: bytes, length: int, angle: float, K: float,
         opts=("wiener", 10, False, "motion"), estimate: bool = False,
-        auto_k: bool = False,
+        auto_k: bool = False, tile: int = 0, tile_overlap=None,
     ) -> bytes:
         import numpy as np
 
@@ -518,6 +521,29 @@ class RestorationService:
             # the batch key)
             with self.lock:
                 _sigma, K = estimate_noise_K(img)
+        if tile:
+            # giant frames route through the device-resident tiled
+            # restore (models/tiled.py) — the frame's own tiles are the
+            # batch, so it bypasses the request batcher; validation
+            # errors surface as ValueError -> HTTP 400
+            from fft_restoration_tpu.models.tiled import (
+                tiled_restore_image,
+            )
+
+            f, iters, taper, ptype = opts
+            with self.lock:
+                out = tiled_restore_image(
+                    img, length, angle, K,
+                    tile=tile, overlap=tile_overlap,
+                    fft_backend=self.args.backend,
+                    fft_engine=self.args.fft_engine,
+                    filter_name=f, rl_iters=iters, psf_type=ptype,
+                    white_balance=not self.args.no_white_balance,
+                )
+                self.n_served += 1
+            png = encode_png(out[..., ::-1])
+            self._latencies.append((time.perf_counter() - t_req) * 1e3)
+            return png
         out = self.batcher.submit(
             np.ascontiguousarray(img), length, angle, K, opts
         )
@@ -624,6 +650,12 @@ def make_handler(service: RestorationService):
                         "estimate=1 identifies linear motion blur only"
                     )
                 auto_k = bool(one("auto_k", int, 0))
+                tile = one("tile", int, 0)
+                if tile and not 128 <= tile <= 4096:
+                    raise ValueError(
+                        "bad query param 'tile' (pow2 in 128..4096, or 0)"
+                    )
+                tile_overlap = one("tile_overlap", int, None)
                 n = int(self.headers.get("Content-Length", 0))
                 if n <= 0:
                     raise ValueError("empty body")
@@ -640,7 +672,7 @@ def make_handler(service: RestorationService):
                 png = service.restore(
                     blob, length, angle, K,
                     opts=(filt, iters, taper, ptype), estimate=estimate,
-                    auto_k=auto_k,
+                    auto_k=auto_k, tile=tile, tile_overlap=tile_overlap,
                 )
             except ValueError as e:
                 self._send(

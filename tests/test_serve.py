@@ -448,3 +448,20 @@ def test_restore_auto_k(server):
     assert out.shape == (40, 48, 3)
     status, _ = _post(server, "/restore?auto_k=2", encode_png(img))
     assert status == 200  # any nonzero int is truthy; 0 disables
+
+
+def test_restore_tiled_param(server):
+    """tile=N routes through the device-resident tiled restore; bad
+    tile values are 400."""
+    rng = np.random.default_rng(12)
+    img = (rng.random((150, 200, 3)) * 255).astype(np.uint8)
+    status, data = _post(
+        server, "/restore?tile=128&tile_overlap=28", encode_png(img)
+    )
+    assert status == 200
+    out = decode_png(data)
+    assert out.shape == (150, 200, 3)
+    status, _ = _post(server, "/restore?tile=100", encode_png(img))
+    assert status == 400  # not pow2 (models/tiled validation)
+    status, _ = _post(server, "/restore?tile=64", encode_png(img))
+    assert status == 400  # outside 128..4096
