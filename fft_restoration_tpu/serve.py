@@ -23,7 +23,13 @@ API:
                            Immerkaer sigma — K is then ignored),
                            tile=N [tile_overlap=M] (device-resident
                            tiled restore for giant frames,
-                           models/tiled.py — bypasses the batcher).
+                           models/tiled.py — bypasses the batcher;
+                           edgetaper= is ignored there, every tile is
+                           tapered by construction; raise
+                           --max-body-mb for giant uploads; the FIRST
+                           request per frame shape compiles under the
+                           device lock — send a warmup request before
+                           taking traffic).
                            Response: PNG bytes.
   GET  /healthz            JSON liveness + device + compiled-shape list
                            + queue depth / batch occupancy + rolling
@@ -554,6 +560,11 @@ class RestorationService:
     def health(self) -> dict:
         import numpy as np
 
+        def _tiled_cache():
+            from fft_restoration_tpu.models.tiled import _DEVICE_FN_CACHE
+
+            return _DEVICE_FN_CACHE
+
         b = self.batcher
         lat = np.asarray(self._latencies, np.float64)
         lat_ms = (
@@ -572,6 +583,11 @@ class RestorationService:
             "device": self.device_str,
             "compiled_shapes": sorted(
                 f"{h}x{w}" for (h, w, *_rest) in self.pipe._cache
+            ),
+            # tiled compiles live in models/tiled's own cache — surface
+            # them so compile churn on the giant-frame path is visible
+            "tiled_shapes": sorted(
+                f"{h}x{w}" for (h, w, *_rest) in _tiled_cache()
             ),
             "served": self.n_served,
             "uptime_s": round(time.time() - self.started, 1),

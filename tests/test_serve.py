@@ -461,7 +461,13 @@ def test_restore_tiled_param(server):
     assert status == 200
     out = decode_png(data)
     assert out.shape == (150, 200, 3)
-    status, _ = _post(server, "/restore?tile=100", encode_png(img))
-    assert status == 400  # not pow2 (models/tiled validation)
     status, _ = _post(server, "/restore?tile=64", encode_png(img))
-    assert status == 400  # outside 128..4096
+    assert status == 400  # handler range check (128..4096)
+    status, data = _post(server, "/restore?tile=192", encode_png(img))
+    assert status == 400  # in range but not pow2: models/tiled ValueError
+    assert b"power of two" in data
+    conn = http.client.HTTPConnection(*server, timeout=30)
+    conn.request("GET", "/healthz")
+    health = json.loads(conn.getresponse().read())
+    conn.close()
+    assert "150x200" in health["tiled_shapes"]
