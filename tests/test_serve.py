@@ -471,3 +471,31 @@ def test_restore_tiled_param(server):
     health = json.loads(conn.getresponse().read())
     conn.close()
     assert "150x200" in health["tiled_shapes"]
+
+
+def test_tiled_and_batched_requests_interleave(server):
+    """A tiled request and normal requests in flight together: the
+    shared device lock serializes them and everyone gets a 200."""
+    rng = np.random.default_rng(13)
+    big = (rng.random((150, 200, 3)) * 255).astype(np.uint8)
+    small = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    results = {}
+
+    def worker(name, path, img):
+        results[name] = _post(server, path, encode_png(img))
+
+    threads = [
+        threading.Thread(
+            target=worker, args=("tile", "/restore?tile=128", big)
+        )
+    ] + [
+        threading.Thread(target=worker, args=(f"n{i}", "/restore", small))
+        for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(status == 200 for status, _ in results.values()), {
+        k: v[0] for k, v in results.items()
+    }
