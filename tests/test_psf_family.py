@@ -263,3 +263,23 @@ def test_cli_psf_type(tmp_path, rng):
     assert rc == 0
     with pytest.raises(SystemExit):
         main([str(src), "7", "0", "--psf-type", "disk", "--estimate-psf"])
+
+
+def test_sharded_custom_kernel_matches_single(rng):
+    """A --psf-file kernel flows through the sharded path too."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+    from fft_restoration_tpu.parallel.mesh import make_mesh
+    from fft_restoration_tpu.parallel.sharded_pipeline import (
+        ShardedWienerPipeline,
+    )
+
+    k = np.asarray(rng.random((7, 7)), np.float32)
+    k /= k.sum()
+    img = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    a = ShardedWienerPipeline(
+        mesh=make_mesh(8), fft_backend="matmul", psf_type=k
+    ).restore(img, 7, 0.0)
+    b = WienerDeblurPipeline(fft_backend="matmul", psf_type=k).restore(
+        img, 7, 0.0
+    )
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1

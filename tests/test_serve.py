@@ -499,3 +499,28 @@ def test_tiled_and_batched_requests_interleave(server):
     assert all(status == 200 for status, _ in results.values()), {
         k: v[0] for k, v in results.items()
     }
+
+
+def test_tiled_with_estimate_and_auto_k(server):
+    """estimate=1 and auto_k=1 compose with tile=N: blind parameters
+    feed the tiled restore."""
+    from fft_restoration_tpu.utils.blurgen import blur_image
+
+    rng = np.random.default_rng(14)
+    yy, xx = np.mgrid[0:150, 0:200]
+    scene = np.zeros((150, 200, 3), np.float32)
+    scene[..., 0] = 80 + 100 * np.sin(yy / 17.0) * np.cos(xx / 13.0)
+    scene[..., 1] = 60 + 0.5 * xx
+    scene[..., 2] = 70 + 0.5 * yy
+    scene[40:110, 90:100] += 120
+    img = blur_image(
+        np.clip(scene + rng.normal(0, 3, scene.shape), 0, 255).astype(
+            np.uint8
+        ),
+        13, 45.0,
+    )
+    status, data = _post(
+        server, "/restore?tile=128&estimate=1&auto_k=1", encode_png(img)
+    )
+    assert status == 200
+    assert decode_png(data).shape == (150, 200, 3)
