@@ -127,8 +127,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--warmup",
         nargs="*",
         default=[],
-        metavar="HxW",
-        help="frame geometries (HEIGHTxWIDTH) to pre-compile at startup",
+        metavar="HxW[@tileN]",
+        help="frame geometries (HEIGHTxWIDTH) to pre-compile at "
+        "startup; 'HxW@tileN' pre-compiles the tiled graph for that "
+        "frame shape (tile=N requests then start warm)",
     )
     return p
 
@@ -450,9 +452,39 @@ class RestorationService:
 
         rng = np.random.default_rng(0)
         for spec in shapes:
-            h, w = (int(v) for v in spec.lower().split("x"))
+            spec = spec.lower()
+            tile = 0
+            if "@tile" in spec:
+                # "HxW@tileN": pre-compile the device-resident tiled
+                # graph for that frame shape (otherwise the FIRST tile=N
+                # request compiles under the device lock — minutes cold)
+                spec, tile_s = spec.split("@tile", 1)
+                tile = int(tile_s)
+            h, w = (int(v) for v in spec.split("x"))
             t0 = time.perf_counter()
             frame = (rng.random((h, w, 3)) * 255).astype("uint8")
+            if tile:
+                from fft_restoration_tpu.models.tiled import (
+                    tiled_restore_image,
+                )
+
+                with self.lock:
+                    tiled_restore_image(
+                        frame,
+                        self.args.psf_length,
+                        self.args.psf_angle,
+                        self.args.K,
+                        tile=tile,
+                        fft_backend=self.args.backend,
+                        fft_engine=self.args.fft_engine,
+                        white_balance=not self.args.no_white_balance,
+                    )
+                print(
+                    f"[serve] warmed H={h} W={w} tile={tile} in "
+                    f"{time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                )
+                continue
             with self.lock:
                 self.pipe.restore(
                     frame,

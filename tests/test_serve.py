@@ -524,3 +524,22 @@ def test_tiled_with_estimate_and_auto_k(server):
     )
     assert status == 200
     assert decode_png(data).shape == (150, 200, 3)
+
+
+def test_warmup_tiled_spec():
+    """--warmup HxW@tileN pre-compiles the tiled graph so the first
+    tile request starts warm."""
+    from fft_restoration_tpu.models.tiled import _DEVICE_FN_CACHE
+
+    args = build_parser().parse_args(
+        ["--backend", "matmul", "--psf-length", "5"]
+    )
+    service = RestorationService(args)
+    try:
+        _DEVICE_FN_CACHE.clear()
+        service.warm(["150x200@tile128"])
+        assert any(
+            (k[0], k[1]) == (150, 200) for k in _DEVICE_FN_CACHE
+        )
+    finally:
+        service.batcher.shutdown()
