@@ -174,6 +174,31 @@ def main(backend="matmul"):
             pad_mode="smooth",
         )
 
+        # round-3 tiled giant-frame config: device-resident 25.2 MP
+        # restore (models/tiled.py). End-to-end host wall-clock — the
+        # figure is tunnel-transfer-bound (device span 27.8 ms,
+        # docs/PERF.md); warm-then-timed like the other configs.
+        import time as _time
+
+        from fft_restoration_tpu.models.tiled import tiled_restore_image
+
+        big = (rng.random((4096, 6144, 3)) * 255).astype(np.uint8)
+        try:
+            tiled_restore_image(big, 50, 30.0, tile=1024, fft_backend=backend)
+            t0 = _time.perf_counter()
+            tiled_restore_image(big, 50, 30.0, tile=1024, fft_backend=backend)
+            ms = (_time.perf_counter() - t0) * 1e3
+            results.append(
+                {"metric": "tiled_4096x6144_tile1024",
+                 "value": round(ms, 1), "unit": "ms/frame (end-to-end)",
+                 "mp_per_s": round(25.17 / ms * 1e3, 1)}
+            )
+        except Exception as e:  # keep the other configs' output intact
+            results.append(
+                {"metric": "tiled_4096x6144_tile1024", "value": None,
+                 "error": str(e)[:200]}
+            )
+
     for r in results:
         print(json.dumps(r))
 
