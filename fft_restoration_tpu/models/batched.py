@@ -268,7 +268,11 @@ class BatchedWienerPipeline:
         self._img_cache = {}
 
     def _compiled(self, b: int, h: int, w: int, psf_length: int):
-        key = (b, h, w, psf_length)
+        from fft_restoration_tpu.ops.pallas.fft_kernel import (
+            mxu_precision_token,
+        )
+
+        key = (b, h, w, psf_length, mxu_precision_token())
         if key not in self._cache:
             self._cache[key] = jax.jit(
                 functools.partial(
@@ -313,7 +317,11 @@ class BatchedWienerPipeline:
             arr if arr.dtype == np.uint8
             else arr.astype(np.float32) / np.float32(255.0)
         )
-        key = (imgs.shape[:3], int(psf_length))
+        from fft_restoration_tpu.ops.pallas.fft_kernel import (
+            mxu_precision_token,
+        )
+
+        key = (imgs.shape[:3], int(psf_length), mxu_precision_token())
         if key not in self._img_cache:
             self._img_cache[key] = jax.jit(
                 functools.partial(
@@ -376,8 +384,10 @@ def psf_grid_sweep(
 
     results = []
     angles = jnp.asarray(np.asarray(psf_angles, np.float32))
+    from fft_restoration_tpu.ops.pallas.fft_kernel import mxu_precision_token
+
     for length in psf_lengths:
-        key = (h, w, int(length), fft_backend)
+        key = (h, w, int(length), fft_backend, mxu_precision_token())
         if key not in _SWEEP_JIT_CACHE:
             _SWEEP_JIT_CACHE[key] = jax.jit(
                 functools.partial(

@@ -866,7 +866,11 @@ class WienerDeblurPipeline:
         self._psf_fns = {}
 
     def _compiled(self, h: int, w: int, psf_length: int, with_h: bool = False):
-        key = (h, w, psf_length, with_h)
+        from fft_restoration_tpu.ops.pallas.fft_kernel import (
+            mxu_precision_token,
+        )
+
+        key = (h, w, psf_length, with_h, mxu_precision_token())
         if key not in self._cache:
             fn = functools.partial(
                 _restore_core,
@@ -902,10 +906,14 @@ class WienerDeblurPipeline:
     def _psf_spectrum(self, h: int, w: int, psf_length: int, angle: float):
         from fft_restoration_tpu.models.pipeline import psf_spectrum_planes
 
+        from fft_restoration_tpu.ops.pallas.fft_kernel import (
+            mxu_precision_token,
+        )
+
         hp, wp, rad_h, rad_w = pad_extents(h, w, self.pad_mode)
-        key = (hp, wp, psf_length, float(angle))
+        key = (hp, wp, psf_length, float(angle), mxu_precision_token())
         if key not in self._psf_cache:
-            fkey = (hp, wp, psf_length)
+            fkey = (hp, wp, psf_length, mxu_precision_token())
             if fkey not in self._psf_fns:
                 def make_h(
                     ang, _hp=hp, _wp=wp, _len=psf_length, _rad=(rad_h, rad_w)

@@ -325,12 +325,16 @@ def tiled_restore_image(
         # instead of re-tracing — and, on hardware, re-Mosaic-compiling
         # — per frame. ndarray kernels (--psf-file) key by their bytes:
         # a tiled scan directory reuses one compile for one kernel.
+        from fft_restoration_tpu.ops.pallas.fft_kernel import (
+            mxu_precision_token,
+        )
+
         psf_key = (
             psf_type
             if isinstance(psf_type, str)
             else (np.asarray(psf_type).tobytes(), np.asarray(psf_type).shape)
         )
-        key = fn_args[:-2] + (psf_key, white_balance)
+        key = fn_args[:-2] + (psf_key, white_balance, mxu_precision_token())
         if key not in _DEVICE_FN_CACHE:
             if len(_DEVICE_FN_CACHE) >= 8:
                 _DEVICE_FN_CACHE.pop(next(iter(_DEVICE_FN_CACHE)))

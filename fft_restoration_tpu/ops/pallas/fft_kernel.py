@@ -326,6 +326,20 @@ def set_mxu_precision(name: str | None) -> None:
         _MXU_PRECISION = getattr(jax.lax.Precision, name.upper())
 
 
+def mxu_precision_token() -> str:
+    """Cache-key token of the CURRENT precision ('default'/'highest').
+
+    set_mxu_precision is process-global trace-time state; every cache of
+    compiled executables that may trace MXU group DFTs (pipeline/psf/
+    batched/tiled/sharded jit caches) includes this token in its keys so
+    flipping the precision mid-process can never serve a stale-precision
+    executable — the first per-request precision option gets a fresh
+    compile instead of a silent wrong answer."""
+    return (
+        "default" if _MXU_PRECISION is None else _MXU_PRECISION.name.lower()
+    )
+
+
 def _group_dft_matmul(x_re, x_im, wc, ws):
     """Multiply each contiguous 128-lane group of (R, n) planes by the
     (128, 128) DFT matrix wc + i*ws on the MXU. Static vreg-aligned lane

@@ -364,9 +364,12 @@ def sharded_restore_planes(
     lap[0, 0] = 4.0
     lap[0, 1] = lap[1, 0] = lap[0, wp - 1] = lap[hp - 1, 0] = -1.0
 
+    from fft_restoration_tpu.ops.pallas.fft_kernel import mxu_precision_token
+
     key = (
         "planes", _mesh_key(mesh), channels.shape, hp, wp,
         fft_backend, filter_name, fft_engine, radices_hw,
+        mxu_precision_token(),
     )
     if key not in _SHARDED_JIT_CACHE:
         local_fn = functools.partial(
@@ -438,9 +441,12 @@ def sharded_batched_restore_planes(
     lap[0, 0] = 4.0
     lap[0, 1] = lap[1, 0] = lap[0, wp - 1] = lap[hp - 1, 0] = -1.0
 
+    from fft_restoration_tpu.ops.pallas.fft_kernel import mxu_precision_token
+
     key = (
         "batch", _mesh_key(mesh), stack.shape, hp, wp,
         fft_backend, filter_name, fft_engine, radices_hw,
+        mxu_precision_token(),
     )
     if key not in _SHARDED_JIT_CACHE:
         local_fn = functools.partial(
@@ -612,7 +618,11 @@ class ShardedWienerPipeline:
         self._cache = {}
 
     def _compiled(self, h: int, w: int, psf_length: int):
-        key = (h, w, psf_length)
+        from fft_restoration_tpu.ops.pallas.fft_kernel import (
+            mxu_precision_token,
+        )
+
+        key = (h, w, psf_length, mxu_precision_token())
         if key not in self._cache:
             fn = functools.partial(
                 _sharded_core,

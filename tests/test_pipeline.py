@@ -170,3 +170,59 @@ def test_stage_dtype_rejects_unknown():
             jnp.zeros((3, 128, 128), jnp.float32), psf, 0.01,
             fft_backend="pallas", stage_dtype="fp8",
         )
+
+
+def test_mxu_precision_keys_compiled_caches(rng):
+    """Flipping set_mxu_precision between two restores in one process
+    must compile a FRESH executable per precision (VERDICT round 3 #6):
+    the precision is trace-time global state, so a cache hit across the
+    flip would silently serve the stale-precision executable. On CPU
+    both precisions lower to plain f32, so the observable contract here
+    is the cache keying, not an output delta."""
+    from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
+    from fft_restoration_tpu.models.tiled import (
+        _DEVICE_FN_CACHE,
+        tiled_restore_image,
+    )
+    from fft_restoration_tpu.ops.pallas.fft_kernel import (
+        mxu_precision_token,
+        set_mxu_precision,
+    )
+    from fft_restoration_tpu.parallel.sharded_pipeline import (
+        _SHARDED_JIT_CACHE,
+        sharded_restore_planes,
+    )
+
+    img = rng.integers(0, 255, (140, 180, 3), np.uint8)
+    pipe = WienerDeblurPipeline(fft_backend="pallas")
+    set_mxu_precision("default")
+    assert mxu_precision_token() == "default"
+    a = pipe.restore(img, 9, 30.0)
+    n_default = len(pipe._cache)
+    set_mxu_precision("highest")
+    assert mxu_precision_token() == "highest"
+    b = pipe.restore(img, 9, 30.0)
+    assert len(pipe._cache) == 2 * n_default  # fresh compile, no stale hit
+    np.testing.assert_array_equal(a, b)  # CPU: both are f32
+
+    # module-level caches key on the token too
+    chans = (
+        rng.random((3, 128, 128), np.float32)
+        if hasattr(rng, "random")
+        else np.random.default_rng(0).random((3, 128, 128), np.float32)
+    )
+    psf = np.ones((5, 5), np.float32) / 25.0
+    _SHARDED_JIT_CACHE.clear()
+    set_mxu_precision("default")
+    sharded_restore_planes(chans, psf, fft_backend="pallas")
+    set_mxu_precision("highest")
+    sharded_restore_planes(chans, psf, fft_backend="pallas")
+    assert len(_SHARDED_JIT_CACHE) == 2
+
+    _DEVICE_FN_CACHE.clear()
+    frame = rng.integers(0, 255, (150, 200, 3), np.uint8)
+    set_mxu_precision("default")
+    tiled_restore_image(frame, 7, 30.0, tile=128, fft_backend="matmul")
+    set_mxu_precision("highest")
+    tiled_restore_image(frame, 7, 30.0, tile=128, fft_backend="matmul")
+    assert len(_DEVICE_FN_CACHE) == 2
