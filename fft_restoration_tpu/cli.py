@@ -336,18 +336,6 @@ def _run_batch(args) -> int:
             "(jit, or 2D batch x rows mesh with --mode sharded); "
             "--profile/--reference and oracle mode are ignored"
         )
-    if args.filter == "rl" and args.mode == "sharded":
-        print(
-            "[Error] --filter rl with directory input runs in jit mode "
-            "only (the 2D-mesh batch path has no RL)"
-        )
-        return 2
-    if args.edgetaper and args.mode == "sharded":
-        print(
-            "[Error] --edgetaper with directory input runs in jit mode "
-            "only (the 2D-mesh batch path has no taper)"
-        )
-        return 2
 
     paths = sorted(
         os.path.join(args.img_path, f)
@@ -488,6 +476,8 @@ def _run_batch(args) -> int:
             white_balance=not args.no_white_balance,
             fft_engine=args.fft_engine,
             pad_mode=args.pad,
+            edgetaper=args.edgetaper,
+            rl_iters=args.iters,
             psf_type=args.psf_type,
         )
     else:
@@ -589,28 +579,23 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
         stack = imread_batch(group)
         if args.mode == "sharded":
             # 2D (batch, rows) mesh: images data-parallel, each image's
-            # FFT row-sharded (parallel/sharded_pipeline.py)
+            # FFT row-sharded; taper/RL/per-frame WB all run ON the mesh
+            # in one jit dispatch (parallel/sharded_pipeline.py)
             import jax
 
             from fft_restoration_tpu.oracle.psf import make_psf_oracle
             from fft_restoration_tpu.models.pipeline import pad_extents
             from fft_restoration_tpu.parallel.mesh import make_mesh2d
             from fft_restoration_tpu.parallel.sharded_pipeline import (
-                sharded_batched_restore_planes,
+                sharded_batched_restore_images,
             )
 
             n_dev = args.devices or len(jax.devices())
             n_b = 2 if n_dev % 2 == 0 and n_dev >= 4 else 1
-            b, h, w = stack.shape[:3]
+            h, w = stack.shape[1:3]
             hp, wp, rad_h, rad_w = pad_extents(h, w, args.pad)
-            chans = np.moveaxis(
-                stack.astype(np.float32) / np.float32(255.0), -1, 1
-            )
-            chans = np.pad(
-                chans, ((0, 0), (0, 0), (0, hp - h), (0, wp - w))
-            )
-            planes = sharded_batched_restore_planes(
-                chans,
+            outs = sharded_batched_restore_images(
+                stack,
                 make_psf_oracle(
                     args.psf_type, args.psf_length, args.psf_angle
                 ),
@@ -619,28 +604,12 @@ def _restore_group(args, group, dst_map, single, batched=None) -> None:
                 fft_backend=args.fft_backend,
                 filter_name=args.filter,
                 fft_engine=args.fft_engine,
+                pad_hw=(hp, wp),
                 radices_hw=(rad_h, rad_w),
-            )[..., :h, :w]
-            merged = np.moveaxis(planes, 1, -1)  # (B, H, W, 3) in [0,1]
-            if not args.no_white_balance:
-                from fft_restoration_tpu.oracle.color import (
-                    apply_white_balance,
-                    bgr_to_lab,
-                    lab_to_bgr,
-                )
-
-                orig = stack.astype(np.float32) / np.float32(255.0)
-                merged = np.stack(
-                    [
-                        lab_to_bgr(
-                            apply_white_balance(
-                                bgr_to_lab(merged[i]), bgr_to_lab(orig[i])
-                            )
-                        )
-                        for i in range(merged.shape[0])
-                    ]
-                )
-            outs = np.clip(merged * 255.0, 0, 255).astype(np.uint8)
+                edgetaper=args.edgetaper,
+                rl_iters=args.iters,
+                white_balance=not args.no_white_balance,
+            )
         else:
             # whole batch INCLUDING per-frame white balance runs on
             # device (models/batched._batched_images_core) — the former

@@ -57,9 +57,14 @@ def _local_restore_planes(
     radices_hw: tuple = ((), ()),
     edgetaper: bool = False,
     rl_iters: int = 10,
+    normalize: bool = True,
 ) -> jnp.ndarray:
     """Per-device body (inside shard_map). Blocks: ch (C, Hpad/D, Wpad),
-    psf/lap (Hpad/D, Wpad). Returns normalized restored block.
+    psf/lap (Hpad/D, Wpad). Returns normalized restored block
+    (normalize=False returns the RAW unscaled-inverse block — the
+    tiled×mesh path stitches raw tiles and normalizes globally, matching
+    models/pipeline.restore_planes(normalize=False); 'rl' ignores it,
+    its clipped [0,1] output is already flux-calibrated).
 
     hp/wp are the TRUE pow2 DFT extents; Hpad/Wpad may exceed them on a
     non-power-of-two mesh, where the layout is padded to even
@@ -178,6 +183,8 @@ def _local_restore_planes(
     # unscaled inverse + scale-invariant normalize, matching the
     # single-chip pipeline bit-for-bit (models/pipeline.py note)
     restored = r_re if n_chan is None else _unpack_channel_pairs(r_re, r_im, n_chan)
+    if not normalize:
+        return restored
 
     # Global min-max over the TRUE padded plane (hp x wp): local reduce +
     # cross-device collectives — replaces the reference's
@@ -414,6 +421,10 @@ def sharded_batched_restore_planes(
     filter_name: str = "wiener",
     fft_engine: str = "mxu",
     radices_hw: tuple = ((), ()),
+    edgetaper: bool = False,
+    rl_iters: int = 10,
+    normalize: bool = True,
+    live_hw: Optional[tuple] = None,
 ) -> np.ndarray:
     """Batch-AND-row-sharded restoration over a 2D (batch, rows) mesh.
 
@@ -423,6 +434,14 @@ def sharded_batched_restore_planes(
     (all_to_all transposes + pmin/pmax normalize, axis_name='rows').
     The batch is layout-padded to a batch-axis multiple and cropped back.
     Returns (B, C, Hp, Wp) normalized planes.
+
+    edgetaper blends every frame toward its circular blur inside the
+    shard_map body (same math as the 1D path); live_hw = (h, w) is the
+    live image extent the taper window is built for (defaults to the
+    full padded plane). filter_name='rl' runs the Richardson-Lucy
+    fori_loop inside the body (rl_iters steps). normalize=False returns
+    RAW unscaled-inverse planes — the tiled×mesh path stitches those and
+    normalizes once globally.
     """
     from fft_restoration_tpu.parallel.mesh import BATCH_AXIS, make_mesh2d
 
@@ -446,6 +465,7 @@ def sharded_batched_restore_planes(
     key = (
         "batch", _mesh_key(mesh), stack.shape, hp, wp,
         fft_backend, filter_name, fft_engine, radices_hw,
+        edgetaper, rl_iters, normalize, live_hw,
         mxu_precision_token(),
     )
     if key not in _SHARDED_JIT_CACHE:
@@ -457,29 +477,188 @@ def sharded_batched_restore_planes(
             fft_backend=fft_backend,
             filter_name=filter_name,
             radices_hw=radices_hw,
+            edgetaper=edgetaper,
+            rl_iters=rl_iters,
+            normalize=normalize,
         )
+        in_specs = [
+            P(BATCH_AXIS, None, ROWS_AXIS, None),
+            P(ROWS_AXIS, None),
+            P(ROWS_AXIS, None),
+            P(),
+        ]
+        if edgetaper:
+            in_specs += [P(ROWS_AXIS), P()]
         _SHARDED_JIT_CACHE[key] = jax.jit(
             jax.shard_map(
                 local_fn,
                 mesh=mesh,
                 check_vma=False,
-                in_specs=(
-                    P(BATCH_AXIS, None, ROWS_AXIS, None),
-                    P(ROWS_AXIS, None),
-                    P(ROWS_AXIS, None),
-                    P(),
-                ),
+                in_specs=tuple(in_specs),
                 out_specs=P(BATCH_AXIS, None, ROWS_AXIS, None),
             )
         )
     fn = _SHARDED_JIT_CACHE[key]
-    out = fn(
+    operands = [
         jnp.asarray(stack),
         jnp.asarray(psf_pad),
         jnp.asarray(lap),
         jnp.float32(K),
-    )
+    ]
+    if edgetaper:
+        from fft_restoration_tpu.utils.taper import taper_windows
+
+        lh, lw = live_hw or (hp, wp)
+        wy, wx = taper_windows(lh, lw, hp, wp, psf.shape[-1])
+        operands += [
+            jnp.asarray(np.pad(wy, (0, hpad - hp))),
+            jnp.asarray(np.pad(wx, (0, wpad - wp))),
+        ]
+    out = fn(*operands)
     return np.asarray(out)[:b, :, :hp, :wp]
+
+
+def sharded_batched_restore_images(
+    stack_u8: np.ndarray,
+    psf: np.ndarray,
+    K: float = 0.01,
+    mesh: Optional[Mesh] = None,
+    *,
+    fft_backend: str = "matmul",
+    filter_name: str = "wiener",
+    fft_engine: str = "mxu",
+    pad_hw: Optional[tuple] = None,
+    radices_hw: tuple = ((), ()),
+    edgetaper: bool = False,
+    rl_iters: int = 10,
+    white_balance: bool = True,
+) -> np.ndarray:
+    """(B, H, W, 3) uint8 -> (B, H, W, 3) uint8 on the 2D (batch, rows)
+    mesh, the WHOLE pipeline in one jit dispatch: pad, (taper,) sharded
+    restore, crop, per-frame Lab white balance, u8 encode. The WB and
+    encode run as plain jnp on the global view — GSPMD partitions them
+    over the batch axis, per-frame means become local reductions (the
+    former host-side per-image NumPy color loop at cli.py was the batch
+    path's throughput ceiling; reference contract utils.hpp:55-71 ×
+    every mode, fft.hpp:9-92).
+
+    pad_hw: DFT extents (Hp, Wp); default next_power_of_two of (H, W).
+    """
+    from fft_restoration_tpu.parallel.mesh import BATCH_AXIS, make_mesh2d
+
+    mesh = mesh or make_mesh2d(1, len(jax.devices()))
+    stack = np.ascontiguousarray(np.asarray(stack_u8, np.uint8))
+    b, h, w = stack.shape[:3]
+    hp, wp = pad_hw or (next_power_of_two(h), next_power_of_two(w))
+    n_b = mesh.shape[BATCH_AXIS]
+    n_r = mesh.shape[ROWS_AXIS]
+    bpad = -(-b // n_b) * n_b
+    hpad = -(-hp // n_r) * n_r
+    wpad = -(-wp // n_r) * n_r
+    if bpad > b:
+        stack = np.concatenate(
+            [stack, np.repeat(stack[-1:], bpad - b, axis=0)]
+        )
+    psf_pad = np.zeros((hpad, wpad), np.float32)
+    psf_pad[: psf.shape[0], : psf.shape[1]] = psf
+    lap = np.zeros((hpad, wpad), np.float32)
+    lap[0, 0] = 4.0
+    lap[0, 1] = lap[1, 0] = lap[0, wp - 1] = lap[hp - 1, 0] = -1.0
+
+    from fft_restoration_tpu.ops.pallas.fft_kernel import mxu_precision_token
+
+    key = (
+        "batchimg", _mesh_key(mesh), stack.shape, hp, wp,
+        fft_backend, filter_name, fft_engine, radices_hw,
+        edgetaper, rl_iters, white_balance, mxu_precision_token(),
+    )
+    if key not in _SHARDED_JIT_CACHE:
+        local_fn = functools.partial(
+            _local_restore_planes,
+            hp=hp,
+            wp=wp,
+            fft_engine=fft_engine,
+            fft_backend=fft_backend,
+            filter_name=filter_name,
+            radices_hw=radices_hw,
+            edgetaper=edgetaper,
+            rl_iters=rl_iters,
+        )
+        in_specs = [
+            P(BATCH_AXIS, None, ROWS_AXIS, None),
+            P(ROWS_AXIS, None),
+            P(ROWS_AXIS, None),
+            P(),
+        ]
+        if edgetaper:
+            in_specs += [P(ROWS_AXIS), P()]
+        smap = jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=tuple(in_specs),
+            out_specs=P(BATCH_AXIS, None, ROWS_AXIS, None),
+        )
+        batch_sharding = NamedSharding(
+            mesh, P(BATCH_AXIS, None, None, None)
+        )
+
+        def full(stack_u8, psf_pad, lap, K, *taper_ops):
+            imgs = (
+                jax.lax.with_sharding_constraint(stack_u8, batch_sharding)
+                .astype(jnp.float32)
+                / jnp.float32(255.0)
+            )
+            chans = jnp.moveaxis(imgs, -1, 1)
+            chans = jnp.pad(
+                chans, ((0, 0), (0, 0), (0, hpad - h), (0, wpad - w))
+            )
+            restored = smap(chans, psf_pad, lap, K, *taper_ops)
+            cropped = restored[..., :h, :w]
+            if white_balance:
+                from fft_restoration_tpu.ops.color import (
+                    bgr_to_lab_planar,
+                    lab_to_bgr_planar,
+                    luminance_l_planar,
+                )
+
+                chans0 = jnp.moveaxis(imgs, -1, 1)
+                L, a_, b_ = bgr_to_lab_planar(
+                    cropped[:, 0], cropped[:, 1], cropped[:, 2]
+                )
+                l_orig = luminance_l_planar(
+                    chans0[:, 0], chans0[:, 1], chans0[:, 2]
+                )
+                # per-frame gain (utils.hpp:55-71 applied frame-wise)
+                gain = jnp.mean(l_orig, axis=(-2, -1)) / (
+                    jnp.mean(L, axis=(-2, -1)) + 1e-6
+                )
+                L = jnp.clip(L * gain[:, None, None], 0.0, 100.0)
+                pb, pg, pr = lab_to_bgr_planar(L, a_, b_)
+                planes = jnp.stack([pb, pg, pr], axis=1)
+            else:
+                planes = cropped
+            out = jnp.moveaxis(planes, 1, -1)
+            return jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+        _SHARDED_JIT_CACHE[key] = jax.jit(full)
+    fn = _SHARDED_JIT_CACHE[key]
+    operands = [
+        jnp.asarray(stack),
+        jnp.asarray(psf_pad),
+        jnp.asarray(lap),
+        jnp.float32(K),
+    ]
+    if edgetaper:
+        from fft_restoration_tpu.utils.taper import taper_windows
+
+        wy, wx = taper_windows(h, w, hp, wp, psf.shape[-1])
+        operands += [
+            jnp.asarray(np.pad(wy, (0, hpad - hp))),
+            jnp.asarray(np.pad(wx, (0, wpad - wp))),
+        ]
+    out = fn(*operands)
+    return np.asarray(out)[:b]
 
 
 def profile_phases_sharded(
