@@ -318,6 +318,23 @@ def _enable_compile_cache() -> None:
         pass  # older jax without the knobs — harmless
 
 
+def _tile_mesh(args):
+    """--tile --mode sharded: the 2D (batch, rows) mesh the tile stacks
+    ride — tiles data-parallel over 'batch', each tile's FFT row-sharded
+    over 'rows' (the frame axis scaled across memory domains, the
+    reference's distributed-mode purpose, fft_mpi.cpp:89-100). None for
+    jit mode (single-chip tiled paths)."""
+    if args.mode != "sharded":
+        return None
+    import jax
+
+    from fft_restoration_tpu.parallel.mesh import make_mesh2d
+
+    n_dev = args.devices or len(jax.devices())
+    n_b = 2 if n_dev % 2 == 0 and n_dev >= 4 else 1
+    return make_mesh2d(n_b, n_dev // n_b)
+
+
 def _run_batch(args) -> int:
     """Directory mode: restore every PNG in img_path with the shared PSF.
 
@@ -387,8 +404,9 @@ def _run_batch(args) -> int:
     if args.tile:
         # tiled mode restores each frame independently (its tiles are
         # the batch; frame sizes need not match), so no size-grouping
-        if args.mode != "jit":
-            print("[Error] --tile supports --mode jit only")
+        if args.mode == "oracle":
+            print("[Error] --tile supports --mode jit or sharded "
+                  "(the oracle is the untiled parity contract)")
             return 2
         from fft_restoration_tpu.models.tiled import (
             tiled_restore_image,
@@ -406,6 +424,7 @@ def _run_batch(args) -> int:
             print(f"[Error] {e}")
             return 2
 
+        mesh = _tile_mesh(args)  # None for --mode jit
         t0 = time.perf_counter()
         n_done = skipped = 0
         for p in paths:
@@ -425,6 +444,7 @@ def _run_batch(args) -> int:
                     filter_name=args.filter, rl_iters=args.iters,
                     psf_type=args.psf_type,
                     white_balance=not args.no_white_balance,
+                    mesh=mesh,
                 )
                 imwrite(dst_map[p], out)
                 n_done += 1
@@ -718,8 +738,9 @@ def main(argv=None) -> int:
         # construction (tile-local deconvolution + per-tile taper) —
         # there is no oracle counterpart, so in-process verification is
         # vs the global pipeline in tests, not here.
-        if args.mode != "jit":
-            print("[Error] --tile supports --mode jit only")
+        if args.mode == "oracle":
+            print("[Error] --tile supports --mode jit or sharded "
+                  "(the oracle is the untiled parity contract)")
             return 2
         if args.edgetaper:
             print(
@@ -736,6 +757,7 @@ def main(argv=None) -> int:
                 print(f"[INFO] {flag} is not supported in tiled mode; ignored")
         from fft_restoration_tpu.models.tiled import tiled_restore_image
 
+        mesh = _tile_mesh(args)  # None for --mode jit
         t0 = time.perf_counter()
         try:
             out = tiled_restore_image(
@@ -743,14 +765,16 @@ def main(argv=None) -> int:
                 tile=args.tile, overlap=args.tile_overlap,
                 fft_backend=args.fft_backend, fft_engine=args.fft_engine,
                 filter_name=args.filter, rl_iters=args.iters,
-                psf_type=args.psf_type, white_balance=wb,
+                psf_type=args.psf_type, white_balance=wb, mesh=mesh,
             )
         except ValueError as e:
             print(f"[Error] {e}")
             return 2
         t1 = time.perf_counter()
         print(
-            f"Deblurring 3 channels took(tiled): {(t1 - t0) * 1e3:.2f} ms"
+            f"Deblurring 3 channels took(tiled"
+            f"{'-sharded' if mesh is not None else ''}): "
+            f"{(t1 - t0) * 1e3:.2f} ms"
         )
         print(
             "[INFO] tiled mode is an overlap-discard approximation of "

@@ -142,9 +142,23 @@ def test_cli_tile_mode(tmp_path, rng, capsys):
     assert rc == 0
     assert "took(tiled)" in out and "overlap-discard" in out
     assert (tmp_path / "out.png").exists()
+    # tiled x mesh composes (round 4): same frame through the 2D
+    # (batch, rows) mesh matches the jit tiled restore
     rc = main(
-        [str(src), "7", "30", "--tile", "128", "--mode", "sharded"]
+        [str(src), "7", "30", "--tile", "128", "--tile-overlap", "32",
+         "--fft-backend", "matmul", "--mode", "sharded", "--devices",
+         "4", "-o", str(tmp_path / "out_sharded.png")]
     )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "took(tiled-sharded)" in out
+    from fft_restoration_tpu.utils.imageio import imread
+
+    a = imread(str(tmp_path / "out.png"))
+    b = imread(str(tmp_path / "out_sharded.png"))
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+    # oracle mode has no tiled counterpart
+    rc = main([str(src), "7", "30", "--tile", "128", "--mode", "oracle"])
     assert rc == 2
 
 
@@ -237,3 +251,45 @@ def test_tiled_rl_matches_untiled(rng):
         psf_type="disk", white_balance=False,
     ).restore(blurred, S, 0.0)
     assert np.abs(t.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_tiled_sharded_matches_jit_host_stitch(rng):
+    """tiled x mesh (VERDICT r3 #1): the tile stack dispatched through
+    the 2D (batch, rows) mesh — per-tile taper + RAW restore inside
+    shard_map, host stitch, one global normalize/WB — matches the jit
+    host-stitch tiled restore to <=2 uint8 counts (same grid, same
+    taper math; only the schedule is distributed)."""
+    from fft_restoration_tpu.parallel.mesh import make_mesh2d
+
+    img = blur_image(_scene(rng, 200, 264), 7, 30.0)
+    a = tiled_restore_image(
+        img, 7, 30.0, tile=128, overlap=32, chunk=4,
+        fft_backend="matmul", mesh=make_mesh2d(2, 4),
+    )
+    b = tiled_restore_image(
+        img, 7, 30.0, tile=128, overlap=32, chunk=4,
+        fft_backend="matmul", device_stitch=False,
+    )
+    assert a.shape == img.shape and a.dtype == np.uint8
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+
+def test_tiled_sharded_rl(rng):
+    """RL tiles ride the mesh too (clipped flux-calibrated stitch)."""
+    from fft_restoration_tpu.parallel.mesh import make_mesh2d
+
+    h, w, S = 150, 200, 5
+    sharp = np.zeros((h, w, 3), np.uint8)
+    sharp[40:110, 60:70] = 255
+    blurred = blur_image(sharp, S, 0.0, psf_type="disk")
+    a = tiled_restore_image(
+        blurred, S, 0.0, tile=128, overlap=28, fft_backend="matmul",
+        filter_name="rl", rl_iters=8, psf_type="disk",
+        white_balance=False, mesh=make_mesh2d(2, 4),
+    )
+    b = tiled_restore_image(
+        blurred, S, 0.0, tile=128, overlap=28, fft_backend="matmul",
+        filter_name="rl", rl_iters=8, psf_type="disk",
+        white_balance=False, device_stitch=False,
+    )
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
