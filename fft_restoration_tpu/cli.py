@@ -129,11 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--estimate-psf",
         action="store_true",
-        help="blind mode: estimate the motion-blur length/angle from "
-        "the blurred image itself (cepstral method, models/estimate.py) "
-        "and use them instead of the positionals (which are then "
-        "ignored with a note). Directory inputs estimate from the "
-        "first frame.",
+        help="blind mode: estimate the blur parameters of the selected "
+        "--psf-type from the blurred image itself (models/estimate.py: "
+        "cepstral peak for motion length/angle, cepstral ring isotropy "
+        "for disk size, spectral log-MTF scan for gaussian sigma) and "
+        "use them instead of the positionals (which are then ignored "
+        "with a note). Directory inputs estimate from the first frame.",
     )
     p.add_argument(
         "--edgetaper",
@@ -255,42 +256,70 @@ def _oracle_channels(
 
 def _apply_psf_estimate(args, img) -> None:
     """--estimate-psf: override the positional PSF params from the
-    cepstral estimate (models/estimate.py)."""
-    from fft_restoration_tpu.models.estimate import (
-        _CONF_WARN,
-        estimate_motion_psf,
-    )
+    blind estimate matching --psf-type (models/estimate.py): cepstral
+    peak for motion, cepstral ring for disk, spectral log-MTF scan for
+    gaussian."""
+    from fft_restoration_tpu.models import estimate as est
 
-    if not isinstance(args.psf_type, str) or args.psf_type != "motion":
-        kind = (
-            "--psf-file kernels have"
-            if not isinstance(args.psf_type, str)
-            else f"--psf-type {args.psf_type} has"
-        )
+    if not isinstance(args.psf_type, str):
         print(
-            "[Error] --estimate-psf identifies LINEAR motion blur only "
-            f"(cepstral method); {kind} no "
-            "spectral-zero signature to estimate"
+            "[Error] --estimate-psf estimates a PARAMETRIC family "
+            "(motion/gaussian/disk); --psf-file kernels are already "
+            "concrete"
         )
         raise SystemExit(2)
 
-    length, angle, conf = estimate_motion_psf(
-        img,
-        fft_backend=(
-            args.fft_backend if args.fft_backend != "pallas" else "matmul"
-        ),
+    backend = (
+        args.fft_backend if args.fft_backend != "pallas" else "matmul"
     )
-    print(
-        f"[INFO] estimated PSF: length={length} angle={angle:.1f} "
-        f"(confidence z={conf:.1f}); positionals "
-        f"{args.psf_length}/{args.psf_angle} ignored"
-    )
-    if conf < _CONF_WARN:
-        print(
-            "[INFO] low cepstral confidence - the frame may not carry "
-            "a linear motion blur"
+    if args.psf_type == "motion":
+        length, angle, conf = est.estimate_motion_psf(
+            img, fft_backend=backend
         )
-    args.psf_length, args.psf_angle = length, angle
+        print(
+            f"[INFO] estimated PSF: length={length} angle={angle:.1f} "
+            f"(confidence z={conf:.1f}); positionals "
+            f"{args.psf_length}/{args.psf_angle} ignored"
+        )
+        if conf < est._CONF_WARN:
+            print(
+                "[INFO] low cepstral confidence - the frame may not "
+                "carry a linear motion blur"
+            )
+        args.psf_length, args.psf_angle = length, angle
+    elif args.psf_type == "disk":
+        size, conf = est.estimate_disk_psf(img, fft_backend=backend)
+        print(
+            f"[INFO] estimated PSF: disk size={size} (ring isotropy "
+            f"z={conf:.1f}); positional {args.psf_length} ignored"
+        )
+        if conf < est._DISK_CONF_WARN:
+            print(
+                "[INFO] low ring-isotropy confidence - the frame may "
+                "not carry a defocus (disk) blur"
+            )
+        args.psf_length = size
+    else:  # gaussian
+        try:
+            sigma, conf = est.estimate_gaussian_psf(
+                img, fft_backend=backend
+            )
+        except ValueError as e:
+            print(f"[Error] cannot estimate a gaussian blur: {e}")
+            raise SystemExit(2)
+        size = est.gaussian_ksize(sigma)
+        print(
+            f"[INFO] estimated PSF: gaussian sigma={sigma:.2f} "
+            f"size={size} (residual-ratio confidence {conf:.2f}); "
+            f"positionals {args.psf_length}/{args.psf_angle} ignored"
+        )
+        if conf < est._GAUSS_CONF_WARN:
+            print(
+                "[INFO] low spectral-fit confidence - the frame's "
+                "spectrum barely prefers this sigma over no blur "
+                "(smooth scenes are intrinsically ambiguous)"
+            )
+        args.psf_length, args.psf_angle = size, sigma
 
 
 

@@ -27,6 +27,7 @@ against utils/blurgen.py syntheses (tests/test_estimate.py).
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -135,6 +136,283 @@ def estimate_motion_psf(
     if not np.isfinite(conf):
         conf = 0.0  # degenerate cepstrum (constant frame): no blur signal
     return length, angle, conf
+
+
+# ---------------------------------------------------------------------------
+# PSF-family blind estimation: disk diameter and gaussian sigma.
+#
+# Both work on radially AVERAGED spectral statistics of the square
+# power-of-two padded, Hann-windowed frame — one jit graph computes the
+# power spectrum, its log-cepstrum, and their radial bin sums
+# (segment_sum over a precomputed radius-bin map); the host converts
+# bins to profiles and does the tiny 1D analysis.
+#
+#   disk:     |H| is Airy-like with zero rings spaced ~1/size cycles/px,
+#             so the cepstrum carries a negative RING at radius ~= size.
+#             The radial cepstral profile's argmin (parabola-refined,
+#             calibrated /0.967 for the first-zero offset 3.83 vs the
+#             asymptotic pi spacing of J1's zeros) recovers the diameter
+#             to +-1 px on blurgen syntheses (tests/test_estimate.py).
+#   gaussian: NO spectral zeros exist — identification needs an image
+#             prior. We scan sigma over a log grid, subtract each
+#             candidate's EXACT truncated-sampled-kernel radial log-MTF
+#             (separable outer sum of 1D factors, the same kernel
+#             ops/psf.gaussian_kernel synthesizes), and keep the sigma
+#             whose deblurred profile best fits a power law
+#             a + b*ln(rho) (Huber-weighted). Typical accuracy is
+#             10-20% on structured scenes; a frame whose spectrum is
+#             intrinsically steep (smooth scene) is PHYSICALLY
+#             ambiguous — the confidence ratio (power-law residual
+#             with no blur / residual at the best sigma) stays near 1
+#             there and the CLI warns below _GAUSS_CONF_WARN.
+# ---------------------------------------------------------------------------
+
+
+def _radial_bin_map(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Radius-bin ids for the UNSHIFTED (n, n) DFT grid (so no fftshift
+    roll is needed in-graph) and the per-bin counts."""
+    d = np.minimum(np.arange(n), n - np.arange(n)).astype(np.float64)
+    r = np.hypot(d[:, None], d[None, :])
+    rbin = np.round(r).astype(np.int32)
+    counts = np.bincount(rbin.ravel()).astype(np.float64)
+    return rbin, counts
+
+
+@functools.partial(jax.jit, static_argnames=("n", "fft_backend"))
+def _spectral_profile_sums(gray: jnp.ndarray, *, n: int, fft_backend: str):
+    """(H, W) f32 -> per-radius SUMS of the power spectrum and of the
+    log-power cepstrum over the (n, n) padded Hann-windowed frame."""
+    h, w = gray.shape
+    wy = np.hanning(h).astype(np.float32)
+    wx = np.hanning(w).astype(np.float32)
+    g = (gray - jnp.mean(gray)) * jnp.asarray(wy)[:, None] * jnp.asarray(
+        wx
+    )[None, :]
+    g = jnp.pad(g, ((0, n - h), (0, n - w)))
+    f_re, f_im = fft2d(g, jnp.zeros_like(g), False, fft_backend)
+    p = f_re * f_re + f_im * f_im
+    lp = jnp.log2(p + jnp.float32(1e-12))
+    c_re, _ = fft2d(lp, jnp.zeros_like(lp), True, fft_backend)
+    rbin, counts = _radial_bin_map(n)
+    seg = jnp.asarray(rbin.reshape(-1))
+    nseg = len(counts)
+    s_sum = jax.ops.segment_sum(p.reshape(-1), seg, num_segments=nseg)
+    c_sum = jax.ops.segment_sum(c_re.reshape(-1), seg, num_segments=nseg)
+    return s_sum, c_sum, c_re
+
+
+def _spectral_profiles(
+    gray: np.ndarray, fft_backend: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, np.ndarray]:
+    """Radial mean power profile S[rho], radial mean cepstrum c[rho],
+    annulus counts, the square pad size n (profiles cut to rho < n//2,
+    the clean non-corner range), and the full UNSHIFTED 2D cepstrum
+    (for per-direction isotropy checks)."""
+    h, w = gray.shape
+    n = next_power_of_two(max(h, w))
+    s_sum, c_sum, c2d = _spectral_profile_sums(
+        jnp.asarray(gray, jnp.float32), n=n, fft_backend=fft_backend
+    )
+    _, counts = _radial_bin_map(n)
+    half = n // 2
+    s = np.asarray(s_sum, np.float64)[:half] / counts[:half]
+    c = np.asarray(c_sum, np.float64)[:half] / counts[:half]
+    return s, c, counts[:half], n, np.asarray(c2d, np.float64)
+
+
+def _to_gray(img_bgr: np.ndarray, min_dim: int) -> np.ndarray:
+    img = np.asarray(img_bgr)
+    gray = (
+        img.astype(np.float32).mean(axis=-1)
+        if img.ndim == 3
+        else img.astype(np.float32)
+    )
+    if min(gray.shape) < min_dim:
+        raise ValueError(
+            f"image too small for blur estimation (min dim "
+            f"{min(gray.shape)} < {min_dim})"
+        )
+    return gray
+
+
+# first-zero offset of J1 (3.8317) vs its asymptotic pi spacing shifts
+# the cepstral ring slightly inward; measured ratio ring/size = 0.94-0.98
+# over sizes 7-41 on blurgen syntheses, median 0.967
+_DISK_RING_CAL = 0.967
+# sector-isotropy z-scores measured 6.3-52 on blurgen disk syntheses
+# (sizes 7-41, two scenes) vs -0.7..1.5 on sharp structured scenes and
+# motion-blurred frames (the motion-blurred car fixture reads 5.6 —
+# correctly flagged: its blur is linear, not defocus)
+_DISK_CONF_WARN = 6.0
+
+
+def _sector_ring_conf(
+    c2d: np.ndarray, n: int, ring_bin: int, r_hi: int, nsec: int = 16
+) -> float:
+    """Isotropy-robust ring confidence: split the UNSHIFTED 2D cepstrum
+    into nsec angular sectors, build each sector's own radial mean
+    profile, z-score the dip at ring_bin against that sector's robust
+    band statistics, and return the 25th-percentile z — a true defocus
+    ring is deep in EVERY direction, while a directional texture or
+    motion-blur dip is deep in few, so scene structure cannot fake a
+    high confidence."""
+    k = np.arange(n)
+    signed = np.where(k <= n // 2, k, k - n)
+    th = np.arctan2(signed[:, None], signed[None, :]) % (2.0 * np.pi)
+    sec = np.minimum(
+        (th / (2.0 * np.pi / nsec)).astype(np.int64), nsec - 1
+    )
+    rbin, _ = _radial_bin_map(n)
+    nb = int(rbin.max()) + 1
+    comb = (sec * nb + rbin).ravel()
+    sums = np.bincount(comb, weights=c2d.ravel(), minlength=nsec * nb)
+    cnts = np.bincount(comb, minlength=nsec * nb).astype(np.float64)
+    prof = (sums / np.maximum(cnts, 1.0)).reshape(nsec, nb)
+    zs = np.empty(nsec)
+    for s in range(nsec):
+        band = prof[s, 3 : r_hi + 1]
+        med = float(np.median(band))
+        mad = float(np.median(np.abs(band - med))) + 1e-12
+        lo = float(np.min(prof[s, max(ring_bin - 1, 0) : ring_bin + 2]))
+        zs[s] = (med - lo) / (1.4826 * mad)
+    conf = float(np.percentile(zs, 25))
+    return conf if np.isfinite(conf) else 0.0
+
+
+def estimate_disk_psf(
+    img_bgr: np.ndarray,
+    *,
+    fft_backend: str = "matmul",
+    max_size: int | None = None,
+) -> tuple[int, float]:
+    """Blind defocus-diameter estimation: (size, confidence).
+
+    size feeds straight into --psf-type disk's psf-length positional
+    (the disk diameter ops/psf.disk_kernel synthesizes). confidence is
+    the sector-isotropy z-score of _sector_ring_conf (warn below
+    _DISK_CONF_WARN)."""
+    gray = _to_gray(img_bgr, 12)
+    h, w = gray.shape
+    _, cep, _, n, c2d = _spectral_profiles(gray, fft_backend)
+    r_hi = min(min(h, w) // 3, max_size if max_size else 10**9)
+    if r_hi <= 4:
+        raise ValueError("image too small for disk estimation")
+    band = cep[3 : r_hi + 1]
+    i = int(np.argmin(band)) + 3
+    # parabolic sub-bin refinement
+    if 1 <= i < len(cep) - 1:
+        y0, y1, y2 = cep[i - 1], cep[i], cep[i + 1]
+        den = y0 - 2.0 * y1 + y2
+        d = float(np.clip((y0 - y2) / (2.0 * den), -1, 1)) if den else 0.0
+    else:
+        d = 0.0
+    size = max(3, int(round((i + d) / _DISK_RING_CAL)))
+    conf = _sector_ring_conf(c2d, n, i, r_hi)
+    return size, conf
+
+
+def gaussian_ksize(sigma: float) -> int:
+    """Kernel extent covering +-3 sigma (odd), the psf-length the CLI's
+    gaussian family pairs with an estimated sigma."""
+    return max(3, 2 * int(math.ceil(3.0 * float(sigma))) + 1)
+
+
+def _huber_fit(
+    A: np.ndarray, y: np.ndarray, w0: np.ndarray, iters: int = 4
+) -> tuple[np.ndarray, float]:
+    """Weighted Huber regression; returns (coef, weighted mean-square
+    residual)."""
+    w = w0.copy()
+    coef, *_ = np.linalg.lstsq(A * w[:, None], y * w, rcond=None)
+    for _ in range(iters):
+        r = y - A @ coef
+        s = 1.4826 * np.median(np.abs(r)) + 1e-12
+        hub = np.clip(1.345 * s / np.maximum(np.abs(r), 1e-12), 0.0, 1.0)
+        w = w0 * hub
+        coef, *_ = np.linalg.lstsq(A * w[:, None], y * w, rcond=None)
+    r = y - A @ coef
+    return coef, float(np.sum((w * r) ** 2) / np.sum(w * w))
+
+
+def _gaussian_radial_log_mtf(
+    sigma: float, n: int, rbin: np.ndarray, counts_half: np.ndarray
+) -> np.ndarray:
+    """Radial mean of ln|H|^2 for the TRUNCATED SAMPLED gaussian kernel
+    (exactly ops/psf.gaussian_kernel's transfer function — its
+    truncation side-lobes decay slower than the continuous gaussian,
+    which is why a quadratic fit under-estimates large sigmas).
+    Separable: ln|H2(fy, fx)|^2 = lh1[fy] + lh1[fx]."""
+    ks = gaussian_ksize(sigma)
+    x = np.arange(ks, dtype=np.float64) - (ks // 2)
+    a = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    a = a / a.sum()
+    h1 = np.fft.fft(a, n)
+    lh1 = np.log(np.abs(h1) ** 2 + 1e-300)
+    lm = lh1[:, None] + lh1[None, :]
+    prof = np.bincount(rbin.ravel(), weights=lm.ravel())
+    half = n // 2
+    return prof[:half] / counts_half
+
+
+_GAUSS_CONF_WARN = 1.3
+_GAUSS_SIGMA_GRID = np.geomspace(0.5, 16.0, 33)
+
+
+def estimate_gaussian_psf(
+    img_bgr: np.ndarray, *, fft_backend: str = "matmul"
+) -> tuple[float, float]:
+    """Blind gaussian-blur sigma estimation: (sigma, confidence).
+
+    Scans sigma candidates, subtracting each one's exact truncated-
+    kernel radial log-MTF from the radial log-power profile and scoring
+    the power-law fit of the remainder (see the section comment above
+    for the method and its physical limits). confidence is the residual
+    ratio no-blur/best — near 1 means the frame cannot distinguish
+    blur from intrinsically smooth content (warn below
+    _GAUSS_CONF_WARN)."""
+    gray = _to_gray(img_bgr, 32)
+    s, _, counts, n, _ = _spectral_profiles(gray, fft_backend)
+    half = n // 2
+    rho = np.arange(half, dtype=np.float64)
+    floor = float(np.median(s[int(0.85 * half):]))
+    t = s - floor
+    ok = (t > 3.0 * floor) & (rho >= 3)
+    idx = np.where(ok)[0]
+    if len(idx) < 10:
+        raise ValueError(
+            "no usable spectral decay band (flat or floor-dominated "
+            "spectrum); cannot estimate a gaussian blur"
+        )
+    # leading contiguous run (gaps <= 4 merged): the main signal lobe,
+    # not isolated high-frequency outliers
+    runs = np.split(idx, np.where(np.diff(idx) > 3)[0] + 1)
+    band = runs[0]
+    for r in runs[1:]:
+        if band[-1] + 4 >= r[0]:
+            band = np.concatenate([band, r])
+    y = np.log(t[band])
+    w0 = np.sqrt(counts[band])
+    A = np.stack([np.ones(len(band)), np.log(rho[band])], axis=-1)
+    _, resid0 = _huber_fit(A, y, w0)
+    rbin, _ = _radial_bin_map(n)
+    resids = np.empty(len(_GAUSS_SIGMA_GRID))
+    for j, sc in enumerate(_GAUSS_SIGMA_GRID):
+        mtf = _gaussian_radial_log_mtf(float(sc), n, rbin, counts)
+        _, resids[j] = _huber_fit(A, y - mtf[band], w0)
+    i = int(np.argmin(resids))
+    # parabolic refinement in log-sigma
+    if 0 < i < len(_GAUSS_SIGMA_GRID) - 1:
+        l0, l1 = np.log(_GAUSS_SIGMA_GRID[i - 1 : i + 1])
+        r0, r1, r2 = resids[i - 1 : i + 2]
+        den = r0 - 2.0 * r1 + r2
+        d = float(np.clip(0.5 * (r0 - r2) / den, -1, 1)) if den else 0.0
+        sigma = float(np.exp(l1 + d * (l1 - l0)))
+    else:
+        sigma = float(_GAUSS_SIGMA_GRID[i])
+    conf = float(resid0 / (resids[i] + 1e-30))
+    if not np.isfinite(conf):
+        conf = 0.0
+    return sigma, conf
 
 
 @jax.jit

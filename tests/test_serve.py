@@ -418,16 +418,21 @@ def test_serve_option_hardening(server):
     tiny = (rng.random((6, 64, 3)) * 255).astype(np.uint8)
     status, data = _post(server, "/restore?estimate=1", encode_png(tiny))
     assert status == 400 and b"too small" in data
-    # psf_type family per request; estimate+non-motion rejected
+    # psf_type family per request; per-family blind estimation works
     status, data = _post(
         server, "/restore?psf_length=5&psf_angle=1.5&psf_type=gaussian",
         encode_png(img),
     )
     assert status == 200 and decode_png(data).shape == img.shape
-    status, _ = _post(
+    status, data = _post(
         server, "/restore?psf_type=disk&estimate=1", encode_png(img)
     )
-    assert status == 400
+    assert status == 200 and decode_png(data).shape == img.shape
+    # gaussian estimation needs min dim >= 32: clean 400 on this frame
+    status, data = _post(
+        server, "/restore?psf_type=gaussian&estimate=1", encode_png(img)
+    )
+    assert status == 400 and b"too small" in data
     status, _ = _post(
         server, "/restore?psf_type=nope", encode_png(img)
     )
