@@ -807,9 +807,58 @@ def main(argv=None) -> int:
         )
         print(
             "[INFO] tiled mode is an overlap-discard approximation of "
-            "the global restore (models/tiled.py); oracle verification "
-            "not applicable"
+            "the global restore (models/tiled.py); whole-frame oracle "
+            "verification not applicable"
         )
+        if not args.no_verify and args.filter == "wiener":
+            # Per-tile oracle anchor: the tiled output's compute
+            # contract is tile-local taper+deconvolution, so verify
+            # exactly that math — the grid's CENTER tile restored as a
+            # standalone frame — against the serial oracle at the tile
+            # extent, the same planes-vs-restore_channels contract the
+            # untiled modes verify with (stitch-seam fidelity is
+            # covered by the global-agreement tests in test_tiled.py).
+            from fft_restoration_tpu.models.pipeline import (
+                WienerDeblurPipeline,
+            )
+            from fft_restoration_tpu.models.tiled import (
+                clamped_grid,
+                validate_tile_params,
+            )
+
+            h_f, w_f = img.shape[:2]
+            overlap_v, core_v = validate_tile_params(
+                args.tile, args.tile_overlap, args.psf_length
+            )
+            th, tw = min(args.tile, h_f), min(args.tile, w_f)
+            ys_g, _ = clamped_grid(h_f, args.tile, core_v, overlap_v)
+            xs_g, _ = clamped_grid(w_f, args.tile, core_v, overlap_v)
+            y0a, x0a = ys_g[len(ys_g) // 2], xs_g[len(xs_g) // 2]
+            tile_u8 = img[y0a : y0a + th, x0a : x0a + tw]
+            anchor = WienerDeblurPipeline(
+                fft_backend=args.fft_backend,
+                fft_engine=args.fft_engine,
+                white_balance=wb,
+                edgetaper=True,
+                psf_type=args.psf_type,
+            )
+            _, ours_t = anchor.restore_with_planes(
+                tile_u8, args.psf_length, args.psf_angle, args.K
+            )
+            t0 = time.perf_counter()
+            oracle_t = _oracle_channels(
+                tile_u8, args.psf_length, args.psf_angle, args.K,
+                edgetaper=True, psf_type=args.psf_type,
+            )
+            t1 = time.perf_counter()
+            print(
+                f"[INFO] per-tile oracle anchor: center tile {th}x{tw} "
+                f"at ({y0a},{x0a}), serial took {(t1 - t0) * 1e3:.2f} ms"
+            )
+            report = channels_equal(ours_t, oracle_t, "gpu")
+            print(report)
+            if not report.passed:
+                return 3
     elif args.mode == "oracle":
         if args.filter != "wiener":
             print(

@@ -141,6 +141,9 @@ def test_cli_tile_mode(tmp_path, rng, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "took(tiled)" in out and "overlap-discard" in out
+    # per-tile oracle anchor (VERDICT r3 #7): the center tile verifies
+    # against the serial oracle at the tile extent, gpu tier
+    assert "per-tile oracle anchor" in out and "[Success]" in out
     assert (tmp_path / "out.png").exists()
     # tiled x mesh composes (round 4): same frame through the 2D
     # (batch, rows) mesh matches the jit tiled restore
