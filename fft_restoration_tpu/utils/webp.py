@@ -21,16 +21,135 @@ Extended-format (VP8X) containers are parsed for their embedded VP8/VP8L
 chunk; ALPH alpha chunks are decoded (uncompressed and VP8L-compressed
 lanes) when present.
 
-Pure Python/NumPy, ingest-grade throughput (same contract as the
-progressive-JPEG path, utils/jpeg.py): entropy decoding is inherently
-sequential; everything after it is vectorized.
+Fast path: when native/libwebpdec.so is present (built best-effort by
+`make -C fft_restoration_tpu/native`, port of these exact decoders in
+native/webp_codec.cpp), both bitstreams decode in C++ at cv::imread-
+class throughput; the pure-Python decoders below remain the always-
+working fallback and the parity oracle (tests/test_webp_native.py
+holds the two bit-identical). Any native error falls back to Python so
+corrupt streams keep their precise error messages. Set
+FFT_WEBP_PURE=1 to force the Python path.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 __all__ = ["decode_webp", "probe_webp_size"]
+
+_native_lib = None
+
+
+def _load_webp_native():
+    """ctypes handle to native/libwebpdec.so, or False (same best-effort
+    build contract as imageio._load_native for the PNG/JPEG helper)."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib
+    if os.environ.get("FFT_WEBP_PURE"):
+        _native_lib = False
+        return False
+    import ctypes
+    from pathlib import Path
+
+    native_dir = Path(__file__).resolve().parent.parent / "native"
+    lib_path = native_dir / "libwebpdec.so"
+    if not lib_path.exists() and (native_dir / "webp_codec.cpp").exists():
+        import shutil
+        import subprocess
+
+        if shutil.which("make") and shutil.which("g++"):
+            subprocess.run(
+                ["make", "-C", str(native_dir), "libwebpdec.so"],
+                capture_output=True,
+                check=False,
+            )
+    if not lib_path.exists():
+        _native_lib = False
+        return False
+    try:
+        lib = ctypes.CDLL(str(lib_path))
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.webp_vp8l_decode.restype = ctypes.c_int
+        lib.webp_vp8l_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, u8p,
+        ]
+        lib.webp_alpha_decode.restype = ctypes.c_int
+        lib.webp_alpha_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, u8p,
+        ]
+        lib.webp_vp8_decode.restype = ctypes.c_int
+        lib.webp_vp8_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            u8p,  # coeff probs + update probs, concatenated
+            u8p,  # keyframe B-mode probs
+            ctypes.c_int, ctypes.c_int, u8p,
+        ]
+        _native_lib = lib
+    except (OSError, AttributeError):
+        _native_lib = False
+    return _native_lib
+
+
+def _native_vp8l(payload: bytes, h: int, w: int):
+    """Native VP8L decode -> (h, w, 4) RGBA, or None (fall back)."""
+    lib = _load_webp_native()
+    if not lib:
+        return None
+    import ctypes
+
+    out = np.empty((h, w, 4), np.uint8)
+    rc = lib.webp_vp8l_decode(
+        payload, len(payload), w, h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
+
+
+def _native_alpha(payload: bytes, h: int, w: int):
+    """Native ALPH decode -> (h, w) alpha, or None (fall back)."""
+    lib = _load_webp_native()
+    if not lib:
+        return None
+    import ctypes
+
+    out = np.empty((h, w), np.uint8)
+    rc = lib.webp_alpha_decode(
+        payload, len(payload), w, h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
+
+
+def _native_vp8(payload: bytes, h: int, w: int):
+    """Native VP8 keyframe decode -> (h, w, 3) RGB, or None."""
+    lib = _load_webp_native()
+    if not lib:
+        return None
+    import ctypes
+
+    from fft_restoration_tpu.utils._vp8_tables import (
+        COEFF_PROBS,
+        COEFF_UPDATE_PROBS,
+        KF_BMODE_PROBS,
+    )
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    probs = np.ascontiguousarray(
+        np.concatenate([COEFF_PROBS.reshape(-1), COEFF_UPDATE_PROBS.reshape(-1)])
+    )
+    bmode = np.ascontiguousarray(KF_BMODE_PROBS.reshape(-1))
+    out = np.empty((h, w, 3), np.uint8)
+    rc = lib.webp_vp8_decode(
+        payload, len(payload),
+        probs.ctypes.data_as(u8p), bmode.ctypes.data_as(u8p),
+        w, h, out.ctypes.data_as(u8p),
+    )
+    return out if rc == 0 else None
 
 
 def probe_webp_size(data: bytes):
@@ -608,15 +727,28 @@ def decode_webp(data: bytes) -> np.ndarray:
             )
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if vp8l is not None:
-        argb = _VP8LDecoder(vp8l).decode()
-        rgba = _argb_to_rgba(argb)
+        rgba = None
+        if len(vp8l) >= 5 and vp8l[0] == 0x2F:
+            bits = int.from_bytes(vp8l[1:5], "little")
+            wl = (bits & 0x3FFF) + 1
+            hl = ((bits >> 14) & 0x3FFF) + 1
+            rgba = _native_vp8l(vp8l, hl, wl)
+        if rgba is None:  # no native lib / native error -> pure Python
+            rgba = _argb_to_rgba(_VP8LDecoder(vp8l).decode())
         if (rgba[..., 3] == 255).all():
             return np.ascontiguousarray(rgba[..., :3])
         return rgba
     if vp8 is not None:
-        from fft_restoration_tpu.utils.webp_vp8 import decode_vp8
+        rgb = None
+        if len(vp8) >= 10 and vp8[3:6] == b"\x9d\x01\x2a":
+            wv = (vp8[6] | (vp8[7] << 8)) & 0x3FFF
+            hv = (vp8[8] | (vp8[9] << 8)) & 0x3FFF
+            if wv and hv:
+                rgb = _native_vp8(vp8, hv, wv)
+        if rgb is None:
+            from fft_restoration_tpu.utils.webp_vp8 import decode_vp8
 
-        rgb = decode_vp8(vp8)
+            rgb = decode_vp8(vp8)
         if alph is not None:
             a = _decode_alpha(alph, rgb.shape[0], rgb.shape[1])
             return np.dstack([rgb, a])
@@ -630,6 +762,9 @@ def _decode_alpha(alph: bytes, h: int, w: int) -> np.ndarray:
     0-3 (none/horizontal/vertical/gradient) post-apply."""
     if not alph:
         raise ValueError("corrupt WebP: empty ALPH chunk")
+    a = _native_alpha(alph, h, w)
+    if a is not None:
+        return a
     flags = alph[0]
     method = flags & 0x3
     filt = (flags >> 2) & 0x3
