@@ -23,9 +23,10 @@ here on magic bytes):
   (pinned vs cv2 — whose build here rejects type 2; RLE follows the
   published spec).
 
-JPEG 2000 and OpenEXR are recognised by magic and rejected with a
-one-line contract error (decoding them needs wavelet/half-float codecs
-far outside this framework's scope); every other cv::imread format the
+OpenEXR decodes through the from-scratch scanline codec (utils/exr.py:
+NONE/RLE/ZIPS/ZIP/PIZ compression, half/float/uint channels). JPEG 2000
+is recognised by magic and rejected with a one-line contract error
+(wavelet codestream decoding); every other cv::imread format the
 reference's drivers could load (/root/reference/serial.cpp:22) decodes.
 
 Everything decodes to uint8 gray (H, W) or RGB(A) (H, W, C) exactly like
@@ -637,10 +638,11 @@ def _decode_jp2(data: bytes) -> np.ndarray:
 
 
 def _decode_exr(data: bytes) -> np.ndarray:
-    raise ValueError(
-        "OpenEXR input is out of contract: half-float/wavelet EXR decoding "
-        "is not implemented — convert to PFM or Radiance HDR first"
-    )
+    """OpenEXR -> uint8, via the from-scratch scanline codec
+    (utils/exr.py: NONE/RLE/ZIPS/ZIP/PIZ, half/float/uint)."""
+    from fft_restoration_tpu.utils.exr import decode_exr
+
+    return decode_exr(data)
 
 
 def sniff(data: bytes):
@@ -729,6 +731,10 @@ def probe_size(data: bytes):
             raise ValueError("corrupt RAS: truncated header")
         _, w, h = struct.unpack(">3i", data[:12])
         return h, w
-    if kind in ("jp2", "exr"):
+    if kind == "exr":
+        from fft_restoration_tpu.utils.exr import probe_exr_size
+
+        return probe_exr_size(data)
+    if kind == "jp2":
         _DECODERS[kind](data)  # raises the contract error
     raise ValueError("not a BMP/PNM/PFM/TIFF/WebP/HDR/RAS file")

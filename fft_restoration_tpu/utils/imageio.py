@@ -390,10 +390,11 @@ def decode_image_bgr(data: bytes) -> np.ndarray:
 
     Formats, dispatched on magic bytes: PNG (this codec), baseline +
     progressive JPEG (utils/jpeg.py), BMP, PBM/PGM/PPM, PFM,
-    uncompressed TIFF, WebP, Radiance HDR, and Sun Raster
-    (utils/formats.py) — the cv::imread surface the reference's drivers
-    accept (/root/reference/serial.cpp:22); JPEG 2000 and OpenEXR are
-    recognised and rejected with one-line contract errors. Channel
+    uncompressed TIFF, WebP, Radiance HDR, Sun Raster
+    (utils/formats.py), and scanline OpenEXR (utils/exr.py) — the
+    cv::imread surface the reference's drivers accept
+    (/root/reference/serial.cpp:22); JPEG 2000 is recognised and
+    rejected with a one-line contract error. Channel
     canonicalisation: gray and gray+alpha replicate to 3 channels, RGBA
     drops alpha. Decoder-internal failures (truncated/garbage streams)
     are normalised to ValueError."""

@@ -1,0 +1,421 @@
+"""OpenEXR scanline codec tests (utils/exr.py, utils/exr_piz.py).
+
+No EXR oracle exists in this environment (cv2 5.0 ships without the
+codec, no OpenEXR module), so the anchors are:
+
+- golden files constructed byte-by-byte HERE, straight from the
+  published file layout and independent of encode_exr — these pin the
+  header, offset-table, chunk and ZIP/RLE post-pass wire formats;
+- encoder <-> decoder roundtrips across the full pixel-type x
+  compression x line-order matrix (both sides written from the spec);
+- algebraic inverses for the PIZ wavelet/Huffman primitives over
+  adversarial distributions;
+- truncation/garbage fuzz: every prefix of a valid file must raise
+  ValueError, never crash.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from fft_restoration_tpu.utils import exr
+from fft_restoration_tpu.utils import exr_piz
+from fft_restoration_tpu.utils import formats
+from fft_restoration_tpu.utils.imageio import decode_image_bgr
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------------------
+# hand-built golden files (independent of encode_exr)
+
+
+def _attr(name: str, atype: str, payload: bytes) -> bytes:
+    return (name.encode() + b"\x00" + atype.encode() + b"\x00"
+            + struct.pack("<i", len(payload)) + payload)
+
+
+def _chan(name: str, ptype: int) -> bytes:
+    return name.encode() + b"\x00" + struct.pack("<iB3xii", ptype, 0, 1, 1)
+
+
+def _minimal_header(chlist: bytes, comp: int, box: bytes,
+                    line_order: int = 0) -> bytes:
+    return b"".join([
+        _attr("channels", "chlist", chlist + b"\x00"),
+        _attr("compression", "compression", bytes([comp])),
+        _attr("dataWindow", "box2i", box),
+        _attr("displayWindow", "box2i", box),
+        _attr("lineOrder", "lineOrder", bytes([line_order])),
+        _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0)),
+        _attr("screenWindowCenter", "v2f", struct.pack("<2f", 0, 0)),
+        _attr("screenWindowWidth", "float", struct.pack("<f", 1.0)),
+    ]) + b"\x00"
+
+
+def test_golden_none_half_rgb():
+    # 2x3 RGB half, NONE compression, built byte-by-byte: one chunk per
+    # scanline, channels in alphabetical B, G, R order within each line.
+    vals = np.arange(18, dtype=np.float32).reshape(2, 3, 3) / 16.0
+    header = _minimal_header(
+        _chan("B", 1) + _chan("G", 1) + _chan("R", 1),
+        0, struct.pack("<4i", 0, 0, 2, 1),
+    )
+    chunks = []
+    for y in range(2):
+        payload = b"".join(
+            vals[y, :, c].astype("<f2").tobytes() for c in (2, 1, 0)
+        )
+        chunks.append(struct.pack("<ii", y, len(payload)) + payload)
+    start = 8 + len(header) + 16
+    table = struct.pack("<2Q", start, start + len(chunks[0]))
+    blob = exr.MAGIC + struct.pack("<i", 2) + header + table + b"".join(chunks)
+
+    img, names = exr.decode_exr_float(blob)
+    assert names == ["R", "G", "B"]
+    np.testing.assert_array_equal(
+        img, vals.astype(np.float16).astype(np.float32)
+    )
+    assert exr.probe_exr_size(blob) == (2, 3)
+    # uint8 ingest contract: value*255, saturate, round
+    u8 = exr.decode_exr(blob)
+    np.testing.assert_array_equal(
+        u8, np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+    )
+
+
+def test_golden_zip_float_gray():
+    # 3x4 single-channel float, ZIP: the pre-compression transform
+    # (split-half deinterleave + delta-128) is re-derived here with
+    # explicit loops, independent of the library's vectorized version.
+    vals = (np.arange(12, dtype=np.float32).reshape(3, 4) - 6.0) / 4.0
+    raw = b"".join(vals[y].astype("<f4").tobytes() for y in range(3))
+
+    interleaved = bytearray(raw)
+    half = (len(interleaved) + 1) // 2
+    split = bytearray(len(interleaved))
+    split[:half] = interleaved[0::2]
+    split[half:] = interleaved[1::2]
+    delta = bytearray(split)
+    for i in range(len(delta) - 1, 0, -1):
+        delta[i] = (delta[i] - delta[i - 1] + 128) & 0xFF
+    payload = zlib.compress(bytes(delta))
+    assert len(payload) < len(raw)
+
+    header = _minimal_header(
+        _chan("Z", 2), 3, struct.pack("<4i", 0, 0, 3, 2)
+    )
+    chunk = struct.pack("<ii", 0, len(payload)) + payload
+    table = struct.pack("<Q", 8 + len(header) + 8)
+    blob = exr.MAGIC + struct.pack("<i", 2) + header + table + chunk
+
+    img, names = exr.decode_exr_float(blob)
+    assert names == ["Z"]
+    np.testing.assert_array_equal(img, vals)
+
+
+def test_golden_rle_half_gray():
+    # RLE golden: runs + literals encoded by hand per the signed-count
+    # scheme, after the same split/delta pre-pass as ZIP.
+    vals = np.array([[0.5] * 14 + [1.5, -2.0]], np.float32)
+    raw = vals.astype("<f2").tobytes()
+    half = (len(raw) + 1) // 2
+    split = bytes(raw[0::2]) + bytes(raw[1::2])
+    delta = bytearray(split)
+    for i in range(len(delta) - 1, 0, -1):
+        delta[i] = (delta[i] - delta[i - 1] + 128) & 0xFF
+
+    payload = bytearray()
+    i = 0
+    while i < len(delta):
+        run = 1
+        while i + run < len(delta) and delta[i + run] == delta[i] and run < 127:
+            run += 1
+        if run >= 2:
+            payload.append(run - 1)
+            payload.append(delta[i])
+            i += run
+        else:
+            payload.append(256 - 1)
+            payload.append(delta[i])
+            i += 1
+    assert len(payload) < len(raw), "test vector must actually compress"
+
+    header = _minimal_header(
+        _chan("Y", 1), 1, struct.pack("<4i", 0, 0, 15, 0)
+    )
+    chunk = struct.pack("<ii", 0, len(payload)) + bytes(payload)
+    table = struct.pack("<Q", 8 + len(header) + 8)
+    blob = exr.MAGIC + struct.pack("<i", 2) + header + table + chunk
+    img, names = exr.decode_exr_float(blob)
+    assert names == ["Y"]
+    np.testing.assert_array_equal(
+        img, vals[0].astype(np.float16).astype(np.float32)[None]
+    )
+
+
+# ---------------------------------------------------------------------------
+# roundtrip matrix
+
+
+@pytest.mark.parametrize("compression", ["none", "rle", "zips", "zip", "piz"])
+@pytest.mark.parametrize("pixel_type", ["half", "float", "uint"])
+def test_roundtrip_matrix(pixel_type, compression):
+    img = (_rng(11).random((21, 13, 3)) * 3).astype(np.float32)
+    if pixel_type == "uint":
+        img = np.rint(img * 500).astype(np.float32)
+    blob = exr.encode_exr(img, pixel_type, compression)
+    out, names = exr.decode_exr_float(blob)
+    if pixel_type == "half":
+        ref = img.astype(np.float16).astype(np.float32)
+    elif pixel_type == "uint":
+        ref = img.astype(np.uint32).astype(np.float32)
+    else:
+        ref = img
+    assert names == ["R", "G", "B"]
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("compression", ["none", "zip", "piz"])
+def test_roundtrip_line_orders_agree(compression):
+    img = _rng(5).random((37, 9)).astype(np.float32)
+    inc = exr.encode_exr(img, "float", compression, "increasing")
+    dec = exr.encode_exr(img, "float", compression, "decreasing")
+    a, _ = exr.decode_exr_float(inc)
+    b, _ = exr.decode_exr_float(dec)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, img)
+
+
+def test_roundtrip_rgba_and_shapes():
+    for shape in [(1, 1), (1, 7), (16, 16), (17, 1), (33, 47)]:
+        img = _rng(sum(shape)).random(shape).astype(np.float32)
+        out, _ = exr.decode_exr_float(exr.encode_exr(img, "float", "zip"))
+        np.testing.assert_array_equal(out, img)
+    rgba = _rng(9).random((12, 10, 4)).astype(np.float32)
+    out, names = exr.decode_exr_float(exr.encode_exr(rgba, "float", "piz"))
+    assert names == ["R", "G", "B", "A"]
+    np.testing.assert_array_equal(out, rgba)
+
+
+def test_incompressible_blocks_stored_raw():
+    # Random half bits don't compress; encoder must fall back to raw
+    # storage per block and the decoder must detect it by size.
+    img = _rng(13).random((40, 31)).astype(np.float32)
+    blob = exr.encode_exr(img, "float", "zip")
+    out, _ = exr.decode_exr_float(blob)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_nonzero_data_window_origin():
+    vals = _rng(17).random((4, 5)).astype(np.float32)
+    header = _minimal_header(
+        _chan("Y", 2), 0, struct.pack("<4i", 10, -3, 14, 0)
+    )
+    chunks, offs = [], []
+    at = 8 + len(header) + 8 * 4
+    for y in range(4):
+        payload = vals[y].astype("<f4").tobytes()
+        offs.append(at)
+        chunks.append(struct.pack("<ii", y - 3, len(payload)) + payload)
+        at += len(chunks[-1])
+    blob = (exr.MAGIC + struct.pack("<i", 2) + header
+            + struct.pack("<4Q", *offs) + b"".join(chunks))
+    img, _ = exr.decode_exr_float(blob)
+    np.testing.assert_array_equal(img, vals)
+    assert exr.probe_exr_size(blob) == (4, 5)
+
+
+def test_zeroed_offset_table_sequential_fallback():
+    img = _rng(19).random((9, 6)).astype(np.float32)
+    blob = bytearray(exr.encode_exr(img, "float", "zips"))
+    hdr = exr._parse_header(bytes(blob))
+    n_blocks = 9
+    blob[hdr["header_end"]:hdr["header_end"] + 8 * n_blocks] = b"\x00" * 72
+    out, _ = exr.decode_exr_float(bytes(blob))
+    np.testing.assert_array_equal(out, img)
+
+
+# ---------------------------------------------------------------------------
+# channel layouts and rejection paths
+
+
+def test_single_arbitrary_channel_is_gray():
+    img = _rng(23).random((6, 8)).astype(np.float32)
+    blob = exr.encode_exr(img, "float", "none")
+    # rename the Y channel to 'depth.Z' in the header
+    blob = blob.replace(b"Y\x00" + struct.pack("<iB3xii", 2, 0, 1, 1),
+                        b"Z\x00" + struct.pack("<iB3xii", 2, 0, 1, 1), 1)
+    out, names = exr.decode_exr_float(blob)
+    assert names == ["Z"]
+    np.testing.assert_array_equal(out, img)
+
+
+def test_unsupported_layouts_and_flags():
+    img = np.zeros((4, 4), np.float32)
+    good = exr.encode_exr(img, "half", "none")
+
+    # luminance/chroma: Y + RY + BY channel set is rejected
+    header = _minimal_header(
+        _chan("BY", 1) + _chan("RY", 1) + _chan("Y", 1),
+        0, struct.pack("<4i", 0, 0, 3, 3),
+    )
+    blob = exr.MAGIC + struct.pack("<i", 2) + header + struct.pack("<4Q", 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="channel layout"):
+        exr.decode_exr_float(blob + b"\x00" * 64)
+
+    # version flags: tiled / deep / multipart
+    for flag, msg in ((0x200, "tiled"), (0x800, "deep"), (0x1000, "multi-part")):
+        bad = bytearray(good)
+        bad[4:8] = struct.pack("<i", 2 | flag)
+        with pytest.raises(ValueError, match=msg):
+            exr.decode_exr_float(bytes(bad))
+
+    # unsupported compression id (B44 = 6)
+    bad = bytearray(good)
+    idx = bad.index(b"compression\x00compression\x00")
+    bad[idx + len(b"compression\x00compression\x00") + 4] = 6
+    with pytest.raises(ValueError, match="B44 not supported"):
+        exr.decode_exr_float(bytes(bad))
+
+
+def test_truncation_fuzz_never_crashes():
+    img = _rng(29).random((7, 5, 3)).astype(np.float32)
+    for comp in ("none", "zip", "rle", "piz"):
+        blob = exr.encode_exr(img, "half", comp)
+        for cut in range(0, len(blob), 7):
+            with pytest.raises(ValueError):
+                exr.decode_exr_float(blob[:cut])
+    # bit flips in the header region must never escape ValueError
+    blob = bytearray(exr.encode_exr(img, "half", "zip"))
+    for pos in range(8, min(120, len(blob))):
+        bad = bytearray(blob)
+        bad[pos] ^= 0xFF
+        try:
+            exr.decode_exr_float(bytes(bad))
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# PIZ primitives
+
+
+def test_piz_wavelet_primitives_invert():
+    rng = _rng(31)
+    a = rng.integers(0, 1 << 14, 4096).astype(np.uint16)
+    b = rng.integers(0, 1 << 14, 4096).astype(np.uint16)
+    l, h = exr_piz._wenc14(a, b)
+    a2, b2 = exr_piz._wdec14(l, h)
+    np.testing.assert_array_equal(a, a2)
+    np.testing.assert_array_equal(b, b2)
+
+    a = rng.integers(0, 1 << 16, 4096).astype(np.uint16)
+    b = rng.integers(0, 1 << 16, 4096).astype(np.uint16)
+    l, h = exr_piz._wenc16(a, b)
+    a2, b2 = exr_piz._wdec16(l, h)
+    np.testing.assert_array_equal(a, a2)
+    np.testing.assert_array_equal(b, b2)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 9), (8, 8), (13, 7), (32, 57)])
+def test_piz_wavelet_2d_inverts(shape):
+    for maxv in (100, 1 << 15):  # 14-bit and modular 16-bit paths
+        hi = min(maxv + 1, 1 << 16)
+        data = _rng(shape[0] * 100 + shape[1]).integers(
+            0, hi, shape
+        ).astype(np.uint16)
+        fwd = exr_piz._wav2_transform(data.copy(), maxv, inverse=False)
+        back = exr_piz._wav2_transform(fwd.copy(), maxv, inverse=True)
+        np.testing.assert_array_equal(back, data)
+
+
+def test_piz_huffman_roundtrip_distributions():
+    rng = _rng(37)
+    cases = [
+        np.zeros(1000, np.uint16),                        # one symbol
+        np.full(300, 65535, np.uint16),                   # top symbol runs
+        rng.integers(0, 65536, 4096).astype(np.uint16),   # uniform
+        np.repeat(rng.integers(0, 50, 64), 300).astype(np.uint16),  # runs
+        np.arange(3000, dtype=np.uint16),                 # all distinct
+        np.array([7], np.uint16),                         # single sample
+    ]
+    for data in cases:
+        enc = exr_piz._huf_compress(data)
+        out = exr_piz._huf_decompress(enc, data.size)
+        np.testing.assert_array_equal(out, data)
+
+
+def test_piz_block_roundtrip_mixed_channels():
+    # HALF + FLOAT channels in one block exercise the 1- and 2-halfword
+    # interleavings together.
+    rng = _rng(41)
+    w, rows = 19, 16
+    half_rows = rng.random((rows, w)).astype("<f2")
+    float_rows = rng.random((rows, w)).astype("<f4")
+    raw = b"".join(
+        half_rows[r].tobytes() + float_rows[r].tobytes() for r in range(rows)
+    )
+    chans = [("H", 1), ("Z", 2)]
+    blk = exr_piz.piz_compress(np.frombuffer(raw, np.uint8), chans, w, rows)
+    out = exr_piz.piz_decompress(blk, chans, w, rows, len(raw))
+    assert out.tobytes() == raw
+
+
+def test_piz_corrupt_blocks_raise():
+    img = _rng(43).random((8, 8)).astype(np.float32)
+    blob = exr.encode_exr(img, "half", "piz")
+    hdr = exr._parse_header(blob)
+    # find the chunk payload and corrupt its Huffman area
+    at = struct.unpack("<Q", blob[hdr["header_end"]:hdr["header_end"] + 8])[0]
+    bad = bytearray(blob)
+    for pos in range(at + 8, min(at + 48, len(bad))):
+        b2 = bytearray(blob)
+        b2[pos] ^= 0x55
+        try:
+            exr.decode_exr_float(bytes(b2))
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# ingest integration
+
+
+def test_imread_integration(tmp_path):
+    img = (_rng(47).random((14, 11, 3))).astype(np.float32)
+    p = tmp_path / "x.exr"
+    p.write_bytes(exr.encode_exr(img, "half", "zip"))
+    bgr = decode_image_bgr(p.read_bytes())
+    ref = np.clip(
+        np.rint(img.astype(np.float16).astype(np.float32) * 255), 0, 255
+    ).astype(np.uint8)[..., ::-1]
+    np.testing.assert_array_equal(bgr, ref)
+    assert formats.sniff(p.read_bytes()) == "exr"
+    assert formats.probe_size(p.read_bytes()) == (14, 11)
+
+
+def test_gray_y_file_replicates_to_bgr():
+    img = _rng(53).random((9, 9)).astype(np.float32)
+    bgr = decode_image_bgr(exr.encode_exr(img, "float", "rle"))
+    assert bgr.shape == (9, 9, 3)
+    assert (bgr[..., 0] == bgr[..., 1]).all() and (bgr[..., 1] == bgr[..., 2]).all()
+
+
+def test_piz_numpy_scalar_runs_do_not_poison_bitwriter():
+    # Regression: run counts arrive as NumPy int64 from the run-length
+    # scan; if they infect the bit accumulator it overflows at 64 bits
+    # on real-image-sized blocks (caught driving a 640x330 fixture).
+    rng = _rng(59)
+    img = rng.integers(0, 256, (40, 160, 3)).astype(np.float32) / 255.0
+    blob = exr.encode_exr(img, "half", "piz")
+    out, _ = exr.decode_exr_float(blob)
+    np.testing.assert_array_equal(
+        out, img.astype(np.float16).astype(np.float32)
+    )

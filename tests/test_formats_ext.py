@@ -299,15 +299,24 @@ def test_ras_probe_and_errors():
 # contract errors + dispatch
 
 
-def test_jp2_exr_contract_errors():
+def test_jp2_contract_errors():
     jp2 = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 32
     j2k = b"\xff\x4f\xff\x51" + b"\x00" * 32
-    exr = b"\x76\x2f\x31\x01" + b"\x00" * 32
-    for blob, msg in ((jp2, "JPEG 2000"), (j2k, "JPEG 2000"), (exr, "OpenEXR")):
-        with pytest.raises(ValueError, match=f"{msg}.*out of contract"):
+    for blob in (jp2, j2k):
+        with pytest.raises(ValueError, match="JPEG 2000.*out of contract"):
             decode_image_bgr(blob)
         with pytest.raises(ValueError, match="out of contract"):
             formats.probe_size(blob)
+
+
+def test_corrupt_exr_is_a_value_error():
+    # EXR decodes for real since round 4 (tests/test_exr.py); a garbage
+    # body behind the magic must fail cleanly, not crash.
+    exr = b"\x76\x2f\x31\x01" + b"\x00" * 32
+    with pytest.raises(ValueError, match="corrupt EXR|not supported"):
+        decode_image_bgr(exr)
+    with pytest.raises(ValueError, match="corrupt EXR|not supported"):
+        formats.probe_size(exr)
 
 
 def test_truncation_fuzz_never_crashes():
