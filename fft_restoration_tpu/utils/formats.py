@@ -24,10 +24,11 @@ here on magic bytes):
   published spec).
 
 OpenEXR decodes through the from-scratch scanline codec (utils/exr.py:
-NONE/RLE/ZIPS/ZIP/PIZ compression, half/float/uint channels). JPEG 2000
-is recognised by magic and rejected with a one-line contract error
-(wavelet codestream decoding); every other cv::imread format the
-reference's drivers could load (/root/reference/serial.cpp:22) decodes.
+NONE/RLE/ZIPS/ZIP/PIZ compression, half/float/uint channels) and
+JPEG 2000 through the from-scratch T.800 decoder (utils/jp2.py: MQ/
+EBCOT Tier-1, packet Tier-2, 5/3 + 9/7 wavelets) — every cv::imread
+format the reference's drivers could load (/root/reference/serial.cpp:
+22) decodes in-repo.
 
 Everything decodes to uint8 gray (H, W) or RGB(A) (H, W, C) exactly like
 utils/imageio.decode_png, so imread's gray/alpha/BGR canonicalisation is
@@ -625,16 +626,12 @@ def decode_ras(data: bytes) -> np.ndarray:
     return xbgr[..., 3:0:-1].copy()  # (x,B,G,R) -> RGB
 
 
-# ---------------------------------------------------------------------------
-# Recognised-but-out-of-contract formats (cv::imread accepts these; the
-# framework's ingest contract intentionally excludes them)
-
-
 def _decode_jp2(data: bytes) -> np.ndarray:
-    raise ValueError(
-        "JPEG 2000 input is out of contract: wavelet codestream decoding "
-        "is not implemented — convert to PNG/JPEG/WebP/TIFF first"
-    )
+    """JPEG 2000 -> uint8/uint16, via the from-scratch T.800 decoder
+    (utils/jp2.py: Tier-1 MQ/EBCOT, Tier-2 packets, 5/3 + 9/7 DWT)."""
+    from fft_restoration_tpu.utils.jp2 import decode_jp2
+
+    return decode_jp2(data)
 
 
 def _decode_exr(data: bytes) -> np.ndarray:
@@ -736,5 +733,7 @@ def probe_size(data: bytes):
 
         return probe_exr_size(data)
     if kind == "jp2":
-        _DECODERS[kind](data)  # raises the contract error
+        from fft_restoration_tpu.utils.jp2 import probe_jp2_size
+
+        return probe_jp2_size(data)
     raise ValueError("not a BMP/PNM/PFM/TIFF/WebP/HDR/RAS file")

@@ -391,13 +391,13 @@ def decode_image_bgr(data: bytes) -> np.ndarray:
     Formats, dispatched on magic bytes: PNG (this codec), baseline +
     progressive JPEG (utils/jpeg.py), BMP, PBM/PGM/PPM, PFM,
     uncompressed TIFF, WebP, Radiance HDR, Sun Raster
-    (utils/formats.py), and scanline OpenEXR (utils/exr.py) — the
-    cv::imread surface the reference's drivers accept
-    (/root/reference/serial.cpp:22); JPEG 2000 is recognised and
-    rejected with a one-line contract error. Channel
+    (utils/formats.py), scanline OpenEXR (utils/exr.py), and JPEG 2000
+    (utils/jp2.py) — the full cv::imread surface the reference's
+    drivers accept (/root/reference/serial.cpp:22). Channel
     canonicalisation: gray and gray+alpha replicate to 3 channels, RGBA
-    drops alpha. Decoder-internal failures (truncated/garbage streams)
-    are normalised to ValueError."""
+    drops alpha, 16-bit narrows to the high byte (cv::imread
+    IMREAD_COLOR semantics). Decoder-internal failures
+    (truncated/garbage streams) are normalised to ValueError."""
     try:
         if data[:2] == b"\xff\xd8":
             from fft_restoration_tpu.utils.jpeg import decode_jpeg
@@ -418,6 +418,8 @@ def decode_image_bgr(data: bytes) -> np.ndarray:
         raise
     except (struct.error, IndexError, KeyError, OverflowError) as e:
         raise ValueError(f"corrupt image data: {e}") from e
+    if img.dtype == np.uint16:
+        img = (img >> 8).astype(np.uint8)
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
     elif img.shape[-1] == 2:  # grayscale + alpha (color type 4)

@@ -299,13 +299,15 @@ def test_ras_probe_and_errors():
 # contract errors + dispatch
 
 
-def test_jp2_contract_errors():
+def test_corrupt_jp2_is_a_value_error():
+    # JP2 decodes for real since round 4 (tests/test_jp2.py); a garbage
+    # body behind the magic must fail cleanly, not crash.
     jp2 = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 32
     j2k = b"\xff\x4f\xff\x51" + b"\x00" * 32
     for blob in (jp2, j2k):
-        with pytest.raises(ValueError, match="JPEG 2000.*out of contract"):
+        with pytest.raises(ValueError):
             decode_image_bgr(blob)
-        with pytest.raises(ValueError, match="out of contract"):
+        with pytest.raises(ValueError):
             formats.probe_size(blob)
 
 
