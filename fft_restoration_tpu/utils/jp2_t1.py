@@ -24,11 +24,58 @@ the 9/7 + rate-truncated cases (tests/test_jp2.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
 class Jp2Error(ValueError):
     pass
+
+
+_native_lib = None
+_FAM = {"LL": 0, "LH": 0, "HL": 1, "HH": 2}
+
+
+def _load_jp2_native():
+    """ctypes handle to native/libjp2t1.so, or False (same best-effort
+    build contract as the PNG/JPEG/WebP helpers)."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib
+    if os.environ.get("FFT_JP2_PURE"):
+        _native_lib = False
+        return False
+    import ctypes
+    from pathlib import Path
+
+    native_dir = Path(__file__).resolve().parent.parent / "native"
+    lib_path = native_dir / "libjp2t1.so"
+    if not lib_path.exists() and (native_dir / "jp2_t1.cpp").exists():
+        import shutil
+        import subprocess
+
+        if shutil.which("make") and shutil.which("g++"):
+            subprocess.run(
+                ["make", "-C", str(native_dir), "libjp2t1.so"],
+                capture_output=True,
+                check=False,
+            )
+    if not lib_path.exists():
+        _native_lib = False
+        return False
+    try:
+        lib = ctypes.CDLL(str(lib_path))
+        lib.jp2_decode_block.restype = ctypes.c_int
+        lib.jp2_decode_block.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ]
+        _native_lib = lib
+    except (OSError, AttributeError):
+        _native_lib = False
+    return _native_lib
 
 
 # T.88 Table E.1 — probability state machine (spec constants).
@@ -216,6 +263,17 @@ def decode_block(
         )
     if numbps <= 0 or npasses <= 0:
         return np.zeros((h, w), np.int32)
+    lib = _load_jp2_native()
+    if lib:
+        import ctypes
+
+        out = np.zeros((h, w), np.int32)
+        rc = lib.jp2_decode_block(
+            bytes(data), len(data), w, h, numbps, npasses, _FAM[orient],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 0:
+            return out
     mq = MQDecoder(data)
     zc = _ZC[orient]
 

@@ -111,6 +111,22 @@ def test_probe_size_and_bgr_dispatch(tmp_path):
     assert np.array_equal(decode_image_bgr(blob), cv2.imread(p))
 
 
+def test_native_t1_matches_pure_python(tmp_path, monkeypatch):
+    # native/jp2_t1.cpp is a direct port of the Python Tier-1; both
+    # paths must agree bit-exactly on the same truncated stream.
+    import fft_restoration_tpu.utils.jp2_t1 as t1
+
+    img = _smooth_rgb(67, 88, seed=21)
+    p, blob = _cv2_jp2(img, tmp_path, "nat.jp2", 150)
+    native = decode_jp2(blob)
+    monkeypatch.setenv("FFT_JP2_PURE", "1")
+    monkeypatch.setattr(t1, "_native_lib", None)
+    pure = decode_jp2(blob)
+    monkeypatch.setattr(t1, "_native_lib", None)
+    assert np.array_equal(native, pure)
+    assert np.array_equal(pure, cv2.imread(p)[..., ::-1])
+
+
 def test_out_of_profile_raises():
     with pytest.raises(Jp2Error):
         decode_jp2(b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 40)
