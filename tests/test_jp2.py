@@ -111,6 +111,25 @@ def test_probe_size_and_bgr_dispatch(tmp_path):
     assert np.array_equal(decode_image_bgr(blob), cv2.imread(p))
 
 
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"tile_size": (64, 64)},  # multi-tile grid (9 tiles)
+        {"quality_mode": "rates", "quality_layers": [40, 10, 2]},
+        {"num_resolutions": 3},
+        {"progression": "RPCL"},
+    ],
+    ids=["multitile", "multilayer", "3res", "rpcl"],
+)
+def test_advanced_profiles_match_pil(tmp_path, kwargs):
+    rng = np.random.default_rng(4)
+    img = (rng.random((150, 200, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "adv.jp2")
+    PIL_Image.fromarray(img).save(p, **kwargs)
+    mine = decode_jp2(open(p, "rb").read())
+    assert np.array_equal(mine, np.asarray(PIL_Image.open(p)))
+
+
 def test_native_t1_matches_pure_python(tmp_path, monkeypatch):
     # native/jp2_t1.cpp is a direct port of the Python Tier-1; both
     # paths must agree bit-exactly on the same truncated stream.
