@@ -484,8 +484,9 @@ def imwrite(path: str, img_bgr: np.ndarray) -> None:
     """Write a BGR uint8 (H, W, 3) or gray (H, W) image, format by extension.
 
     `.png` (default for unknown extensions), `.jpg`/`.jpeg` (baseline,
-    quality 90), `.bmp`, `.ppm`/`.pgm`/`.pnm`, `.tif`/`.tiff` —
-    mirroring cv::imwrite's extension dispatch."""
+    quality 90), `.bmp`, `.ppm`/`.pgm`/`.pnm`, `.tif`/`.tiff`,
+    `.jp2`/`.j2k` (lossless), `.exr` — mirroring cv::imwrite's
+    extension dispatch."""
     img = np.asarray(img_bgr, dtype=np.uint8)
     if img.ndim == 3:
         img = img[..., ::-1]  # BGR -> RGB
@@ -506,6 +507,16 @@ def imwrite(path: str, img_bgr: np.ndarray) -> None:
         from fft_restoration_tpu.utils import formats
 
         blob = formats.encode_tiff(img)
+    elif ext in (".jp2", ".j2k"):
+        from fft_restoration_tpu.utils import jp2_encode
+
+        enc = (jp2_encode.encode_jp2 if ext == ".jp2"
+               else jp2_encode.encode_j2k)
+        blob = enc(img)
+    elif ext == ".exr":
+        from fft_restoration_tpu.utils.exr import encode_exr
+
+        blob = encode_exr(img.astype(np.float32) / 255.0)
     else:
         blob = encode_png(img)
     Path(path).write_bytes(blob)

@@ -146,6 +146,69 @@ def test_native_t1_matches_pure_python(tmp_path, monkeypatch):
     assert np.array_equal(pure, cv2.imread(p)[..., ::-1])
 
 
+def test_encode_lossless_round_trip_and_cv2_pil_decode(tmp_path):
+    from fft_restoration_tpu.utils.jp2_encode import encode_jp2
+
+    img = _smooth_rgb(73, 94, seed=31)
+    blob = encode_jp2(img)
+    assert np.array_equal(decode_jp2(blob), img)  # own decoder
+    p = str(tmp_path / "enc.jp2")
+    open(p, "wb").write(blob)
+    assert np.array_equal(cv2.imread(p)[..., ::-1], img)  # OpenJPEG
+    assert np.array_equal(np.asarray(PIL_Image.open(p)), img)
+
+
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [((61, 77), np.uint8), ((40, 52), np.uint16), ((1, 1, 3), np.uint8),
+     ((3, 257, 3), np.uint8), ((129, 2), np.uint8)],
+    ids=["gray", "u16", "1x1", "thin", "tall"],
+)
+def test_encode_edge_geometries(tmp_path, shape, dtype):
+    from fft_restoration_tpu.utils.jp2_encode import encode_jp2
+
+    rng = np.random.default_rng(sum(shape))
+    hi = 255 if dtype == np.uint8 else 65535
+    img = (rng.random(shape) * hi).astype(dtype)
+    blob = encode_jp2(img)
+    assert np.array_equal(decode_jp2(blob), img)
+    p = str(tmp_path / "e.jp2")
+    open(p, "wb").write(blob)
+    theirs = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    if theirs.ndim == 3:
+        theirs = theirs[..., ::-1]
+    assert np.array_equal(theirs, img)
+
+
+def test_encode_extreme_values(tmp_path):
+    # hard-threshold noise maximizes coefficient magnitudes — guards the
+    # Mb = guard + eps - 1 bit-plane budget against overflow.
+    from fft_restoration_tpu.utils.jp2_encode import encode_jp2
+
+    rng = np.random.default_rng(17)
+    img = np.where(rng.random((80, 80, 3)) < 0.5, 0, 255).astype(np.uint8)
+    blob = encode_jp2(img)
+    assert np.array_equal(decode_jp2(blob), img)
+    p = str(tmp_path / "x.jp2")
+    open(p, "wb").write(blob)
+    assert np.array_equal(cv2.imread(p)[..., ::-1], img)
+
+
+def test_imwrite_jp2_and_exr_round_trip(tmp_path):
+    from fft_restoration_tpu.utils.imageio import imread, imwrite
+
+    rng = np.random.default_rng(23)
+    bgr = (rng.random((45, 58, 3)) * 255).astype(np.uint8)
+    p2 = str(tmp_path / "out.jp2")
+    imwrite(p2, bgr)
+    assert np.array_equal(imread(p2), bgr)  # lossless
+    assert np.array_equal(cv2.imread(p2), bgr)
+    pe = str(tmp_path / "out.exr")
+    imwrite(pe, bgr)
+    back = imread(pe)
+    assert np.abs(back.astype(int) - bgr.astype(int)).max() <= 1  # half prec
+
+
 def test_out_of_profile_raises():
     with pytest.raises(Jp2Error):
         decode_jp2(b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 40)
