@@ -626,6 +626,98 @@ def decode_ras(data: bytes) -> np.ndarray:
     return xbgr[..., 3:0:-1].copy()  # (x,B,G,R) -> RGB
 
 
+def encode_pfm(img: np.ndarray) -> bytes:
+    """float32 (H, W) or (H, W, 3) RGB -> PFM (little-endian, scale -1,
+    bottom-up rows — the layout cv::imwrite emits)."""
+    img = np.asarray(img, np.float32)
+    color = img.ndim == 3
+    hdr = (b"PF\n" if color else b"Pf\n") + (
+        f"{img.shape[1]} {img.shape[0]}\n-1.0\n".encode()
+    )
+    return hdr + np.flipud(img).astype("<f4").tobytes()
+
+
+def _float_to_rgbe(img: np.ndarray) -> np.ndarray:
+    """float32 RGB (H, W, 3) -> RGBE uint8 (H, W, 4), Radiance rule:
+    e = exponent of max component, mantissas scaled to [0, 256)."""
+    v = img.max(axis=-1)
+    f, e = np.frexp(v)  # v = f * 2^e, f in [0.5, 1)
+    scale = np.where(v < 1e-32, 0.0, f * 256.0 / np.maximum(v, 1e-32))
+    rgb = np.clip(np.rint(img * scale[..., None]), 0, 255)
+    ee = np.where(v < 1e-32, 0, e + 128)
+    return np.concatenate([rgb, ee[..., None]], axis=-1).astype(np.uint8)
+
+
+def _hdr_rle_component(col: np.ndarray) -> bytes:
+    """Adaptive-RLE encode one scanline component (new-style format)."""
+    out = bytearray()
+    n = len(col)
+    i = 0
+    while i < n:
+        # find a run of >= 4 equal bytes
+        run_start = i
+        while run_start < n:
+            j = run_start
+            while j < n and j - run_start < 127 and col[j] == col[run_start]:
+                j += 1
+            if j - run_start >= 4 or run_start - i >= 128:
+                break
+            run_start = j
+        run_start = min(run_start, i + 128)
+        if run_start > i:  # literal block
+            out.append(run_start - i)
+            out += col[i:run_start].tobytes()
+            i = run_start
+            continue
+        j = i
+        while j < n and j - i < 127 and col[j] == col[i]:
+            j += 1
+        out.append(128 + (j - i))
+        out.append(int(col[i]))
+        i = j
+    return bytes(out)
+
+
+def encode_hdr(img: np.ndarray) -> bytes:
+    """float32 RGB (H, W, 3) -> Radiance HDR (.hdr), new-style RLE
+    scanlines for 8 <= W <= 32767 (flat RGBE rows otherwise)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError("HDR encode expects (H, W, 3) RGB")
+    h, w = img.shape[:2]
+    px = _float_to_rgbe(img)
+    out = bytearray(
+        b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+        + f"-Y {h} +X {w}\n".encode()
+    )
+    if not (8 <= w <= 32767):
+        out += px.tobytes()
+        return bytes(out)
+    for y in range(h):
+        out += bytes((2, 2, w >> 8, w & 0xFF))
+        for c in range(4):
+            out += _hdr_rle_component(px[y, :, c])
+    return bytes(out)
+
+
+def encode_ras(img: np.ndarray) -> bytes:
+    """uint8 gray (H, W) or RGB (H, W, 3) -> Sun Raster (type 1,
+    depth 8/24, rows padded to 16-bit multiples, file-order BGR)."""
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape[:2]
+    if img.ndim == 3:
+        rows = img[..., ::-1].reshape(h, w * 3)  # RGB -> file BGR
+        depth = 24
+    else:
+        rows = img.reshape(h, w)
+        depth = 8
+    if rows.shape[1] % 2:
+        rows = np.pad(rows, ((0, 0), (0, 1)))
+    body = rows.tobytes()
+    hdr = struct.pack(">8i", 0x59A66A95, w, h, depth, len(body), 1, 0, 0)
+    return hdr + body
+
+
 def _decode_jp2(data: bytes) -> np.ndarray:
     """JPEG 2000 -> uint8/uint16, via the from-scratch T.800 decoder
     (utils/jp2.py: Tier-1 MQ/EBCOT, Tier-2 packets, 5/3 + 9/7 DWT)."""

@@ -485,8 +485,10 @@ def imwrite(path: str, img_bgr: np.ndarray) -> None:
 
     `.png` (default for unknown extensions), `.jpg`/`.jpeg` (baseline,
     quality 90), `.bmp`, `.ppm`/`.pgm`/`.pnm`, `.tif`/`.tiff`,
-    `.jp2`/`.j2k` (lossless), `.exr` — mirroring cv::imwrite's
-    extension dispatch."""
+    `.jp2`/`.j2k` (lossless), `.exr`, `.hdr`/`.pic`, `.pfm`,
+    `.ras`/`.sr` — the cv::imwrite extension surface (EXR/HDR store
+    img/255; PFM stores raw 0..255 floats, matching how cv::imread
+    rounds each back to the original uint8)."""
     img = np.asarray(img_bgr, dtype=np.uint8)
     if img.ndim == 3:
         img = img[..., ::-1]  # BGR -> RGB
@@ -517,6 +519,21 @@ def imwrite(path: str, img_bgr: np.ndarray) -> None:
         from fft_restoration_tpu.utils.exr import encode_exr
 
         blob = encode_exr(img.astype(np.float32) / 255.0)
+    elif ext in (".hdr", ".pic"):
+        from fft_restoration_tpu.utils import formats
+
+        rgb = img if img.ndim == 3 else np.repeat(img[..., None], 3, -1)
+        blob = formats.encode_hdr(rgb.astype(np.float32) / 255.0)
+    elif ext == ".pfm":
+        # raw 0..255 floats: cv::imread's PFM path rounds without a
+        # 255 scale, so this is the layout that round-trips uint8
+        from fft_restoration_tpu.utils import formats
+
+        blob = formats.encode_pfm(img.astype(np.float32))
+    elif ext in (".ras", ".sr"):
+        from fft_restoration_tpu.utils import formats
+
+        blob = formats.encode_ras(img)
     else:
         blob = encode_png(img)
     Path(path).write_bytes(blob)

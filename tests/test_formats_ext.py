@@ -299,6 +299,55 @@ def test_ras_probe_and_errors():
 # contract errors + dispatch
 
 
+@pytest.mark.parametrize(
+    "ext", [".hdr", ".pic", ".pfm", ".ras", ".sr"]
+)
+def test_encode_hdr_pfm_ras_round_trip(tmp_path, ext):
+    # imwrite's float/raster encoders (round 4): uint8 BGR must
+    # round-trip exactly through both this repo's decoder and cv2.
+    from fft_restoration_tpu.utils.imageio import imread, imwrite
+
+    rng = np.random.default_rng(41)
+    bgr = (rng.random((37, 51, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / ("t" + ext))
+    imwrite(p, bgr)
+    assert np.array_equal(imread(p), bgr)
+    assert np.array_equal(cv2.imread(p, cv2.IMREAD_COLOR), bgr)
+
+
+def test_encode_hdr_narrow_uses_flat_scanlines(tmp_path):
+    # w < 8 falls back to flat RGBE rows (the RLE marker would be
+    # ambiguous); both decoders must still read it.
+    from fft_restoration_tpu.utils.imageio import imread, imwrite
+
+    rng = np.random.default_rng(43)
+    bgr = (rng.random((20, 5, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "thin.hdr")
+    imwrite(p, bgr)
+    assert np.array_equal(imread(p), bgr)
+    assert np.array_equal(cv2.imread(p, cv2.IMREAD_COLOR), bgr)
+
+
+def test_encode_ras_gray_and_odd_width(tmp_path):
+    from fft_restoration_tpu.utils import formats
+
+    rng = np.random.default_rng(47)
+    gray = (rng.random((12, 13)) * 255).astype(np.uint8)  # odd row pad
+    blob = formats.encode_ras(gray)
+    assert np.array_equal(formats.decode_ras(blob), gray)
+    # this cv2 build's RAS reader returns zeros for 8-bit gray (its own
+    # imwrite->imread round-trip fails the same way), so pin the writer
+    # instead: identical header fields + raster to cv2's own encoder.
+    p = str(tmp_path / "cv.ras")
+    assert cv2.imwrite(p, gray)
+    theirs = open(p, "rb").read()
+    assert theirs[:32] == blob[:32]  # identical header fields
+    mine_rows = np.frombuffer(blob[32:], np.uint8).reshape(12, 14)
+    cv_rows = np.frombuffer(theirs[32:], np.uint8).reshape(12, 14)
+    # cv2 leaves the row-pad byte uninitialized; compare payload columns
+    assert np.array_equal(mine_rows[:, :13], cv_rows[:, :13])
+
+
 def test_corrupt_jp2_is_a_value_error():
     # JP2 decodes for real since round 4 (tests/test_jp2.py); a garbage
     # body behind the magic must fail cleanly, not crash.
