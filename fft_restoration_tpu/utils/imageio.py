@@ -486,9 +486,9 @@ def imwrite(path: str, img_bgr: np.ndarray) -> None:
     `.png` (default for unknown extensions), `.jpg`/`.jpeg` (baseline,
     quality 90), `.bmp`, `.ppm`/`.pgm`/`.pnm`, `.tif`/`.tiff`,
     `.jp2`/`.j2k` (lossless), `.exr`, `.hdr`/`.pic`, `.pfm`,
-    `.ras`/`.sr` — the cv::imwrite extension surface (EXR/HDR store
-    img/255; PFM stores raw 0..255 floats, matching how cv::imread
-    rounds each back to the original uint8)."""
+    `.ras`/`.sr`, `.webp` (lossless VP8L) — the cv::imwrite extension
+    surface (EXR/HDR store img/255; PFM stores raw 0..255 floats,
+    matching how cv::imread rounds each back to the original uint8)."""
     img = np.asarray(img_bgr, dtype=np.uint8)
     if img.ndim == 3:
         img = img[..., ::-1]  # BGR -> RGB
@@ -534,6 +534,10 @@ def imwrite(path: str, img_bgr: np.ndarray) -> None:
         from fft_restoration_tpu.utils import formats
 
         blob = formats.encode_ras(img)
+    elif ext == ".webp":
+        from fft_restoration_tpu.utils.webp_encode import encode_webp
+
+        blob = encode_webp(img)
     else:
         blob = encode_png(img)
     Path(path).write_bytes(blob)

@@ -346,3 +346,57 @@ def test_extreme_geometry(shape, lossless):
     blob, ref = _roundtrip(img, params)
     got = decode_webp(blob)
     np.testing.assert_array_equal(_bgr(got), ref)
+
+
+# ---------------------------------------------------------------------------
+# encoder (utils/webp_encode.py, round 4): literal-only lossless VP8L
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(97, 130, 3), (50, 60), (40, 55, 4), (1, 1, 3), (1, 64, 3)],
+    ids=["rgb", "gray", "rgba", "1x1", "row"],
+)
+def test_encode_lossless_round_trip(shape, tmp_path):
+    from fft_restoration_tpu.utils.webp_encode import encode_webp
+
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, np.uint8)
+    blob = encode_webp(img)
+    exp = img if img.ndim == 3 else np.repeat(img[..., None], 3, -1)
+    mine = decode_webp(blob)
+    np.testing.assert_array_equal(mine[..., : exp.shape[-1]], exp)
+    # libwebp (via cv2) must read it bit-exactly too
+    p = str(tmp_path / "e.webp")
+    open(p, "wb").write(blob)
+    o = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    assert o is not None
+    order = [2, 1, 0] + ([3] if o.shape[-1] == 4 else [])
+    np.testing.assert_array_equal(o[..., order][..., : exp.shape[-1]], exp)
+
+
+def test_encode_degenerate_palettes(tmp_path):
+    # flat frames hit the single-symbol (zero-bit) code path; binary
+    # frames hit the 2-symbol simple form.
+    from fft_restoration_tpu.utils.webp_encode import encode_webp
+
+    flat = np.full((30, 40, 3), 77, np.uint8)
+    two = (np.indices((33, 47)).sum(0) % 2 * 255).astype(np.uint8)
+    for img in (flat, two):
+        blob = encode_webp(img)
+        exp = img if img.ndim == 3 else np.repeat(img[..., None], 3, -1)
+        np.testing.assert_array_equal(decode_webp(blob)[..., :3], exp)
+        p = str(tmp_path / "d.webp")
+        open(p, "wb").write(blob)
+        np.testing.assert_array_equal(cv2.imread(p)[..., ::-1], exp)
+
+
+def test_imwrite_webp_dispatch(tmp_path):
+    from fft_restoration_tpu.utils.imageio import imread, imwrite
+
+    rng = np.random.default_rng(29)
+    bgr = (rng.random((45, 58, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "out.webp")
+    imwrite(p, bgr)
+    np.testing.assert_array_equal(imread(p), bgr)
+    np.testing.assert_array_equal(cv2.imread(p), bgr)
