@@ -307,6 +307,11 @@ def estimate_disk_psf(
     else:
         d = 0.0
     size = max(3, int(round((i + d) / _DISK_RING_CAL)))
+    if max_size is not None:
+        # max_size bounds the RING search; the /0.967 calibration can
+        # push the final size ~3% past it, and callers (serve.py) use
+        # it as a hard compile-cache bound — clamp the output too
+        size = min(size, max_size)
     conf = _sector_ring_conf(c2d, n, i, r_hi)
     return size, conf
 

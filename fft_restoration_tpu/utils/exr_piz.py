@@ -142,8 +142,11 @@ def _wav2_transform(a: np.ndarray, maxv: int, inverse: bool):
         xs = np.arange(0, nx - p2 + 1, p2)
         x_t = len(xs) * p2  # leftover column at this level, if any
         y_t = len(ys) * p2  # leftover row
-        has_xt = x_t + p <= nx - 1
-        has_yt = y_t + p <= ny - 1
+        # OpenEXR's leftover rule (ImfWav.cpp wav2Encode/Decode): the
+        # lone column/row is transformed at level p iff bit p of the
+        # extent is set — NOT merely when a lattice element remains
+        has_xt = bool(nx & p)
+        has_yt = bool(ny & p)
         if ys.size and xs.size:
             yy, xx = np.ix_(ys, xs)
             a00 = a[yy, xx]

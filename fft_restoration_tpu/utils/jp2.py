@@ -288,22 +288,35 @@ def _progression_iter(prog: int, nlayers: int, nres: int, ncomp: int):
 # inverse wavelets (T.800 F.3.8 / F.4.8), whole-sample symmetric extension
 
 
-def _inv53_1d(a: np.ndarray) -> np.ndarray:
-    """In-place 1D inverse 5/3 along the last axis of interleaved data."""
+def _nbr_idx(n: int):
+    """Whole-sample symmetric neighbor indices: x[-1] -> x[1],
+    x[n] -> x[n-2]."""
+    idx = np.arange(n)
+    left = np.abs(idx - 1)
+    right = np.where(idx + 1 <= n - 1, idx + 1, n - 2)
+    return left, right
+
+
+def _inv53_1d(a: np.ndarray, parity: int = 0) -> np.ndarray:
+    """In-place 1D inverse 5/3 along the last axis of interleaved data.
+
+    parity = signal origin & 1: global-even positions are low samples,
+    so an odd-origin signal (multi-tile rects) starts with a high one.
+    """
     n = a.shape[-1]
     if n == 1:
+        if parity:  # lone high sample: forward doubled it (C trunc /2)
+            v = a[..., 0]
+            a[..., 0] = (v + (v < 0)) >> 1
         return a
-    ev = a[..., 0::2]
-    od = a[..., 1::2]
-    ne, no = ev.shape[-1], od.shape[-1]
-    # even update: x[2k] -= floor((x[2k-1] + x[2k+1] + 2) / 4)
-    left = od[..., np.maximum(np.arange(ne) - 1, 0)]
-    right = od[..., np.minimum(np.arange(ne), no - 1)]
-    ev -= (left + right + 2) >> 2
-    # odd predict: x[2k+1] += floor((x[2k] + x[2k+2]) / 2)
-    l2 = ev[..., np.arange(no)]
-    r2 = ev[..., np.minimum(np.arange(no) + 1, ne - 1)]
-    od += (l2 + r2) >> 1
+    left, right = _nbr_idx(n)
+    idx = np.arange(n)
+    even = (idx + parity) % 2 == 0
+    ei, oi = idx[even], idx[~even]
+    # even update: x[g] -= floor((x[g-1] + x[g+1] + 2) / 4)
+    a[..., ei] -= (a[..., left[ei]] + a[..., right[ei]] + 2) >> 2
+    # odd predict: x[g] += floor((x[g-1] + x[g+1]) / 2)
+    a[..., oi] += (a[..., left[oi]] + a[..., right[oi]]) >> 1
     return a
 
 
@@ -314,38 +327,42 @@ _D97 = 0.443506852043971
 _K97 = 1.230174104914001
 
 
-def _inv97_1d(a: np.ndarray) -> np.ndarray:
+def _inv97_1d(a: np.ndarray, parity: int = 0) -> np.ndarray:
     n = a.shape[-1]
     if n == 1:
+        if parity:
+            a[..., 0] *= 0.5
         return a
-    ev = a[..., 0::2]
-    od = a[..., 1::2]
-    ne, no = ev.shape[-1], od.shape[-1]
-    ev *= _K97
-    od *= 1.0 / _K97
-    il = np.maximum(np.arange(ne) - 1, 0)
-    ir = np.minimum(np.arange(ne), no - 1)
-    jl = np.arange(no)
-    jr = np.minimum(np.arange(no) + 1, ne - 1)
-    ev -= _D97 * (od[..., il] + od[..., ir])
-    od -= _G97 * (ev[..., jl] + ev[..., jr])
-    ev -= _B97 * (od[..., il] + od[..., ir])
-    od -= _A97 * (ev[..., jl] + ev[..., jr])
+    left, right = _nbr_idx(n)
+    idx = np.arange(n)
+    even = (idx + parity) % 2 == 0
+    ei, oi = idx[even], idx[~even]
+    a[..., ei] *= _K97
+    a[..., oi] *= 1.0 / _K97
+    a[..., ei] -= _D97 * (a[..., left[ei]] + a[..., right[ei]])
+    a[..., oi] -= _G97 * (a[..., left[oi]] + a[..., right[oi]])
+    a[..., ei] -= _B97 * (a[..., left[ei]] + a[..., right[ei]])
+    a[..., oi] -= _A97 * (a[..., left[oi]] + a[..., right[oi]])
     return a
 
 
-def _inv_dwt_level(ll, hl, lh, hh, reversible: bool):
-    """One synthesis level: interleave + 1D rows then columns."""
+def _inv_dwt_level(ll, hl, lh, hh, reversible: bool, px: int = 0,
+                   py: int = 0):
+    """One synthesis level: interleave + 1D rows then columns.
+
+    (px, py) = resolution rect origin parities: low samples sit at
+    global-even coordinates, so odd-origin rects (multi-tile streams)
+    start with a high column/row."""
     h0, w0 = ll.shape
     h1, w1 = hh.shape
     a = np.zeros((h0 + h1, w0 + w1), ll.dtype)
-    a[0::2, 0::2] = ll
-    a[0::2, 1::2] = hl
-    a[1::2, 0::2] = lh
-    a[1::2, 1::2] = hh
+    a[py::2, px::2] = ll
+    a[py::2, 1 - px::2] = hl
+    a[1 - py::2, px::2] = lh
+    a[1 - py::2, 1 - px::2] = hh
     f = _inv53_1d if reversible else _inv97_1d
-    f(a)  # horizontal
-    f(a.T)  # vertical (view: in-place)
+    f(a, px)  # horizontal
+    f(a.T, py)  # vertical (view: in-place)
     return a
 
 
@@ -518,27 +535,26 @@ def decode_j2k(data: bytes) -> np.ndarray:
                 out[tcy0 - cs.y0:tcy1 - cs.y0,
                     tcx0 - cs.x0:tcx1 - cs.x0, c] = tile[c]
 
-    # inverse MCT + level shift + clamp
+    # inverse MCT + per-component level shift + clamp
     if cod["mct"] and cs.ncomp >= 3:
-        y, cb, cr = (out[..., 0], out[..., 1].astype(np.float64),
-                     out[..., 2].astype(np.float64))
         if reversible:  # RCT (exact integer)
-            cb_i, cr_i = out[..., 1], out[..., 2]
+            y, cb_i, cr_i = out[..., 0], out[..., 1], out[..., 2]
             g = y - ((cb_i + cr_i) >> 2)
             r = cr_i + g
             b = cb_i + g
             out = np.stack([r, g, b], axis=-1)
         else:  # ICT
             yf = out[..., 0].astype(np.float64)
+            cb = out[..., 1].astype(np.float64)
+            cr = out[..., 2].astype(np.float64)
             r = yf + 1.402 * cr
             g = yf - 0.344136 * cb - 0.714136 * cr
             b = yf + 1.772 * cb
-            out = np.stack([r, g, b], axis=-1)
-            out = np.rint(out).astype(np.int64)
-    maxd = max(cs.depth)
-    shift = 1 << (maxd - 1)
-    out = np.clip(out + shift, 0, (1 << maxd) - 1)
-    dt = np.uint8 if maxd <= 8 else np.uint16
+            out = np.rint(np.stack([r, g, b], axis=-1)).astype(np.int64)
+    depths = np.asarray(cs.depth[: out.shape[-1]], np.int64)
+    shift = (1 << (depths - 1)).reshape(1, 1, -1)
+    out = np.clip(out + shift, 0, ((1 << depths) - 1).reshape(1, 1, -1))
+    dt = np.uint8 if depths.max() <= 8 else np.uint16
     out = out.astype(dt)
     return out[..., 0] if cs.ncomp == 1 else out
 
@@ -565,10 +581,19 @@ def _decode_tile(cs, body, tc, nres, reversible):
             res.append(bands)
         comps.append(res)
 
-    # packets
+    # packets; a tile-component resolution with an empty rect has zero
+    # precincts and therefore NO packet in the stream (OpenJPEG t2)
+    def _res_empty(r):
+        d = 1 << (nlev - r) if r else 1 << nlev
+        return (_ceil_div(tc[0], d) >= _ceil_div(tc[2], d)
+                or _ceil_div(tc[1], d) >= _ceil_div(tc[3], d))
+
+    res_empty = [_res_empty(r) for r in range(nres)]
     bio = _Bio(body)
     for layer, r, c in _progression_iter(
             cod["prog"], cod["nlayers"], nres, cs.ncomp):
+        if res_empty[r]:
+            continue
         order = _read_packet(bio, comps[c][r], layer)
         pos = bio.pos
         for band, n, npasses, nbytes in order:
@@ -597,13 +622,18 @@ def _decode_tile(cs, body, tc, nres, reversible):
         for r in range(1, nres):
             hl, lh, hh = planes[i], planes[i + 1], planes[i + 2]
             i += 3
+            # resolution-r rect origin parities (odd for multi-tile
+            # rects whose offsets are not multiples of 2^(nlev-r))
+            d = 1 << (nlev - r)
+            px = _ceil_div(tc[0], d) & 1
+            py = _ceil_div(tc[1], d) & 1
             if reversible:
-                cur = _inv_dwt_level(cur, hl, lh, hh, True)
+                cur = _inv_dwt_level(cur, hl, lh, hh, True, px, py)
             else:
                 cur = _inv_dwt_level(cur.astype(np.float64),
                                      hl.astype(np.float64),
                                      lh.astype(np.float64),
-                                     hh.astype(np.float64), False)
+                                     hh.astype(np.float64), False, px, py)
         if not reversible:
             cur = np.rint(cur).astype(np.int64)
         tiles.append(cur)

@@ -146,9 +146,11 @@ def _write_huffman(bw: _BitW, lengths: np.ndarray):
     cl_freq = np.bincount(lengths, minlength=16)
     cl_lengths = _limited_lengths(cl_freq, 7)
     cl_codes = _canonical_codes(cl_lengths)
-    # emit the [17, 18, 0..15] prefix (18 entries -> 4-bit field 14)
-    bw.write(18 - 4, 4)
-    for sym in _CODE_LENGTH_ORDER[:18]:
+    # emit all 19 code-length-order entries: length symbol 15 is the
+    # LAST entry of the order table, and depth-15 literal codes are
+    # legal (the package-merge limit), so the full table is required
+    bw.write(19 - 4, 4)
+    for sym in _CODE_LENGTH_ORDER:
         bw.write(int(cl_lengths[sym]) if sym < 16 else 0, 3)
     bw.write(0, 1)  # no max_symbol cap: every symbol's length follows
     single = np.flatnonzero(cl_lengths).size == 1

@@ -299,3 +299,13 @@ def test_cli_auto_K(tmp_path, rng, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "[INFO] auto-K[128x96]" in out
+
+
+def test_disk_estimate_respects_max_size():
+    # max_size is a hard bound callers (serve.py) rely on for the
+    # compile cache; the ring calibration must not push size past it.
+    from fft_restoration_tpu.models.estimate import estimate_disk_psf
+
+    blurred = blur_image(_rect_scene(), 25, 0.0, psf_type="disk")
+    size, _ = estimate_disk_psf(blurred, max_size=20)
+    assert size <= 20

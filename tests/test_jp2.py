@@ -115,11 +115,15 @@ def test_probe_size_and_bgr_dispatch(tmp_path):
     "kwargs",
     [
         {"tile_size": (64, 64)},  # multi-tile grid (9 tiles)
+        # odd tile extents give band rects odd origins (parity-aware
+        # lifting + empty deep resolutions with no packet in-stream)
+        {"tile_size": (33, 47)},
+        {"tile_size": (40, 56)},
         {"quality_mode": "rates", "quality_layers": [40, 10, 2]},
         {"num_resolutions": 3},
         {"progression": "RPCL"},
     ],
-    ids=["multitile", "multilayer", "3res", "rpcl"],
+    ids=["multitile", "oddtile", "oddtile2", "multilayer", "3res", "rpcl"],
 )
 def test_advanced_profiles_match_pil(tmp_path, kwargs):
     rng = np.random.default_rng(4)

@@ -391,6 +391,28 @@ def test_encode_degenerate_palettes(tmp_path):
         np.testing.assert_array_equal(cv2.imread(p)[..., ::-1], exp)
 
 
+def test_encode_depth15_codes(tmp_path):
+    # a near-geometric histogram forces package-merge to the 15-bit
+    # length limit; code-length symbol 15 is the LAST entry of the
+    # code-length order table, so all 19 entries must be transmitted.
+    from fft_restoration_tpu.utils.webp_encode import (
+        _limited_lengths,
+        encode_webp,
+    )
+
+    rng = np.random.default_rng(0)
+    vals = np.minimum(rng.geometric(0.35, size=(400_000, 3)) - 1, 255)
+    side = 632
+    img = vals[: side * side].reshape(side, side, 3).astype(np.uint8)
+    freq = np.bincount(img[..., 1].ravel(), minlength=280)
+    assert _limited_lengths(freq, 15).max() == 15  # the case under test
+    blob = encode_webp(img)
+    np.testing.assert_array_equal(decode_webp(blob)[..., :3], img)
+    p = str(tmp_path / "s.webp")
+    open(p, "wb").write(blob)
+    np.testing.assert_array_equal(cv2.imread(p)[..., ::-1], img)
+
+
 def test_imwrite_webp_dispatch(tmp_path):
     from fft_restoration_tpu.utils.imageio import imread, imwrite
 
