@@ -397,6 +397,15 @@ class _Codestream:
          self.xt, self.yt, self.xt0, self.yt0) = struct.unpack_from(
             ">HIIIIIIII", d, p)
         self.ncomp = self._u16(p + 34)
+        # corrupt-size guards (cv::imread CV_IO_MAX_IMAGE_PIXELS analog):
+        # reject before allocating, never attempt a multi-GB buffer
+        w, h = self.x1 - self.x0, self.y1 - self.y0
+        if w <= 0 or h <= 0 or w * h > (1 << 30):
+            raise Jp2Error(f"corrupt JPEG 2000: image grid {w}x{h}")
+        if not 1 <= self.ncomp <= 4:
+            raise Jp2Error(f"{self.ncomp} components not supported")
+        if self.xt <= 0 or self.yt <= 0:
+            raise Jp2Error("corrupt JPEG 2000: zero tile size")
         self.depth = []
         for c in range(self.ncomp):
             ssiz, xr, yr = d[p + 36 + 3 * c: p + 39 + 3 * c]
@@ -408,6 +417,8 @@ class _Codestream:
         self.pos += 2 + L
         self.ntx = _ceil_div(self.x1 - self.xt0, self.xt)
         self.nty = _ceil_div(self.y1 - self.yt0, self.yt)
+        if self.ntx * self.nty > (1 << 20):
+            raise Jp2Error("corrupt JPEG 2000: tile grid too large")
 
     def _parse_cod(self, p, L):
         d = self.data
@@ -418,6 +429,10 @@ class _Codestream:
         nlayers = self._u16(p + 2)
         mct = d[p + 4]
         nlev = d[p + 5]
+        if nlev > 32:  # T.800 bound; also guards corrupt streams
+            raise Jp2Error(f"{nlev} decomposition levels not supported")
+        if nlayers == 0:
+            raise Jp2Error("corrupt JPEG 2000: zero layers")
         cbw = 1 << (2 + (d[p + 6] & 0x0F))
         cbh = 1 << (2 + (d[p + 7] & 0x0F))
         cbstyle = d[p + 8]

@@ -54,7 +54,21 @@ def _encoders():
         ("pfm", pfm_enc),
         ("hdr", hdr_enc),
         ("ras", cv(".ras")),
+        ("jp2", _jp2_enc),
+        ("exr", _exr_enc),
     ]
+
+
+def _jp2_enc(img):
+    from fft_restoration_tpu.utils.jp2_encode import encode_jp2
+
+    return encode_jp2(img)
+
+
+def _exr_enc(img):
+    from fft_restoration_tpu.utils.exr import encode_exr
+
+    return encode_exr(img.astype(np.float32) / 255.0)
 
 
 def _assert_contract(blob, what):
