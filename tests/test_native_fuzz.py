@@ -1,0 +1,214 @@
+"""Direct-native fuzz: corrupt bitstreams driven straight into the C++
+decoders (native/webp_codec.cpp, native/jp2_t1.cpp).
+
+tests/test_ingest_fuzz.py fuzzes through decode_image_bgr, where a
+native error silently falls back to pure Python — so the only native
+property it proves is "this corpus doesn't take the process down".
+These tests take the container parse and the fallback out of the loop:
+every corrupted payload reaches the native entry point itself, which
+must either return nonzero (error) or fill exactly the caller's buffer
+— never crash, never write outside it. Out-of-bounds writes are
+detected with redzones: each output buffer is allocated inside a
+sentinel-filled arena and the sentinel bytes are asserted untouched
+after every call (the same contract cv::imread's codecs owe their
+callers, /root/reference/serial.cpp:22).
+
+Skips cleanly when the .so files could not be built — the pure-Python
+decoders remain the always-working path and get the same corpus through
+tests/test_ingest_fuzz.py.
+"""
+
+import numpy as np
+import pytest
+
+from fft_restoration_tpu.utils import jp2_t1
+from fft_restoration_tpu.utils import webp as webp_mod
+
+cv2 = pytest.importorskip("cv2")
+
+_webp_lib = webp_mod._load_webp_native()
+_jp2_lib = jp2_t1._load_jp2_native()
+
+PAD = 64  # redzone bytes on each side of every output buffer
+H, W = 40, 56  # small enough that thousands of native calls stay cheap
+N_FLIPS = 1200
+N_CUTS = 48
+N_GARBAGE = 64
+
+
+class _Guarded:
+    """uint8 arena with PAD sentinel bytes around a payload view."""
+
+    def __init__(self, payload_bytes: int):
+        self.arena = np.full(payload_bytes + 2 * PAD, 0xA5, np.uint8)
+        self.view = self.arena[PAD : PAD + payload_bytes]
+
+    def ptr(self, ctype):
+        import ctypes
+
+        return self.view.ctypes.data_as(ctypes.POINTER(ctype))
+
+    def assert_intact(self, what: str):
+        assert (self.arena[:PAD] == 0xA5).all() and (
+            self.arena[-PAD:] == 0xA5
+        ).all(), f"native decoder wrote outside its output buffer: {what}"
+
+
+def _chunks(blob: bytes):
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"
+    out, pos = {}, 12
+    while pos + 8 <= len(blob):
+        fourcc = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        out[fourcc] = blob[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def _img(rng, channels=3):
+    base = (rng.random((H, W, channels)) * 255).astype(np.uint8)
+    return base
+
+
+def _corpus(rng, payload: bytes):
+    """Yield (tag, corrupted_payload): byteflips, truncations, garbage."""
+    blob = bytearray(payload)
+    n = len(blob)
+    for _ in range(N_FLIPS):
+        pos = int(rng.integers(n))
+        old = blob[pos]
+        blob[pos] = int(rng.integers(256))
+        yield f"flip@{pos}", bytes(blob)
+        blob[pos] = old
+    for cut in sorted({int(c) for c in np.linspace(0, n - 1, N_CUTS)}):
+        yield f"cut@{cut}", payload[:cut]
+    for i in range(N_GARBAGE):
+        m = int(rng.integers(1, 4 * n))
+        yield f"garbage#{i}", rng.integers(0, 256, m, dtype=np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# VP8 (lossy)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not _webp_lib, reason="native/libwebpdec.so not built")
+def test_vp8_native_fuzz_never_corrupts_memory():
+    import ctypes
+
+    from fft_restoration_tpu.utils._vp8_tables import (
+        COEFF_PROBS,
+        COEFF_UPDATE_PROBS,
+        KF_BMODE_PROBS,
+    )
+
+    rng = np.random.default_rng(20260819)
+    ok, enc = cv2.imencode(".webp", _img(rng)[..., ::-1], [cv2.IMWRITE_WEBP_QUALITY, 75])
+    assert ok
+    payload = _chunks(enc.tobytes())[b"VP8 "]
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    probs = np.ascontiguousarray(
+        np.concatenate([COEFF_PROBS.reshape(-1), COEFF_UPDATE_PROBS.reshape(-1)])
+    )
+    bmode = np.ascontiguousarray(KF_BMODE_PROBS.reshape(-1))
+    out = _Guarded(H * W * 3)
+    for tag, bad in _corpus(rng, payload):
+        webp_mod._load_webp_native().webp_vp8_decode(
+            bad, len(bad),
+            probs.ctypes.data_as(u8p), bmode.ctypes.data_as(u8p),
+            W, H, out.ptr(ctypes.c_uint8),
+        )
+        out.assert_intact(f"vp8 {tag}")
+
+
+# ---------------------------------------------------------------------------
+# VP8L (lossless)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not _webp_lib, reason="native/libwebpdec.so not built")
+def test_vp8l_native_fuzz_never_corrupts_memory():
+    import ctypes
+
+    rng = np.random.default_rng(20260820)
+    ok, enc = cv2.imencode(".webp", _img(rng)[..., ::-1], [cv2.IMWRITE_WEBP_QUALITY, 101])
+    assert ok
+    payload = _chunks(enc.tobytes())[b"VP8L"]
+
+    out = _Guarded(H * W * 4)
+    for tag, bad in _corpus(rng, payload):
+        webp_mod._load_webp_native().webp_vp8l_decode(
+            bad, len(bad), W, H, out.ptr(ctypes.c_uint8)
+        )
+        out.assert_intact(f"vp8l {tag}")
+
+
+# ---------------------------------------------------------------------------
+# ALPH (alpha channel of a lossy RGBA webp)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not _webp_lib, reason="native/libwebpdec.so not built")
+def test_alpha_native_fuzz_never_corrupts_memory():
+    import ctypes
+
+    rng = np.random.default_rng(20260821)
+    bgra = _img(rng, 4)
+    bgra[..., 3] = (rng.random((H, W)) * 255).astype(np.uint8)
+    ok, enc = cv2.imencode(".webp", bgra, [cv2.IMWRITE_WEBP_QUALITY, 75])
+    assert ok
+    chunks = _chunks(enc.tobytes())
+    assert b"ALPH" in chunks, "cv2 did not emit an ALPH chunk"
+    payload = chunks[b"ALPH"]
+
+    out = _Guarded(H * W)
+    for tag, bad in _corpus(rng, payload):
+        webp_mod._load_webp_native().webp_alpha_decode(
+            bad, len(bad), W, H, out.ptr(ctypes.c_uint8)
+        )
+        out.assert_intact(f"alpha {tag}")
+
+
+# ---------------------------------------------------------------------------
+# JPEG 2000 Tier-1 (MQ/EBCOT code-block decoder)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not _jp2_lib, reason="native/libjp2t1.so not built")
+def test_jp2_t1_native_fuzz_never_corrupts_memory():
+    """The Tier-1 entry gets whatever bytes Tier-2 packet parsing hands
+    it; a corrupt packet body must decode to garbage coefficients or an
+    error, never an out-of-bounds write. Random data with random
+    numbps/npasses/orientation sweeps the pass state machine."""
+    import ctypes
+
+    rng = np.random.default_rng(20260822)
+    out = _Guarded(H * W * 4)  # int32 coefficients
+    i32p = out.ptr(ctypes.c_int32)
+    for i in range(600):
+        n = int(rng.integers(1, 512))
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        numbps = int(rng.integers(1, 32))
+        npasses = int(rng.integers(1, 3 * numbps))
+        fam = int(rng.integers(3))
+        _jp2_lib.jp2_decode_block(data, n, W, H, numbps, npasses, fam, i32p)
+        out.assert_intact(f"jp2 t1 iter {i} numbps={numbps} npasses={npasses}")
+
+    # And a real block's codewords under byteflips/truncation: encode a
+    # lossless jp2, re-decode it far enough to reach Tier-1 inputs by
+    # corrupting the whole file through the public decoder.
+    from fft_restoration_tpu.utils.jp2 import decode_jp2
+    from fft_restoration_tpu.utils.jp2_encode import encode_jp2
+
+    blob = bytearray(encode_jp2(_img(rng)))
+    for _ in range(48):
+        pos = int(rng.integers(len(blob)))
+        old = blob[pos]
+        blob[pos] = int(rng.integers(256))
+        try:
+            res = decode_jp2(bytes(blob))
+            assert isinstance(res, np.ndarray)
+        except ValueError:
+            pass
+        blob[pos] = old
