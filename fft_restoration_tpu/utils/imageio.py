@@ -12,6 +12,7 @@ API parity: `imread` returns BGR uint8 (H, W, 3) like cv::imread(IMREAD_COLOR);
 
 from __future__ import annotations
 
+import os
 import struct
 import warnings
 import zlib
@@ -32,9 +33,14 @@ def _load_native():
         return _native
     import ctypes
 
-    native_dir = Path(__file__).resolve().parent.parent / "native"
+    # FFT_NATIVE_DIR points at an out-of-tree build (e.g. the ASAN
+    # variants tools/native_asan_fuzz.py compiles); no auto-build there.
+    override = os.environ.get("FFT_NATIVE_DIR")
+    native_dir = Path(override) if override else (
+        Path(__file__).resolve().parent.parent / "native"
+    )
     lib_path = native_dir / "libpngfilt.so"
-    if not lib_path.exists() and (native_dir / "png_codec.cpp").exists():
+    if not override and not lib_path.exists() and (native_dir / "png_codec.cpp").exists():
         # best-effort one-time build of the fast path
         import shutil
         import subprocess

@@ -49,9 +49,14 @@ def _load_jp2_native():
     import ctypes
     from pathlib import Path
 
-    native_dir = Path(__file__).resolve().parent.parent / "native"
+    # FFT_NATIVE_DIR points at an out-of-tree build (e.g. the ASAN
+    # variants tools/native_asan_fuzz.py compiles); no auto-build there.
+    override = os.environ.get("FFT_NATIVE_DIR")
+    native_dir = Path(override) if override else (
+        Path(__file__).resolve().parent.parent / "native"
+    )
     lib_path = native_dir / "libjp2t1.so"
-    if not lib_path.exists() and (native_dir / "jp2_t1.cpp").exists():
+    if not override and not lib_path.exists() and (native_dir / "jp2_t1.cpp").exists():
         import shutil
         import subprocess
 

@@ -54,9 +54,14 @@ def _load_webp_native():
     import ctypes
     from pathlib import Path
 
-    native_dir = Path(__file__).resolve().parent.parent / "native"
+    # FFT_NATIVE_DIR points at an out-of-tree build (e.g. the ASAN
+    # variants tools/native_asan_fuzz.py compiles); no auto-build there.
+    override = os.environ.get("FFT_NATIVE_DIR")
+    native_dir = Path(override) if override else (
+        Path(__file__).resolve().parent.parent / "native"
+    )
     lib_path = native_dir / "libwebpdec.so"
-    if not lib_path.exists() and (native_dir / "webp_codec.cpp").exists():
+    if not override and not lib_path.exists() and (native_dir / "webp_codec.cpp").exists():
         import shutil
         import subprocess
 
