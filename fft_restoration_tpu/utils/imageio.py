@@ -210,6 +210,41 @@ def _deinterlace_adam7(raw: bytes, width: int, height: int, bpp: int) -> np.ndar
     return out.reshape(height, width * bpp)
 
 
+def _unpack_subbyte(rows: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(h, stride_bytes) packed scanlines -> (h, width) sample values.
+    PNG packs sub-byte samples MSB-first within each byte (1/2/4 bpp)."""
+    bits = np.unpackbits(rows, axis=1)
+    fields = bits[:, : (bits.shape[1] // depth) * depth].reshape(
+        rows.shape[0], -1, depth
+    )
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (fields * weights).sum(axis=2).astype(np.uint8)[:, :width]
+
+
+def _decode_subbyte_image(
+    raw: bytes, width: int, height: int, depth: int, interlace: int
+) -> np.ndarray:
+    """Unfilter + unpack a 1/2/4-bit PNG image (gray or palette indices)
+    -> (height, width) uint8 samples. Filtering operates on the packed
+    bytes with bpp=1 (PNG spec: bpp rounds up to one byte)."""
+    if interlace == 0:
+        stride = (width * depth + 7) // 8
+        return _unpack_subbyte(_unfilter(raw, height, stride, 1), width, depth)
+    out = np.zeros((height, width), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        w_p = (width - x0 + dx - 1) // dx
+        h_p = (height - y0 + dy - 1) // dy
+        if w_p <= 0 or h_p <= 0:
+            continue
+        stride_p = (w_p * depth + 7) // 8
+        size = h_p * (stride_p + 1)
+        sub = _unfilter(raw[pos : pos + size], h_p, stride_p, 1)
+        pos += size
+        out[y0::dy, x0::dx] = _unpack_subbyte(sub, w_p, depth)
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG byte string to an RGB(A)/gray uint8 array (H, W[, C])."""
     if data[:8] != _PNG_SIG:
@@ -246,31 +281,44 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    if bit_depth not in (8, 16):
+    if bit_depth in (1, 2, 4) and color_type not in (0, 3):
+        raise ValueError(
+            f"bit depth {bit_depth} is only valid for gray/palette PNGs "
+            f"(color type {color_type})"
+        )
+    if bit_depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"bit depth {bit_depth} not supported")
 
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    sample_bytes = bit_depth // 8
-    bpp = channels * sample_bytes
-    stride = width * bpp
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG: IDAT inflate failed: {e}") from e
-    if interlace == 1:
-        arr = _deinterlace_adam7(raw, width, height, bpp)
-    else:
-        arr = _unfilter(raw, height, stride, bpp)
 
-    if bit_depth == 16:
-        # 16-bit -> 8-bit with rounding: v8 = round(v16 * 255 / 65535),
-        # which equals round(v16 / 257) (not a high-byte truncate).
-        arr16 = arr.reshape(height, width, channels, 2)
-        v16 = arr16[..., 0].astype(np.uint32) << 8 | arr16[..., 1]
-        img = ((v16 * 255 + 32767) // 65535).astype(np.uint8)
-        img = img.reshape(height, width, channels)
+    if bit_depth in (1, 2, 4):
+        samples = _decode_subbyte_image(raw, width, height, bit_depth, interlace)
+        if color_type == 0:
+            # libpng's expand scaling: replicate the value across the
+            # 8-bit range (255 / (2^d - 1) is exact for d in 1/2/4).
+            samples = samples * np.uint8(255 // ((1 << bit_depth) - 1))
+        img = samples[..., None]
     else:
-        img = arr.reshape(height, width, channels)
+        sample_bytes = bit_depth // 8
+        bpp = channels * sample_bytes
+        stride = width * bpp
+        if interlace == 1:
+            arr = _deinterlace_adam7(raw, width, height, bpp)
+        else:
+            arr = _unfilter(raw, height, stride, bpp)
+        if bit_depth == 16:
+            # 16-bit -> 8-bit with rounding: v8 = round(v16 * 255 / 65535),
+            # which equals round(v16 / 257) (not a high-byte truncate).
+            arr16 = arr.reshape(height, width, channels, 2)
+            v16 = arr16[..., 0].astype(np.uint32) << 8 | arr16[..., 1]
+            img = ((v16 * 255 + 32767) // 65535).astype(np.uint8)
+            img = img.reshape(height, width, channels)
+        else:
+            img = arr.reshape(height, width, channels)
 
     if color_type == 3:  # palette
         if palette is None:

@@ -174,3 +174,94 @@ def test_paeth_decode_python_fallback_warns(monkeypatch, rng):
     # cv2.imencode takes BGR and writes RGB into the PNG; decode_png
     # returns the stored RGB order
     assert np.array_equal(img, truth[..., ::-1])
+
+
+# ---------------------------------------------------------------------------
+# sub-byte bit depths (1/2/4): gray and palette, sequential and Adam7
+# (cv::imread decodes these; round 4 closed the parity tail)
+
+
+def _raw_png(samples, depth, color_type, interlace, palette=None):
+    """Hand-craft a PNG: (H, W) sample values at the given bit depth,
+    filter 0 scanlines, optional Adam7 interlacing (PIL cannot write
+    interlaced or 2/4-bit gray files, so the fixtures are built here)."""
+    import struct
+    import zlib
+
+    h, w = samples.shape
+
+    def pack_rows(sub):
+        rows = []
+        for y in range(sub.shape[0]):
+            bits = np.unpackbits(sub[y].astype(np.uint8)[:, None], axis=1)[
+                :, 8 - depth :
+            ].reshape(-1)
+            pad = (-len(bits)) % 8
+            bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+            rows.append(b"\x00" + np.packbits(bits).tobytes())
+        return b"".join(rows)
+
+    if interlace:
+        grid = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        raw = b"".join(
+            pack_rows(samples[y0::dy, x0::dx])
+            for x0, y0, dx, dy in grid
+            if samples[y0::dy, x0::dx].size
+        )
+    else:
+        raw = pack_rows(samples)
+
+    def chunk(ctype, payload):
+        c = ctype + payload
+        return struct.pack(">I", len(payload)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        parts.append(chunk(b"PLTE", palette.astype(np.uint8).tobytes()))
+    parts.append(chunk(b"IDAT", zlib.compress(raw)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_subbyte_gray_matches_cv2(depth, interlace, rng):
+    samples = rng.integers(0, 1 << depth, (13, 19), dtype=np.uint8)
+    blob = _raw_png(samples, depth, 0, interlace)
+    ref = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_GRAYSCALE)
+    assert ref is not None
+    np.testing.assert_array_equal(decode_png(blob), ref)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_subbyte_palette_matches_cv2(depth, interlace, rng):
+    n = 1 << depth
+    palette = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    samples = rng.integers(0, n, (11, 23), dtype=np.uint8)
+    blob = _raw_png(samples, depth, 3, interlace, palette=palette)
+    ref = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+    assert ref is not None
+    ours = decode_png(blob)  # RGB; cv2 returns BGR
+    np.testing.assert_array_equal(ours[..., ::-1], ref)
+
+
+def test_subbyte_pil_written_palette(rng):
+    """A PIL-written 4-bit palette PNG (bits=4) decodes identically."""
+    import io
+
+    from PIL import Image
+
+    img = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    pal = Image.fromarray(img).convert(
+        "P", palette=Image.Palette.ADAPTIVE, colors=16
+    )
+    buf = io.BytesIO()
+    pal.save(buf, "PNG", bits=4)
+    blob = buf.getvalue()
+    ref = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+    np.testing.assert_array_equal(decode_png(blob)[..., ::-1], ref)
