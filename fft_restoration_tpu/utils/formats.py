@@ -755,6 +755,8 @@ def sniff(data: bytes):
         return "jp2"
     if data[:4] == b"\x76\x2f\x31\x01":
         return "exr"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -768,9 +770,18 @@ def decode_webp(data: bytes) -> np.ndarray:
     return _dec(data)
 
 
+def _decode_gif(data: bytes) -> np.ndarray:
+    """GIF -> uint8 RGB/RGBA first frame (utils/gif.py; this
+    environment's cv::imread decodes GIF, OpenCV 5.0)."""
+    from fft_restoration_tpu.utils.gif import decode_gif
+
+    return decode_gif(data)
+
+
 _DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
              "webp": decode_webp, "pfm": decode_pfm, "hdr": decode_hdr,
-             "ras": decode_ras, "jp2": _decode_jp2, "exr": _decode_exr}
+             "ras": decode_ras, "jp2": _decode_jp2, "exr": _decode_exr,
+             "gif": _decode_gif}
 
 
 def decode(data: bytes) -> np.ndarray:
@@ -828,4 +839,8 @@ def probe_size(data: bytes):
         from fft_restoration_tpu.utils.jp2 import probe_jp2_size
 
         return probe_jp2_size(data)
+    if kind == "gif":
+        from fft_restoration_tpu.utils.gif import probe_gif_size
+
+        return probe_gif_size(data)
     raise ValueError("not a BMP/PNM/PFM/TIFF/WebP/HDR/RAS file")

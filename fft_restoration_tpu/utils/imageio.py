@@ -445,9 +445,10 @@ def decode_image_bgr(data: bytes) -> np.ndarray:
     Formats, dispatched on magic bytes: PNG (this codec), baseline +
     progressive JPEG (utils/jpeg.py), BMP, PBM/PGM/PPM, PFM,
     uncompressed TIFF, WebP, Radiance HDR, Sun Raster
-    (utils/formats.py), scanline OpenEXR (utils/exr.py), and JPEG 2000
-    (utils/jp2.py) — the full cv::imread surface the reference's
-    drivers accept (/root/reference/serial.cpp:22). Channel
+    (utils/formats.py), scanline OpenEXR (utils/exr.py), JPEG 2000
+    (utils/jp2.py), and GIF (utils/gif.py) — the full cv::imread
+    surface the reference's drivers accept
+    (/root/reference/serial.cpp:22). Channel
     canonicalisation: gray and gray+alpha replicate to 3 channels, RGBA
     drops alpha, 16-bit narrows to the high byte (cv::imread
     IMREAD_COLOR semantics). Decoder-internal failures
@@ -464,8 +465,8 @@ def decode_image_bgr(data: bytes) -> np.ndarray:
 
             if formats.sniff(data) is None:
                 raise ValueError(
-                    "unrecognised image format "
-                    "(PNG/JPEG/BMP/PNM/PFM/TIFF/WebP/HDR/RAS supported)"
+                    "unrecognised image format (PNG/JPEG/BMP/PNM/PFM/TIFF/"
+                    "WebP/HDR/RAS/JP2/EXR/GIF supported)"
                 )
             img = formats.decode(data)
     except ValueError:
@@ -540,8 +541,8 @@ def imwrite(path: str, img_bgr: np.ndarray) -> None:
     `.png` (default for unknown extensions), `.jpg`/`.jpeg` (baseline,
     quality 90), `.bmp`, `.ppm`/`.pgm`/`.pnm`, `.tif`/`.tiff`,
     `.jp2`/`.j2k` (lossless), `.exr`, `.hdr`/`.pic`, `.pfm`,
-    `.ras`/`.sr`, `.webp` (lossless VP8L) — the cv::imwrite extension
-    surface (EXR/HDR store img/255; PFM stores raw 0..255 floats,
+    `.ras`/`.sr`, `.webp` (lossless VP8L), `.gif` (exact palette when
+    <= 256 colors) — the cv::imwrite extension surface (EXR/HDR store img/255; PFM stores raw 0..255 floats,
     matching how cv::imread rounds each back to the original uint8)."""
     img = np.asarray(img_bgr, dtype=np.uint8)
     if img.ndim == 3:
@@ -592,6 +593,10 @@ def imwrite(path: str, img_bgr: np.ndarray) -> None:
         from fft_restoration_tpu.utils.webp_encode import encode_webp
 
         blob = encode_webp(img)
+    elif ext == ".gif":
+        from fft_restoration_tpu.utils.gif import encode_gif
+
+        blob = encode_gif(img)
     else:
         blob = encode_png(img)
     Path(path).write_bytes(blob)

@@ -56,6 +56,7 @@ def _encoders():
         ("ras", cv(".ras")),
         ("jp2", _jp2_enc),
         ("exr", _exr_enc),
+        ("gif", _gif_enc),
     ]
 
 
@@ -69,6 +70,12 @@ def _exr_enc(img):
     from fft_restoration_tpu.utils.exr import encode_exr
 
     return encode_exr(img.astype(np.float32) / 255.0)
+
+
+def _gif_enc(img):
+    from fft_restoration_tpu.utils.gif import encode_gif
+
+    return encode_gif(img)
 
 
 def _assert_contract(blob, what):
