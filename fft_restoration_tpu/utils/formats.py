@@ -245,6 +245,96 @@ def encode_pnm(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PAM (P7 "portable arbitrary map"; cv::imencode('.pam') writes it)
+
+_MAX_PAM_PIXELS = 1 << 30
+
+
+def decode_pam(data: bytes) -> np.ndarray:
+    """Decode PAM (P7) to uint8 gray (H, W) or RGB (H, W, 3).
+
+    Channel-order quirk pinned against this environment's OpenCV 5.0:
+    cv::imencode('.pam') stores its BGR mat VERBATIM (file triplets are
+    B,G,R despite TUPL_TYPE RGB) and cv::imdecode reads them back
+    verbatim — so depth-3 rasters are interpreted as BGR here and
+    returned reversed, making decode_image_bgr byte-identical to
+    cv::imread on cv2-written files (probed, tests/test_formats_ext.py)."""
+    if data[:2] != b"P7":
+        raise ValueError("not a PAM file")
+    end = data.find(b"ENDHDR\n")
+    if end < 0:
+        raise ValueError("corrupt PAM: missing ENDHDR")
+    fields = {}
+    for line in data[2:end].split(b"\n"):
+        line = line.split(b"#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split(None, 1)
+        if len(parts) == 2:
+            fields[parts[0].upper()] = parts[1]
+    try:
+        w = int(fields[b"WIDTH"])
+        h = int(fields[b"HEIGHT"])
+        depth = int(fields[b"DEPTH"])
+        maxval = int(fields[b"MAXVAL"])
+    except (KeyError, ValueError) as e:
+        raise ValueError(f"corrupt PAM: bad header: {e}") from e
+    if (
+        w <= 0 or h <= 0 or w * h > _MAX_PAM_PIXELS
+        or depth not in (1, 2, 3, 4) or not 1 <= maxval <= 65535
+    ):
+        raise ValueError(f"corrupt PAM: geometry {w}x{h} depth {depth} maxval {maxval}")
+    body = data[end + 7 :]
+    sample = np.dtype(np.uint8) if maxval < 256 else np.dtype(">u2")
+    need = w * h * depth * sample.itemsize
+    if len(body) < need:
+        raise ValueError("corrupt PAM: truncated raster")
+    vals = np.frombuffer(body[:need], sample).astype(np.int64)
+    img = ((vals * 255 + maxval // 2) // maxval).clip(0, 255).astype(np.uint8)
+    img = img.reshape(h, w, depth)
+    if depth == 1:
+        return img[..., 0]
+    if depth == 2:  # gray + alpha
+        return img
+    # depth 3/4: stored BGR(A) by cv2's writer -> return RGB(A)
+    if depth == 3:
+        return img[..., ::-1]
+    return np.dstack([img[..., [2, 1, 0]], img[..., 3]])
+
+
+def encode_pam(img: np.ndarray) -> bytes:
+    """Encode uint8 gray/RGB as PAM (P7), matching cv::imencode('.pam')
+    byte-for-byte: depth-3 rasters store B,G,R triplets (see decode)."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 3 and img.shape[-1] == 4:
+        img = img[..., :3]
+    if img.ndim == 2:
+        depth, (h, w) = 1, img.shape
+        raster = img
+    elif img.ndim == 3 and img.shape[-1] == 3:
+        depth, (h, w) = 3, img.shape[:2]
+        raster = img[..., ::-1]  # RGB in -> BGR bytes (cv2 quirk)
+    else:
+        raise ValueError(f"unsupported PAM shape {img.shape}")
+    # cv2 writes no TUPLTYPE line; byte parity is pinned in tests
+    hdr = b"P7\nWIDTH %d\nHEIGHT %d\nDEPTH %d\nMAXVAL 255\nENDHDR\n" % (w, h, depth)
+    return hdr + np.ascontiguousarray(raster).tobytes()
+
+
+def encode_pbm(img: np.ndarray) -> bytes:
+    """Encode uint8 gray as binary PBM (P4), matching cv::imencode's
+    binarisation (probed: bit set = black iff the pixel value is 0;
+    any nonzero value becomes white)."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim != 2:
+        raise ValueError("PBM wants a grayscale (H, W) image (cv2 parity)")
+    h, w = img.shape
+    bits = (img == 0).astype(np.uint8)
+    packed = np.packbits(bits, axis=1)
+    return b"P4\n%d %d\n" % (w, h) + packed.tobytes()
+
+
+# ---------------------------------------------------------------------------
 # TIFF (baseline, uncompressed)
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -741,6 +831,8 @@ def sniff(data: bytes):
         return "bmp"
     if len(data) >= 2 and data[0:1] == b"P" and data[1] in b"123456":
         return "pnm"
+    if data[:2] == b"P7":
+        return "pam"
     if len(data) >= 2 and data[0:1] == b"P" and data[1] in b"Ff":
         return "pfm"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
@@ -757,6 +849,8 @@ def sniff(data: bytes):
         return "exr"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[4:12] in (b"ftypavif", b"ftypavis", b"ftypmif1", b"ftypheic"):
+        return "avif"
     return None
 
 
@@ -778,10 +872,22 @@ def _decode_gif(data: bytes) -> np.ndarray:
     return decode_gif(data)
 
 
+def _decode_avif(data: bytes) -> np.ndarray:
+    """Documented contract error: this environment's OpenCV 5.0 decodes
+    AVIF through libavif/libaom; a from-scratch AV1 intra-frame decoder
+    (symbol-adaptive range coder, 10 intra prediction families, TX sets
+    up to 64x64, CDEF/loop-restoration) is out of scope — the rejection
+    is precise and tested (tests/test_formats_ext.py, ingest fuzz)."""
+    raise ValueError(
+        "AVIF/HEIF decode is not implemented (requires an AV1/HEVC "
+        "decoder); convert to PNG/WebP/JPEG first"
+    )
+
+
 _DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
              "webp": decode_webp, "pfm": decode_pfm, "hdr": decode_hdr,
              "ras": decode_ras, "jp2": _decode_jp2, "exr": _decode_exr,
-             "gif": _decode_gif}
+             "gif": _decode_gif, "pam": decode_pam, "avif": _decode_avif}
 
 
 def decode(data: bytes) -> np.ndarray:
@@ -843,4 +949,12 @@ def probe_size(data: bytes):
         from fft_restoration_tpu.utils.gif import probe_gif_size
 
         return probe_gif_size(data)
+    if kind == "pam":
+        m = re.search(rb"WIDTH\s+(\d+)", data[:256])
+        m2 = re.search(rb"HEIGHT\s+(\d+)", data[:256])
+        if not m or not m2:
+            raise ValueError("corrupt PAM: truncated header")
+        return int(m2.group(1)), int(m.group(1))
+    if kind == "avif":
+        return _decode_avif(data)
     raise ValueError("not a BMP/PNM/PFM/TIFF/WebP/HDR/RAS file")

@@ -539,7 +539,8 @@ def imwrite(path: str, img_bgr: np.ndarray) -> None:
     """Write a BGR uint8 (H, W, 3) or gray (H, W) image, format by extension.
 
     `.png` (default for unknown extensions), `.jpg`/`.jpeg` (baseline,
-    quality 90), `.bmp`, `.ppm`/`.pgm`/`.pnm`, `.tif`/`.tiff`,
+    quality 90), `.bmp`/`.dib`, `.ppm`/`.pgm`/`.pnm`, `.pam`, `.pbm`
+    (gray only, cv2-exact binarisation), `.tif`/`.tiff`,
     `.jp2`/`.j2k` (lossless), `.exr`, `.hdr`/`.pic`, `.pfm`,
     `.ras`/`.sr`, `.webp` (lossless VP8L), `.gif` (exact palette when
     <= 256 colors) — the cv::imwrite extension surface (EXR/HDR store img/255; PFM stores raw 0..255 floats,
@@ -552,7 +553,7 @@ def imwrite(path: str, img_bgr: np.ndarray) -> None:
         from fft_restoration_tpu.utils.jpeg_encode import encode_jpeg
 
         blob = encode_jpeg(img)
-    elif ext == ".bmp":
+    elif ext in (".bmp", ".dib"):
         from fft_restoration_tpu.utils import formats
 
         blob = formats.encode_bmp(img)
@@ -560,6 +561,14 @@ def imwrite(path: str, img_bgr: np.ndarray) -> None:
         from fft_restoration_tpu.utils import formats
 
         blob = formats.encode_pnm(img)
+    elif ext == ".pam":
+        from fft_restoration_tpu.utils import formats
+
+        blob = formats.encode_pam(img)
+    elif ext == ".pbm":
+        from fft_restoration_tpu.utils import formats
+
+        blob = formats.encode_pbm(img)
     elif ext in (".tif", ".tiff"):
         from fft_restoration_tpu.utils import formats
 

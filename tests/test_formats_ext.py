@@ -388,3 +388,92 @@ def test_truncation_fuzz_never_crashes():
                 formats.decode(blob[:cut])
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# PAM (P7), .pbm/.dib write aliases, AVIF contract (round 4: the rest of
+# this environment's cv::imread/imwrite extension surface)
+
+
+def test_pam_encode_matches_cv2_bytes():
+    import cv2
+
+    rng = _rng(21)
+    bgr = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    ok, ref = cv2.imencode(".pam", bgr)
+    assert ok
+    # imwrite-style call: encode_pam takes RGB and stores cv2's BGR bytes
+    assert formats.encode_pam(bgr[..., ::-1]) == bytes(ref)
+    gray = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    ok, refg = cv2.imencode(".pam", gray)
+    assert formats.encode_pam(gray) == bytes(refg)
+
+
+def test_pam_decode_matches_cv2():
+    import cv2
+
+    rng = _rng(22)
+    bgr = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    ok, enc = cv2.imencode(".pam", bgr)
+    blob = bytes(enc)
+    assert formats.sniff(blob) == "pam"
+    np.testing.assert_array_equal(decode_image_bgr(blob), bgr)
+    assert formats.probe_size(blob) == (6, 9)
+
+
+def test_pam_16bit_and_corrupt():
+    # maxval 65535 big-endian scales like PNM; short raster raises
+    raster = np.arange(12, dtype=">u2") * 5000
+    blob = (
+        b"P7\nWIDTH 4\nHEIGHT 3\nDEPTH 1\nMAXVAL 65535\nENDHDR\n"
+        + raster.tobytes()
+    )
+    out = formats.decode(blob)
+    assert out.shape == (3, 4)
+    with pytest.raises(ValueError, match="truncated raster"):
+        formats.decode(blob[:-3])
+    with pytest.raises(ValueError, match="bad header|geometry"):
+        formats.decode(b"P7\nWIDTH 0\nHEIGHT 3\nDEPTH 1\nMAXVAL 255\nENDHDR\n")
+
+
+def test_pbm_encode_matches_cv2_bytes():
+    import cv2
+
+    gray = np.array([[0, 1, 127, 128, 200, 255], [255, 0, 0, 3, 9, 0]], np.uint8)
+    ok, ref = cv2.imencode(".pbm", gray)
+    assert ok
+    assert formats.encode_pbm(gray) == bytes(ref)
+    with pytest.raises(ValueError, match="grayscale"):
+        formats.encode_pbm(np.zeros((2, 2, 3), np.uint8))
+
+
+def test_imwrite_pam_pbm_dib_roundtrip(tmp_path):
+    import cv2
+
+    from fft_restoration_tpu.utils.imageio import imread, imwrite
+
+    rng = _rng(23)
+    bgr = rng.integers(0, 256, (7, 11, 3), dtype=np.uint8)
+    for ext in ("pam", "dib"):
+        p = str(tmp_path / f"x.{ext}")
+        imwrite(p, bgr)
+        np.testing.assert_array_equal(imread(p), bgr, err_msg=ext)
+        np.testing.assert_array_equal(cv2.imread(p, cv2.IMREAD_COLOR), bgr, err_msg=ext)
+    gray = rng.integers(0, 256, (7, 11), dtype=np.uint8)
+    p = str(tmp_path / "x.pbm")
+    imwrite(p, gray)
+    ref = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+    np.testing.assert_array_equal(imread(p)[..., 0], ref)
+
+
+def test_avif_rejection_contract():
+    import cv2
+
+    ok, enc = cv2.imencode(".avif", np.zeros((8, 8, 3), np.uint8))
+    assert ok
+    blob = bytes(enc)
+    assert formats.sniff(blob) == "avif"
+    with pytest.raises(ValueError, match="AVIF.*not implemented"):
+        decode_image_bgr(blob)
+    with pytest.raises(ValueError, match="AVIF.*not implemented"):
+        formats.probe_size(blob)

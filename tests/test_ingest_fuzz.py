@@ -57,6 +57,7 @@ def _encoders():
         ("jp2", _jp2_enc),
         ("exr", _exr_enc),
         ("gif", _gif_enc),
+        ("pam", cv(".pam")),
     ]
 
 
