@@ -12,11 +12,63 @@ tests/test_gif.py) and median-cut quantization otherwise.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
 
 __all__ = ["decode_gif", "encode_gif", "probe_gif_size"]
+
+_native_lib = None
+
+
+def _load_gif_native():
+    """ctypes handle to native/libgifdec.so, or False (same best-effort
+    build contract as the PNG/JPEG/WebP/JP2 helpers; FFT_GIF_PURE=1
+    forces the pure path, FFT_NATIVE_DIR points at an out-of-tree
+    build)."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib
+    if os.environ.get("FFT_GIF_PURE"):
+        _native_lib = False
+        return False
+    import ctypes
+    from pathlib import Path
+
+    override = os.environ.get("FFT_NATIVE_DIR")
+    native_dir = Path(override) if override else (
+        Path(__file__).resolve().parent.parent / "native"
+    )
+    lib_path = native_dir / "libgifdec.so"
+    if not override and not lib_path.exists() and (native_dir / "gif_codec.cpp").exists():
+        import shutil
+        import subprocess
+
+        if shutil.which("make") and shutil.which("g++"):
+            subprocess.run(
+                ["make", "-C", str(native_dir), "libgifdec.so"],
+                capture_output=True,
+                check=False,
+            )
+    if not lib_path.exists():
+        _native_lib = False
+        return False
+    try:
+        lib = ctypes.CDLL(str(lib_path))
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.gif_lzw_decode.restype = ctypes.c_int64
+        lib.gif_lzw_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, u8p, ctypes.c_int64,
+        ]
+        lib.gif_lzw_encode.restype = ctypes.c_int64
+        lib.gif_lzw_encode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int, u8p, ctypes.c_int64,
+        ]
+        _native_lib = lib
+    except (OSError, AttributeError):
+        _native_lib = False
+    return _native_lib
 
 
 def probe_gif_size(data: bytes):
@@ -33,7 +85,27 @@ def probe_gif_size(data: bytes):
 
 
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> np.ndarray:
-    """GIF LZW -> uint8 index stream (at most max_pixels entries)."""
+    """GIF LZW -> uint8 index stream (at most max_pixels entries).
+
+    Native fast lane when libgifdec.so is built (bit-exact port,
+    tests/test_gif.py); a native error (-1) falls back to the pure
+    decoder below for its precise ValueError message."""
+    lib = _load_gif_native()
+    if lib and max_pixels > 0:
+        import ctypes
+
+        out = np.empty(max_pixels, np.uint8)
+        n_out = lib.gif_lzw_decode(
+            data, len(data), min_code_size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_pixels,
+        )
+        if n_out >= 0:
+            return out[:n_out]
+    return _lzw_decode_py(data, min_code_size, max_pixels)
+
+
+def _lzw_decode_py(data: bytes, min_code_size: int, max_pixels: int) -> np.ndarray:
+    """Pure-Python LZW decode — the contract copy the native lane ports."""
     if not 2 <= min_code_size <= 11:
         raise ValueError(f"corrupt GIF: LZW min code size {min_code_size}")
     clear = 1 << min_code_size
@@ -55,7 +127,9 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> np.ndarray:
     scratch = bytearray(4096)
 
     def emit(code: int) -> int:
-        # walk the chain into scratch (reversed), return first byte
+        # walk the chain into scratch (reversed), return its first byte;
+        # clip to max_pixels keeping the HEAD of the chain (only corrupt
+        # streams can overshoot — valid ones decode exactly max_pixels)
         k = 0
         c = code
         while c >= 0:
@@ -63,14 +137,11 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> np.ndarray:
             k += 1
             c = prefix[c]
         nonlocal n_out
-        if n_out + k > max_pixels:
-            k = max_pixels - n_out
-            if k <= 0:
-                return scratch[0]
-        for i in range(k):
+        take = min(k, max_pixels - n_out)
+        for i in range(take):
             out[n_out + i] = scratch[k - 1 - i]
-        n_out += k
-        return scratch[k - 1] if k else scratch[0]
+        n_out += take
+        return scratch[k - 1]
 
     while n_out < max_pixels:
         while nbits < width:
@@ -123,7 +194,26 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> np.ndarray:
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
-    """uint8 index stream -> GIF LZW bytes (with clear/EOI codes)."""
+    """uint8 index stream -> GIF LZW bytes (native lane when built)."""
+    lib = _load_gif_native()
+    if lib and len(indices):
+        import ctypes
+
+        idx = np.ascontiguousarray(indices, np.uint8)
+        cap = 2 * len(idx) + 64
+        out = np.empty(cap, np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n_out = lib.gif_lzw_encode(
+            idx.ctypes.data_as(u8p), len(idx), min_code_size,
+            out.ctypes.data_as(u8p), cap,
+        )
+        if n_out >= 0:
+            return out[:n_out].tobytes()
+    return _lzw_encode_py(indices, min_code_size)
+
+
+def _lzw_encode_py(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Pure-Python LZW encode — the contract copy the native lane ports."""
     clear = 1 << min_code_size
     eoi = clear + 1
     table: dict = {}
@@ -346,7 +436,17 @@ def encode_gif(img: np.ndarray) -> bytes:
         raise ValueError(f"encode_gif wants (H, W[, 3]) uint8, got {img.shape}")
     h, w = img.shape[:2]
     flat = img.reshape(-1, 3)
-    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    # pack to uint32 for the unique pass: ~20x np.unique(axis=0)'s
+    # row-lexsort on megapixel frames
+    packed = (
+        flat[:, 0].astype(np.uint32) << 16
+        | flat[:, 1].astype(np.uint32) << 8
+        | flat[:, 2]
+    )
+    ucodes, inverse = np.unique(packed, return_inverse=True)
+    colors = np.stack(
+        [(ucodes >> 16) & 0xFF, (ucodes >> 8) & 0xFF, ucodes & 0xFF], axis=1
+    ).astype(np.uint8)
     if len(colors) > 256:
         palette = _median_cut(flat, 256)
         # map every pixel to its nearest palette entry

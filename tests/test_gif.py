@@ -187,3 +187,22 @@ def test_corrupt_gif_raises_valueerror(rng):
         except ValueError:
             pass
         blob[pos] = old
+
+
+# ---------------------------------------------------------------------------
+# native fast lane (native/gif_codec.cpp): bit-exact vs the pure path
+
+
+def test_native_pure_parity(rng, monkeypatch):
+    from fft_restoration_tpu.utils import gif as gif_mod
+
+    if not gif_mod._load_gif_native():
+        pytest.skip("native/libgifdec.so not built")
+    img = rng.integers(0, 256, (96, 130), dtype=np.uint8)
+    blob = encode_gif(img)  # native encoder
+    native = decode_gif(blob)
+    monkeypatch.setattr(gif_mod, "_native_lib", False)
+    pure = decode_gif(blob)
+    np.testing.assert_array_equal(native, pure)
+    blob_pure = encode_gif(img)  # pure encoder
+    assert blob_pure == blob  # encoders agree byte-for-byte

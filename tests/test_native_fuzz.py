@@ -212,3 +212,45 @@ def test_jp2_t1_native_fuzz_never_corrupts_memory():
         except ValueError:
             pass
         blob[pos] = old
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW (native/gif_codec.cpp)
+
+
+def test_gif_lzw_native_fuzz_never_corrupts_memory():
+    import ctypes
+
+    from fft_restoration_tpu.utils import gif as gif_mod
+
+    lib = gif_mod._load_gif_native()
+    if not lib:
+        pytest.skip("native/libgifdec.so not built")
+    rng = np.random.default_rng(20260823)
+    img = rng.integers(0, 256, (H, W), dtype=np.uint8)
+    blob = gif_mod.encode_gif(img)
+    # extract the raw LZW payload (single data sub-block stream)
+    from fft_restoration_tpu.utils.gif import _subblocks
+
+    lzw_off = blob.index(b"\x2c") + 10  # image descriptor + mcs byte
+    payload, _ = _subblocks(blob, lzw_off)
+
+    out = _Guarded(H * W)
+    u8p = out.ptr(ctypes.c_uint8)
+    for tag, bad in _corpus(rng, payload):
+        for mcs in (2, 8, 11):
+            lib.gif_lzw_decode(bad, len(bad), mcs, u8p, H * W)
+            out.assert_intact(f"gif lzw {tag} mcs={mcs}")
+
+    # and through the public decoder with whole-file corruption
+    arr = bytearray(blob)
+    for _ in range(300):
+        pos = int(rng.integers(len(arr)))
+        old = arr[pos]
+        arr[pos] = int(rng.integers(256))
+        try:
+            res = gif_mod.decode_gif(bytes(arr))
+            assert isinstance(res, np.ndarray)
+        except ValueError:
+            pass
+        arr[pos] = old

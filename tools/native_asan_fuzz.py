@@ -32,6 +32,7 @@ BUILDS = [
     ("libwebpdec.so", ["webp_codec.cpp"], []),
     ("libjp2t1.so", ["jp2_t1.cpp"], []),
     ("libpngfilt.so", ["png_codec.cpp"], ["-lz", "-lpthread"]),
+    ("libgifdec.so", ["gif_codec.cpp"], []),
 ]
 
 
