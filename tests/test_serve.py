@@ -72,6 +72,20 @@ def test_restore_bmp_with_params(server):
     assert decode_png(data).shape == img.shape
 
 
+def test_restore_gif_and_pam_roundtrip(server):
+    """Round-4 codecs flow through the serving surface unchanged."""
+    from fft_restoration_tpu.utils.gif import encode_gif
+
+    rng = np.random.default_rng(5)
+    img = ((rng.random((16, 32, 3)) * 8).astype(np.uint8)) * 32
+    status, data = _post(server, "/restore", encode_gif(img[..., ::-1]))
+    assert status == 200
+    assert decode_png(data).shape == img.shape
+    status, data = _post(server, "/restore", formats.encode_pam(img))
+    assert status == 200
+    assert decode_png(data).shape == img.shape
+
+
 def test_restore_matches_pipeline(server):
     """The endpoint returns exactly what the library pipeline returns."""
     from fft_restoration_tpu.models.pipeline import WienerDeblurPipeline
