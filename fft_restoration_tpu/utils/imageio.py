@@ -434,8 +434,8 @@ def probe_size(path: str) -> tuple:
             pos += seglen
         raise ValueError("corrupt JPEG: no SOF marker")
     raise ValueError(
-        "unrecognised image format "
-        "(PNG/JPEG/BMP/PNM/PFM/TIFF/WebP/HDR/RAS supported)"
+        "unrecognised image format (PNG/JPEG/BMP/PNM/PFM/TIFF/"
+        "WebP/HDR/RAS/JP2/EXR/GIF supported)"
     )
 
 
