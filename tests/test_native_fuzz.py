@@ -229,10 +229,14 @@ def test_gif_lzw_native_fuzz_never_corrupts_memory():
     rng = np.random.default_rng(20260823)
     img = rng.integers(0, 256, (H, W), dtype=np.uint8)
     blob = gif_mod.encode_gif(img)
-    # extract the raw LZW payload (single data sub-block stream)
+    # extract the raw LZW payload structurally (searching for 0x2C can
+    # hit a palette byte): 13-byte header + GCT + 10-byte descriptor +
+    # the min-code-size byte
     from fft_restoration_tpu.utils.gif import _subblocks
 
-    lzw_off = blob.index(b"\x2c") + 10  # image descriptor + mcs byte
+    gct_n = 2 << (blob[10] & 0x7)
+    lzw_off = 13 + 3 * gct_n + 10 + 1
+    assert blob[13 + 3 * gct_n] == 0x2C, "unexpected encoder layout"
     payload, _ = _subblocks(blob, lzw_off)
 
     out = _Guarded(H * W)
