@@ -448,12 +448,29 @@ def encode_gif(img: np.ndarray) -> bytes:
         [(ucodes >> 16) & 0xFF, (ucodes >> 8) & 0xFF, ucodes & 0xFF], axis=1
     ).astype(np.uint8)
     if len(colors) > 256:
-        palette = _median_cut(flat, 256)
-        # map every pixel to its nearest palette entry
-        d = (
-            flat[:, None, :].astype(np.int32) - palette[None, :, :].astype(np.int32)
-        )
-        indices = np.argmin((d * d).sum(-1), axis=1).astype(np.uint8)
+        # split boxes over the DISTINCT colors, deterministically
+        # strided to <= 2^16 samples — palette quality is insensitive
+        # to the subsample and this keeps megapixel encodes O(seconds)
+        sample = colors
+        if len(sample) > (1 << 16):
+            sample = sample[:: (len(sample) >> 16) + 1]
+        palette = _median_cut(sample, 256)
+        # nearest-palette mapping on the DISTINCT colors (bounded by the
+        # image's unique count), chunked so the (chunk, 256, 3) distance
+        # tensor stays small, then broadcast back through `inverse` —
+        # never an (N_pixels, 256, 3) allocation
+        # argmin_p |c-p|^2 = argmin_p (|p|^2 - 2 c.p): one BLAS matmul
+        # per chunk; all terms are integers < 2^24 so float32 is exact
+        palf = palette.astype(np.float32)
+        pnorm = (palf * palf).sum(1)
+        color_to_pal = np.empty(len(colors), np.uint8)
+        step = 1 << 18
+        for i in range(0, len(colors), step):
+            c = colors[i : i + step].astype(np.float32)
+            color_to_pal[i : i + step] = np.argmin(
+                pnorm[None, :] - 2.0 * (c @ palf.T), axis=1
+            )
+        indices = color_to_pal[inverse]
     else:
         palette = colors.astype(np.uint8)
         indices = inverse.astype(np.uint8)
