@@ -6,9 +6,12 @@ recognised EXR magic and rejected it with a contract error; this module
 closes that gap with a from-scratch implementation of the OpenEXR 2.x
 scanline format:
 
-- single-part scanline files (version 2; tiled / deep / multipart
-  streams are detected via the version-field flags and rejected with
-  precise errors);
+- single-part scanline AND single-part tiled files (version 2; deep /
+  multipart streams are detected via the version-field flags and
+  rejected with precise errors). Tiled files decode at level (0, 0)
+  for all three level modes — ONE_LEVEL, MIPMAP and RIPMAP — with both
+  rounding modes honoured when sizing the chunk-offset table, exactly
+  the subset cv::imread returns for a mip/rip-mapped texture;
 - compressions NONE, RLE, ZIPS, ZIP and PIZ (utils/exr_piz.py) —
   ZIP blocks are 16 scan lines, PIZ 32; raw-stored blocks, which
   OpenEXR emits whenever compression does not shrink a block, are
@@ -103,11 +106,10 @@ def _parse_header(data: bytes):
     if version & 0xFF != 2:
         raise ValueError(f"EXR version {version & 0xFF} not supported")
     if version & 0x1000:
-        raise ValueError("multi-part EXR not supported (single-part scanline only)")
+        raise ValueError("multi-part EXR not supported (single-part only)")
     if version & 0x800:
-        raise ValueError("deep-data EXR not supported (flat scanline only)")
-    if version & 0x200:
-        raise ValueError("tiled EXR not supported (scanline files only)")
+        raise ValueError("deep-data EXR not supported (flat images only)")
+    tiled = bool(version & 0x200)
     attrs, pos = {}, 8
     while True:
         if pos >= len(data):
@@ -134,9 +136,23 @@ def _parse_header(data: bytes):
     xmin, ymin, xmax, ymax = dw
     if xmax < xmin or ymax < ymin:
         raise ValueError("corrupt EXR: empty data window")
+    tiles = None
+    if tiled:
+        if "tiles" not in attrs:
+            raise ValueError("corrupt EXR: tiled file without 'tiles' attribute")
+        raw = attrs["tiles"][1]
+        if len(raw) < 9:
+            raise ValueError("corrupt EXR: truncated tiledesc")
+        txs, tys, mode = struct.unpack("<IIB", raw[:9])
+        level_mode, rounding = mode & 0xF, mode >> 4
+        if txs == 0 or tys == 0 or txs > 1 << 20 or tys > 1 << 20:
+            raise ValueError(f"corrupt EXR: bad tile size {txs}x{tys}")
+        if level_mode > 2 or rounding > 1:
+            raise ValueError(f"corrupt EXR: bad tile level/rounding mode {mode}")
+        tiles = (txs, tys, level_mode, rounding)
     return {"channels": chans, "compression": comp,
             "data_window": (xmin, ymin, xmax, ymax),
-            "header_end": pos, "attrs": attrs}
+            "header_end": pos, "attrs": attrs, "tiles": tiles}
 
 
 # ---------------------------------------------------------------------------
@@ -214,11 +230,166 @@ def _decompress_block(comp: int, payload: bytes, expected: int,
 
 
 # ---------------------------------------------------------------------------
+# chunk walkers
+
+
+def _scatter_rows(planes, raw, chans, row0, col0, rows, width):
+    """Unpack one decompressed chunk (scanline block or tile) into the
+    channel planes. Layout per the format: for each scan line, each
+    channel's `width` pixels in chlist order."""
+    off = 0
+    for r in range(row0, row0 + rows):
+        for name, pt, _, _ in chans:
+            nb = width * _PT_SIZE[pt]
+            planes[name][r, col0:col0 + width] = np.frombuffer(
+                raw[off:off + nb].tobytes(), _PT_DTYPE[pt]
+            )
+            off += nb
+
+
+def _decode_scanline_chunks(data, hdr, planes, w, h):
+    chans, comp = hdr["channels"], hdr["compression"]
+    ymin = hdr["data_window"][1]
+    lpb = _LINES_PER_BLOCK[comp]
+    n_blocks = (h + lpb - 1) // lpb
+    bytes_per_line = sum(w * _PT_SIZE[pt] for _, pt, _, _ in chans)
+
+    # Offset table: one uint64 per block. Some writers leave it zeroed
+    # for streaming; chunks are self-describing (each carries its y),
+    # so fall back to a sequential walk in that case.
+    pos = hdr["header_end"]
+    if pos + 8 * n_blocks > len(data):
+        raise ValueError("corrupt EXR: truncated line offset table")
+    offsets = np.frombuffer(data, "<u8", n_blocks, pos)
+    pos += 8 * n_blocks
+    if not offsets.size or offsets.min() == 0 or offsets.max() + 8 > len(data):
+        offsets = None  # sequential fallback
+
+    seen = np.zeros(h, bool)
+    for blk in range(n_blocks):
+        at = int(offsets[blk]) if offsets is not None else pos
+        if at + 8 > len(data):
+            raise ValueError("corrupt EXR: truncated scanline block")
+        y, size = struct.unpack("<ii", data[at:at + 8])
+        at += 8
+        if size < 0 or at + size > len(data):
+            raise ValueError("corrupt EXR: scanline block overruns file")
+        payload = data[at:at + size]
+        if offsets is None:
+            pos = at + size
+        row0 = y - ymin
+        if row0 < 0 or row0 >= h or row0 % lpb != 0:
+            raise ValueError(f"corrupt EXR: block y={y} outside data window")
+        rows = min(lpb, h - row0)
+        if seen[row0:row0 + rows].any():
+            raise ValueError(f"corrupt EXR: duplicate scanline y={y}")
+        seen[row0:row0 + rows] = True
+        raw = _decompress_block(comp, payload, rows * bytes_per_line,
+                                chans, w, rows)
+        _scatter_rows(planes, raw, chans, row0, 0, rows, w)
+    if not seen.all():
+        raise ValueError("corrupt EXR: missing scanlines")
+
+
+def _level_size(size: int, level: int, rounding: int) -> int:
+    """Side length of mip/rip level `level` (0 = full resolution)."""
+    d = 1 << level
+    return max(1, size // d if rounding == 0 else -(-size // d))
+
+
+def _num_levels(size: int, rounding: int) -> int:
+    n = 1
+    while size > 1:
+        size = size // 2 if rounding == 0 else (size + 1) // 2
+        n += 1
+    return n
+
+
+def _tile_chunk_count(w, h, txs, tys, level_mode, rounding):
+    """Total chunks in the offset table across all levels."""
+    if level_mode == 0:  # ONE_LEVEL
+        lx_ly = [(0, 0)]
+    elif level_mode == 1:  # MIPMAP: square levels indexed by l = lx = ly
+        n = _num_levels(max(w, h), rounding)
+        lx_ly = [(l, l) for l in range(n)]
+    else:  # RIPMAP: independent x / y level axes
+        nx, ny = _num_levels(w, rounding), _num_levels(h, rounding)
+        lx_ly = [(lx, ly) for ly in range(ny) for lx in range(nx)]
+    total = 0
+    for lx, ly in lx_ly:
+        lw, lh = _level_size(w, lx, rounding), _level_size(h, ly, rounding)
+        total += ((lw + txs - 1) // txs) * ((lh + tys - 1) // tys)
+    return total
+
+
+def _decode_tile_chunks(data, hdr, planes, w, h):
+    """Walk every tile chunk; scatter level-(0,0) tiles into the planes
+    (higher mip/rip levels are parsed for bounds but not consumed —
+    cv::imread returns the full-resolution level)."""
+    chans, comp = hdr["channels"], hdr["compression"]
+    txs, tys, level_mode, rounding = hdr["tiles"]
+    n_chunks = _tile_chunk_count(w, h, txs, tys, level_mode, rounding)
+    cx, cy = (w + txs - 1) // txs, (h + tys - 1) // tys
+
+    pos = hdr["header_end"]
+    if pos + 8 * n_chunks > len(data):
+        raise ValueError("corrupt EXR: truncated tile offset table")
+    offsets = np.frombuffer(data, "<u8", n_chunks, pos)
+    pos += 8 * n_chunks
+    if not offsets.size or offsets.min() == 0 or offsets.max() + 20 > len(data):
+        offsets = None  # sequential fallback (zeroed table)
+
+    if level_mode == 0:
+        def level_ok(lx, ly):
+            return (lx, ly) == (0, 0)
+    elif level_mode == 1:
+        n_mip = _num_levels(max(w, h), rounding)
+
+        def level_ok(lx, ly):
+            return lx == ly and 0 <= lx < n_mip
+    else:
+        nx, ny = _num_levels(w, rounding), _num_levels(h, rounding)
+
+        def level_ok(lx, ly):
+            return 0 <= lx < nx and 0 <= ly < ny
+
+    seen = np.zeros((cy, cx), bool)
+    for blk in range(n_chunks):
+        at = int(offsets[blk]) if offsets is not None else pos
+        if at + 20 > len(data):
+            raise ValueError("corrupt EXR: truncated tile chunk")
+        dx, dy, lx, ly, size = struct.unpack("<5i", data[at:at + 20])
+        at += 20
+        if size < 0 or at + size > len(data):
+            raise ValueError("corrupt EXR: tile chunk overruns file")
+        if offsets is None:
+            pos = at + size
+        if not level_ok(lx, ly):
+            raise ValueError(f"corrupt EXR: tile level ({lx},{ly}) out of range")
+        if (lx, ly) != (0, 0):
+            continue  # mip/rip level — full-resolution read ignores it
+        if not (0 <= dx < cx and 0 <= dy < cy):
+            raise ValueError(f"corrupt EXR: tile ({dx},{dy}) outside image")
+        if seen[dy, dx]:
+            raise ValueError(f"corrupt EXR: duplicate tile ({dx},{dy})")
+        seen[dy, dx] = True
+        tw = min(txs, w - dx * txs)
+        th = min(tys, h - dy * tys)
+        expected = th * sum(tw * _PT_SIZE[pt] for _, pt, _, _ in chans)
+        raw = _decompress_block(comp, data[at:at + size], expected,
+                                chans, tw, th)
+        _scatter_rows(planes, raw, chans, dy * tys, dx * txs, th, tw)
+    if not seen.all():
+        raise ValueError("corrupt EXR: missing tiles")
+
+
+# ---------------------------------------------------------------------------
 # decoding
 
 
 def decode_exr_float(data: bytes):
-    """Decode a scanline EXR -> (image float32 (H,W) or (H,W,C), names).
+    """Decode a single-part EXR (scanline or tiled) -> (image float32
+    (H,W) or (H,W,C), names). Tiled files return level (0, 0).
 
     Channel mapping: R/G/B(/A) -> RGB(A); a lone Y (or any single
     channel) -> grayscale. UINT channels are cast to float32 verbatim.
@@ -246,56 +417,14 @@ def decode_exr_float(data: bytes):
         )
     if w * h > 1 << 30:
         raise ValueError(f"EXR dimensions {w}x{h} unreasonably large")
-    lpb = _LINES_PER_BLOCK[comp]
-    n_blocks = (h + lpb - 1) // lpb
-    bytes_per_line = sum(w * _PT_SIZE[pt] for _, pt, _, _ in chans)
-
-    # Offset table: one uint64 per block. Some writers leave it zeroed
-    # for streaming; chunks are self-describing (each carries its y),
-    # so fall back to a sequential walk in that case.
-    pos = hdr["header_end"]
-    if pos + 8 * n_blocks > len(data):
-        raise ValueError("corrupt EXR: truncated line offset table")
-    offsets = np.frombuffer(data, "<u8", n_blocks, pos)
-    pos += 8 * n_blocks
-    if not offsets.size or offsets.min() == 0 or offsets.max() + 8 > len(data):
-        offsets = None  # sequential fallback
-
     planes = {
         name: np.empty((h, w), np.dtype(_PT_DTYPE[pt]))
         for name, pt, _, _ in chans
     }
-    seen = np.zeros(h, bool)
-    for blk in range(n_blocks):
-        at = int(offsets[blk]) if offsets is not None else pos
-        if at + 8 > len(data):
-            raise ValueError("corrupt EXR: truncated scanline block")
-        y, size = struct.unpack("<ii", data[at:at + 8])
-        at += 8
-        if size < 0 or at + size > len(data):
-            raise ValueError("corrupt EXR: scanline block overruns file")
-        payload = data[at:at + size]
-        if offsets is None:
-            pos = at + size
-        row0 = y - ymin
-        if row0 < 0 or row0 >= h or row0 % lpb != 0:
-            raise ValueError(f"corrupt EXR: block y={y} outside data window")
-        rows = min(lpb, h - row0)
-        raw = _decompress_block(comp, payload, rows * bytes_per_line,
-                                chans, w, rows)
-        off = 0
-        for r in range(row0, row0 + rows):
-            if seen[r]:
-                raise ValueError(f"corrupt EXR: duplicate scanline y={r + ymin}")
-            seen[r] = True
-            for name, pt, _, _ in chans:
-                nb = w * _PT_SIZE[pt]
-                planes[name][r] = np.frombuffer(
-                    raw[off:off + nb].tobytes(), _PT_DTYPE[pt]
-                )
-                off += nb
-    if not seen.all():
-        raise ValueError("corrupt EXR: missing scanlines")
+    if hdr["tiles"] is not None:
+        _decode_tile_chunks(data, hdr, planes, w, h)
+    else:
+        _decode_scanline_chunks(data, hdr, planes, w, h)
 
     f32 = {n: p.astype(np.float32) for n, p in planes.items()}
     if {"R", "G", "B"} <= set(names):
@@ -307,7 +436,7 @@ def decode_exr_float(data: bytes):
 
 
 def decode_exr(data: bytes) -> np.ndarray:
-    """Scanline EXR -> uint8 gray (H, W) or RGB(A) (H, W, C).
+    """EXR (scanline or tiled) -> uint8 gray (H, W) or RGB(A) (H, W, C).
 
     Linear float values map to uint8 as value*255 saturate-round —
     the same contract as the PFM/HDR decoders (cv::imread
@@ -367,13 +496,36 @@ def _rle_encode(src: bytes) -> bytes:
     return bytes(out)
 
 
+def _compress_chunk(comp: int, raw: bytes, names, pt: int,
+                    width: int, rows: int) -> bytes:
+    if comp in (_C_ZIP, _C_ZIPS):
+        enc = zlib.compress(
+            _apply_predictor_interleave(np.frombuffer(raw, np.uint8)), 6
+        )
+    elif comp == _C_RLE:
+        enc = _rle_encode(
+            _apply_predictor_interleave(np.frombuffer(raw, np.uint8))
+        )
+    elif comp == _C_PIZ:
+        from fft_restoration_tpu.utils.exr_piz import piz_compress
+
+        enc = piz_compress(np.frombuffer(raw, np.uint8),
+                           [(n, pt) for n in names], width, rows)
+    else:
+        enc = raw
+    # store raw when compression does not shrink (spec-mandated fallback)
+    return raw if len(enc) >= len(raw) else enc
+
+
 def encode_exr(
     img: np.ndarray,
     pixel_type: str = "half",
     compression: str = "zip",
     line_order: str = "increasing",
+    tiles: "tuple[int, int] | None" = None,
 ) -> bytes:
-    """Encode float32 (H, W) or (H, W, 3|4) as a scanline EXR.
+    """Encode float32 (H, W) or (H, W, 3|4) as a scanline EXR — or, with
+    ``tiles=(tile_w, tile_h)``, as a ONE_LEVEL tiled EXR.
 
     pixel_type: 'half' | 'float' | 'uint'; compression: 'none' | 'rle'
     | 'zips' | 'zip' | 'piz'. Gray input writes a lone Y channel; color
@@ -406,7 +558,7 @@ def encode_exr(
         for n in names
     ) + b"\x00"
     box = struct.pack("<4i", 0, 0, w - 1, h - 1)
-    header = b"".join([
+    header_attrs = [
         attr("channels", "chlist", chlist),
         attr("compression", "compression", bytes([comp])),
         attr("dataWindow", "box2i", box),
@@ -415,49 +567,59 @@ def encode_exr(
         attr("pixelAspectRatio", "float", struct.pack("<f", 1.0)),
         attr("screenWindowCenter", "v2f", struct.pack("<2f", 0.0, 0.0)),
         attr("screenWindowWidth", "float", struct.pack("<f", 1.0)),
-    ]) + b"\x00"
+    ]
+    version = 2
 
-    lpb = _LINES_PER_BLOCK[comp]
-    n_blocks = (h + lpb - 1) // lpb
-    chunks = []
-    for blk in range(n_blocks):
-        r0 = blk * lpb
-        nr = min(lpb, h - r0)
-        raw = b"".join(
-            rows[c][r].tobytes()
-            for r in range(r0, r0 + nr)
-            for c in range(len(names))
+    if tiles is not None:
+        txs, tys = int(tiles[0]), int(tiles[1])
+        if txs < 1 or tys < 1:
+            raise ValueError(f"encode_exr: bad tile size {tiles}")
+        version |= 0x200
+        header_attrs.insert(
+            5, attr("tiles", "tiledesc", struct.pack("<IIB", txs, tys, 0))
         )
-        if comp in (_C_ZIP, _C_ZIPS):
-            enc = zlib.compress(
-                _apply_predictor_interleave(np.frombuffer(raw, np.uint8)), 6
+        header = b"".join(header_attrs) + b"\x00"
+        cx, cy = (w + txs - 1) // txs, (h + tys - 1) // tys
+        chunks = []
+        for dy in range(cy):
+            for dx in range(cx):
+                tw = min(txs, w - dx * txs)
+                th = min(tys, h - dy * tys)
+                raw = b"".join(
+                    rows[c][r, dx * txs:dx * txs + tw].tobytes()
+                    for r in range(dy * tys, dy * tys + th)
+                    for c in range(len(names))
+                )
+                enc = _compress_chunk(comp, raw, names, pt, tw, th)
+                chunks.append(struct.pack("<5i", dx, dy, 0, 0, len(enc)) + enc)
+    else:
+        header = b"".join(header_attrs) + b"\x00"
+        lpb = _LINES_PER_BLOCK[comp]
+        n_blocks = (h + lpb - 1) // lpb
+        chunks = []
+        for blk in range(n_blocks):
+            r0 = blk * lpb
+            nr = min(lpb, h - r0)
+            raw = b"".join(
+                rows[c][r].tobytes()
+                for r in range(r0, r0 + nr)
+                for c in range(len(names))
             )
-        elif comp == _C_RLE:
-            enc = _rle_encode(
-                _apply_predictor_interleave(np.frombuffer(raw, np.uint8))
-            )
-        elif comp == _C_PIZ:
-            from fft_restoration_tpu.utils.exr_piz import piz_compress
+            enc = _compress_chunk(comp, raw, names, pt, w, nr)
+            chunks.append(struct.pack("<ii", r0, len(enc)) + enc)
 
-            enc = piz_compress(np.frombuffer(raw, np.uint8),
-                               [(n, pt) for n in names], w, nr)
-        else:
-            enc = raw
-        if len(enc) >= len(raw):
-            enc = raw  # store raw when compression does not shrink
-        chunks.append(struct.pack("<ii", r0, len(enc)) + enc)
-
-    body_start = 4 + 4 + len(header) + 8 * n_blocks
-    order = range(n_blocks) if lo == 0 else range(n_blocks - 1, -1, -1)
-    offsets = [0] * n_blocks
+    n_chunks = len(chunks)
+    body_start = 4 + 4 + len(header) + 8 * n_chunks
+    order = range(n_chunks) if lo == 0 else range(n_chunks - 1, -1, -1)
+    offsets = [0] * n_chunks
     at = body_start
     out_chunks = []
     for blk in order:
         offsets[blk] = at
         out_chunks.append(chunks[blk])
         at += len(chunks[blk])
-    table = struct.pack(f"<{n_blocks}Q", *offsets)
-    return (MAGIC + struct.pack("<i", 2) + header + table
+    table = struct.pack(f"<{n_chunks}Q", *offsets)
+    return (MAGIC + struct.pack("<i", version) + header + table
             + b"".join(out_chunks))
 
 

@@ -23,7 +23,8 @@ here on magic bytes):
   (pinned vs cv2 — whose build here rejects type 2; RLE follows the
   published spec).
 
-OpenEXR decodes through the from-scratch scanline codec (utils/exr.py:
+OpenEXR decodes through the from-scratch codec (utils/exr.py: scanline
+AND tiled layouts incl. mip/rip-mapped level-0 reads,
 NONE/RLE/ZIPS/ZIP/PIZ compression, half/float/uint channels) and
 JPEG 2000 through the from-scratch T.800 decoder (utils/jp2.py: MQ/
 EBCOT Tier-1, packet Tier-2, 5/3 + 9/7 wavelets) — every cv::imread
@@ -817,8 +818,8 @@ def _decode_jp2(data: bytes) -> np.ndarray:
 
 
 def _decode_exr(data: bytes) -> np.ndarray:
-    """OpenEXR -> uint8, via the from-scratch scanline codec
-    (utils/exr.py: NONE/RLE/ZIPS/ZIP/PIZ, half/float/uint)."""
+    """OpenEXR -> uint8, via the from-scratch codec (utils/exr.py:
+    scanline + tiled, NONE/RLE/ZIPS/ZIP/PIZ, half/float/uint)."""
     from fft_restoration_tpu.utils.exr import decode_exr
 
     return decode_exr(data)

@@ -445,7 +445,7 @@ def decode_image_bgr(data: bytes) -> np.ndarray:
     Formats, dispatched on magic bytes: PNG (this codec), baseline +
     progressive JPEG (utils/jpeg.py), BMP, PBM/PGM/PPM, PFM,
     uncompressed TIFF, WebP, Radiance HDR, Sun Raster
-    (utils/formats.py), scanline OpenEXR (utils/exr.py), JPEG 2000
+    (utils/formats.py), scanline + tiled OpenEXR (utils/exr.py), JPEG 2000
     (utils/jp2.py), and GIF (utils/gif.py) — the full cv::imread
     surface the reference's drivers accept
     (/root/reference/serial.cpp:22). Channel

@@ -270,8 +270,10 @@ def test_unsupported_layouts_and_flags():
     with pytest.raises(ValueError, match="channel layout"):
         exr.decode_exr_float(blob + b"\x00" * 64)
 
-    # version flags: tiled / deep / multipart
-    for flag, msg in ((0x200, "tiled"), (0x800, "deep"), (0x1000, "multi-part")):
+    # version flags: deep / multipart rejected; tiled flag without a
+    # 'tiles' attribute is corrupt (tiled files themselves now decode)
+    for flag, msg in ((0x800, "deep"), (0x1000, "multi-part"),
+                      (0x200, "without 'tiles' attribute")):
         bad = bytearray(good)
         bad[4:8] = struct.pack("<i", 2 | flag)
         with pytest.raises(ValueError, match=msg):
@@ -476,3 +478,202 @@ def test_piz_wavelet_matches_openexr_transcription():
             np.testing.assert_array_equal(mine, ref)
             back = _wav2_transform(ref.copy(), maxv, inverse=True)
             np.testing.assert_array_equal(back, a)
+
+
+# ---------------------------------------------------------------------------
+# tiled files
+
+
+def _tiled_header(chlist: bytes, comp: int, box: bytes,
+                  txs: int, tys: int, mode: int) -> bytes:
+    return b"".join([
+        _attr("channels", "chlist", chlist + b"\x00"),
+        _attr("compression", "compression", bytes([comp])),
+        _attr("dataWindow", "box2i", box),
+        _attr("displayWindow", "box2i", box),
+        _attr("lineOrder", "lineOrder", bytes([0])),
+        _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0)),
+        _attr("screenWindowCenter", "v2f", struct.pack("<2f", 0, 0)),
+        _attr("screenWindowWidth", "float", struct.pack("<f", 1.0)),
+        _attr("tiles", "tiledesc", struct.pack("<IIB", txs, tys, mode)),
+    ]) + b"\x00"
+
+
+def _assemble_tiled(header: bytes, chunks: list) -> bytes:
+    start = 8 + len(header) + 8 * len(chunks)
+    offsets, at = [], start
+    for c in chunks:
+        offsets.append(at)
+        at += len(c)
+    table = struct.pack(f"<{len(chunks)}Q", *offsets)
+    return (exr.MAGIC + struct.pack("<i", 2 | 0x200) + header + table
+            + b"".join(chunks))
+
+
+@pytest.mark.parametrize("compression", ["none", "rle", "zips", "zip", "piz"])
+@pytest.mark.parametrize("pixel_type", ["half", "float", "uint"])
+def test_tiled_roundtrip_matrix(pixel_type, compression):
+    img = _rng(41).random((21, 34, 3)).astype(np.float32)
+    if pixel_type == "uint":
+        img = (img * 4000).astype(np.float32)
+    ref, _ = exr.decode_exr_float(exr.encode_exr(img, pixel_type, compression))
+    for tiles in [(16, 16), (34, 21), (5, 7), (1, 1), (64, 64)]:
+        blob = exr.encode_exr(img, pixel_type, compression, tiles=tiles)
+        got, names = exr.decode_exr_float(blob)
+        assert names == ["R", "G", "B"]
+        assert exr.probe_exr_size(blob) == (21, 34)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_tiled_golden_one_level():
+    # 3x5 single-channel float, 2x2 tiles (cx=3, cy=2), NONE compression,
+    # built byte-by-byte independent of encode_exr.
+    vals = (np.arange(15, dtype=np.float32).reshape(3, 5) - 7.0) / 4.0
+    header = _tiled_header(_chan("Y", 2), 0,
+                           struct.pack("<4i", 0, 0, 4, 2), 2, 2, 0)
+    chunks = []
+    for dy in range(2):
+        for dx in range(3):
+            tw = min(2, 5 - dx * 2)
+            th = min(2, 3 - dy * 2)
+            payload = b"".join(
+                vals[dy * 2 + r, dx * 2:dx * 2 + tw].astype("<f4").tobytes()
+                for r in range(th)
+            )
+            chunks.append(struct.pack("<5i", dx, dy, 0, 0, len(payload))
+                          + payload)
+    blob = _assemble_tiled(header, chunks)
+    img, names = exr.decode_exr_float(blob)
+    assert names == ["Y"]
+    np.testing.assert_array_equal(img, vals)
+    assert exr.probe_exr_size(blob) == (3, 5)
+
+
+@pytest.mark.parametrize("rounding", [0, 1])
+def test_tiled_mipmap_reads_level0(rounding):
+    # 5x4 gray float, 2x2 tiles, MIPMAP: level sizes (w) 5->2->1 with
+    # ROUND_DOWN (3 levels), 5->3->2->1 with ROUND_UP (4 levels). The
+    # decoder must size the offset table for ALL levels but return
+    # level (0,0) only.
+    h, w = 4, 5
+    vals = _rng(43).random((h, w)).astype(np.float32)
+    header = _tiled_header(_chan("Y", 2), 0,
+                           struct.pack("<4i", 0, 0, w - 1, h - 1),
+                           2, 2, 1 | (rounding << 4))
+    n_levels = exr._num_levels(max(w, h), rounding)
+    assert n_levels == (3 if rounding == 0 else 4)
+    chunks = []
+    for l in range(n_levels):
+        lw, lh = exr._level_size(w, l, rounding), exr._level_size(h, l, rounding)
+        for dy in range((lh + 1) // 2):
+            for dx in range((lw + 1) // 2):
+                tw, th = min(2, lw - dx * 2), min(2, lh - dy * 2)
+                if l == 0:
+                    payload = b"".join(
+                        vals[dy * 2 + r, dx * 2:dx * 2 + tw]
+                        .astype("<f4").tobytes() for r in range(th)
+                    )
+                else:  # mip levels carry dummy data the reader must skip
+                    payload = b"\xEE" * (4 * tw * th)
+                chunks.append(
+                    struct.pack("<5i", dx, dy, l, l, len(payload)) + payload
+                )
+    blob = _assemble_tiled(header, chunks)
+    img, _ = exr.decode_exr_float(blob)
+    np.testing.assert_array_equal(img, vals)
+
+
+def test_tiled_ripmap_reads_level0():
+    # 4x2 gray float, 2x2 tiles, RIPMAP ROUND_DOWN: x levels 4->2->1,
+    # y levels 2->1; 8 chunks across the (lx, ly) grid.
+    h, w = 2, 4
+    vals = _rng(47).random((h, w)).astype(np.float32)
+    header = _tiled_header(_chan("Y", 2), 0,
+                           struct.pack("<4i", 0, 0, w - 1, h - 1), 2, 2, 2)
+    chunks = []
+    n_chunks = 0
+    for ly in range(exr._num_levels(h, 0)):
+        for lx in range(exr._num_levels(w, 0)):
+            lw, lh = exr._level_size(w, lx, 0), exr._level_size(h, ly, 0)
+            for dy in range((lh + 1) // 2):
+                for dx in range((lw + 1) // 2):
+                    tw, th = min(2, lw - dx * 2), min(2, lh - dy * 2)
+                    if (lx, ly) == (0, 0):
+                        payload = b"".join(
+                            vals[dy * 2 + r, dx * 2:dx * 2 + tw]
+                            .astype("<f4").tobytes() for r in range(th)
+                        )
+                    else:
+                        payload = b"\xEE" * (4 * tw * th)
+                    chunks.append(
+                        struct.pack("<5i", dx, dy, lx, ly, len(payload))
+                        + payload
+                    )
+                    n_chunks += 1
+    assert n_chunks == 8
+    blob = _assemble_tiled(header, chunks)
+    img, _ = exr.decode_exr_float(blob)
+    np.testing.assert_array_equal(img, vals)
+
+
+def test_tiled_zeroed_offset_table_sequential_fallback():
+    img = _rng(53).random((9, 11)).astype(np.float32)
+    blob = bytearray(exr.encode_exr(img, "float", "zip", tiles=(4, 4)))
+    table_at = exr._parse_header(bytes(blob))["header_end"]
+    n = 3 * 3
+    blob[table_at:table_at + 8 * n] = b"\x00" * (8 * n)
+    got, _ = exr.decode_exr_float(bytes(blob))
+    ref, _ = exr.decode_exr_float(exr.encode_exr(img, "float", "zip"))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_tiled_corruption_raises():
+    img = _rng(59).random((6, 6)).astype(np.float32)
+    good = exr.encode_exr(img, "float", "none", tiles=(4, 4))
+
+    def chunk_hdr_at(blob, dx, dy):
+        tw, th = min(4, 6 - dx * 4), min(4, 6 - dy * 4)
+        return blob.index(struct.pack("<5i", dx, dy, 0, 0, tw * th * 4))
+
+    # duplicate tile: rewrite (1,1)'s coords to (0,0)
+    bad = bytearray(good)
+    at = chunk_hdr_at(bad, 1, 1)
+    bad[at:at + 8] = struct.pack("<2i", 0, 0)
+    with pytest.raises(ValueError, match="duplicate tile|missing tiles|size mismatch"):
+        exr.decode_exr_float(bytes(bad))
+
+    # tile coordinates outside the image
+    bad = bytearray(good)
+    at = chunk_hdr_at(bad, 1, 0)
+    bad[at:at + 8] = struct.pack("<2i", 7, 0)
+    with pytest.raises(ValueError, match="outside image"):
+        exr.decode_exr_float(bytes(bad))
+
+    # level out of range for ONE_LEVEL
+    bad = bytearray(good)
+    at = chunk_hdr_at(bad, 0, 1)
+    bad[at + 8:at + 16] = struct.pack("<2i", 1, 1)
+    with pytest.raises(ValueError, match="level .* out of range"):
+        exr.decode_exr_float(bytes(bad))
+
+    # truncation anywhere must raise, never crash
+    for cut in range(0, len(good), 11):
+        with pytest.raises(ValueError):
+            exr.decode_exr_float(good[:cut])
+
+    # corrupt tiledesc: zero tile size / bad mode
+    for desc in (struct.pack("<IIB", 0, 4, 0), struct.pack("<IIB", 4, 4, 3)):
+        bad = good.replace(struct.pack("<IIB", 4, 4, 0), desc, 1)
+        with pytest.raises(ValueError, match="bad tile"):
+            exr.decode_exr_float(bad)
+
+
+def test_tiled_imread_integration(tmp_path):
+    # A tiled EXR flows through the generic ingest surface like any
+    # other format: decode_image_bgr maps RGB -> BGR uint8.
+    img = _rng(61).random((10, 13, 3)).astype(np.float32)
+    blob = exr.encode_exr(img, "half", "piz", tiles=(8, 8))
+    assert formats.probe_size(blob) == (10, 13)
+    bgr = decode_image_bgr(blob)
+    ref = decode_image_bgr(exr.encode_exr(img, "half", "piz"))
+    np.testing.assert_array_equal(bgr, ref)
