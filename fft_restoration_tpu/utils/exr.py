@@ -12,10 +12,11 @@ scanline format:
   for all three level modes — ONE_LEVEL, MIPMAP and RIPMAP — with both
   rounding modes honoured when sizing the chunk-offset table, exactly
   the subset cv::imread returns for a mip/rip-mapped texture;
-- compressions NONE, RLE, ZIPS, ZIP and PIZ (utils/exr_piz.py) —
-  ZIP blocks are 16 scan lines, PIZ 32; raw-stored blocks, which
-  OpenEXR emits whenever compression does not shrink a block, are
-  handled;
+- compressions NONE, RLE, ZIPS, ZIP, PIZ (utils/exr_piz.py), PXR24
+  (utils/exr_pxr24.py) and B44/B44A (utils/exr_b44.py) — everything
+  but the table-driven DWAA/DWAB pair. ZIP/PXR24 blocks are 16 scan
+  lines, PIZ/B44 32; raw-stored blocks, which OpenEXR emits whenever
+  compression does not shrink a block, are handled;
 - pixel types HALF (via np.float16), FLOAT and UINT;
 - INCREASING_Y, DECREASING_Y and RANDOM_Y line orders (each chunk
   carries its own y coordinate, so block order never matters);
@@ -57,10 +58,11 @@ _PT_SIZE = {_PT_UINT: 4, _PT_HALF: 2, _PT_FLOAT: 4}
 _PT_DTYPE = {_PT_UINT: "<u4", _PT_HALF: "<f2", _PT_FLOAT: "<f4"}
 
 _C_NONE, _C_RLE, _C_ZIPS, _C_ZIP, _C_PIZ = 0, 1, 2, 3, 4
+_C_PXR24, _C_B44, _C_B44A = 5, 6, 7
 _C_NAMES = {0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ",
             5: "PXR24", 6: "B44", 7: "B44A", 8: "DWAA", 9: "DWAB"}
 _LINES_PER_BLOCK = {_C_NONE: 1, _C_RLE: 1, _C_ZIPS: 1, _C_ZIP: 16,
-                    _C_PIZ: 32}
+                    _C_PIZ: 32, _C_PXR24: 16, _C_B44: 32, _C_B44A: 32}
 
 
 # ---------------------------------------------------------------------------
@@ -223,9 +225,21 @@ def _decompress_block(comp: int, payload: bytes, expected: int,
         return piz_decompress(
             payload, [(n, pt) for n, pt, _, _ in chans], width, rows, expected
         )
+    if comp == _C_PXR24:
+        from fft_restoration_tpu.utils.exr_pxr24 import pxr24_uncompress
+
+        return pxr24_uncompress(
+            payload, [(n, pt) for n, pt, _, _ in chans], width, rows, expected
+        )
+    if comp in (_C_B44, _C_B44A):
+        from fft_restoration_tpu.utils.exr_b44 import b44_uncompress
+
+        return b44_uncompress(
+            payload, [(n, pt) for n, pt, _, _ in chans], width, rows, expected
+        )
     raise ValueError(
         f"EXR compression {_C_NAMES.get(comp, comp)} not supported "
-        "(NONE/RLE/ZIPS/ZIP/PIZ scanline files decode)"
+        "(NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A decode)"
     )
 
 
@@ -511,6 +525,15 @@ def _compress_chunk(comp: int, raw: bytes, names, pt: int,
 
         enc = piz_compress(np.frombuffer(raw, np.uint8),
                            [(n, pt) for n in names], width, rows)
+    elif comp == _C_PXR24:
+        from fft_restoration_tpu.utils.exr_pxr24 import pxr24_compress
+
+        enc = pxr24_compress(raw, [(n, pt) for n in names], width, rows)
+    elif comp in (_C_B44, _C_B44A):
+        from fft_restoration_tpu.utils.exr_b44 import b44_compress
+
+        enc = b44_compress(raw, [(n, pt) for n in names], width, rows,
+                           flat_ok=comp == _C_B44A)
     else:
         enc = raw
     # store raw when compression does not shrink (spec-mandated fallback)
@@ -528,8 +551,10 @@ def encode_exr(
     ``tiles=(tile_w, tile_h)``, as a ONE_LEVEL tiled EXR.
 
     pixel_type: 'half' | 'float' | 'uint'; compression: 'none' | 'rle'
-    | 'zips' | 'zip' | 'piz'. Gray input writes a lone Y channel; color
-    writes A/B/G/R in the spec's alphabetical chlist order.
+    | 'zips' | 'zip' | 'piz' | 'pxr24' | 'b44' | 'b44a' (pxr24 is lossy
+    for float channels, b44/b44a for half). Gray input writes a lone Y
+    channel; color writes A/B/G/R in the spec's alphabetical chlist
+    order.
     """
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
@@ -543,7 +568,8 @@ def encode_exr(
         raise ValueError(f"encode_exr: bad image shape {img.shape}")
     pt = {"half": _PT_HALF, "float": _PT_FLOAT, "uint": _PT_UINT}[pixel_type]
     comp = {"none": _C_NONE, "rle": _C_RLE, "zips": _C_ZIPS,
-            "zip": _C_ZIP, "piz": _C_PIZ}[compression]
+            "zip": _C_ZIP, "piz": _C_PIZ, "pxr24": _C_PXR24,
+            "b44": _C_B44, "b44a": _C_B44A}[compression]
     lo = {"increasing": 0, "decreasing": 1}[line_order]
     h, w = planes[0].shape
     dt = np.dtype(_PT_DTYPE[pt])

@@ -279,11 +279,11 @@ def test_unsupported_layouts_and_flags():
         with pytest.raises(ValueError, match=msg):
             exr.decode_exr_float(bytes(bad))
 
-    # unsupported compression id (B44 = 6)
+    # unsupported compression id (DWAA = 8; B44 decodes since round 4)
     bad = bytearray(good)
     idx = bad.index(b"compression\x00compression\x00")
-    bad[idx + len(b"compression\x00compression\x00") + 4] = 6
-    with pytest.raises(ValueError, match="B44 not supported"):
+    bad[idx + len(b"compression\x00compression\x00") + 4] = 8
+    with pytest.raises(ValueError, match="DWAA not supported"):
         exr.decode_exr_float(bytes(bad))
 
 
@@ -677,3 +677,184 @@ def test_tiled_imread_integration(tmp_path):
     bgr = decode_image_bgr(blob)
     ref = decode_image_bgr(exr.encode_exr(img, "half", "piz"))
     np.testing.assert_array_equal(bgr, ref)
+
+
+# ---------------------------------------------------------------------------
+# PXR24 compression
+
+
+def _f24_quantize(img: np.ndarray) -> np.ndarray:
+    from fft_restoration_tpu.utils.exr_pxr24 import _f32_bits_to_f24
+    bits = _f32_bits_to_f24(img.view(np.uint32).reshape(img.shape))
+    return (bits.astype(np.uint32) << 8).view(np.float32)
+
+
+def test_pxr24_lossless_types():
+    img = _rng(71).random((23, 31, 3)).astype(np.float32)
+    for pt, scale in (("half", 1.0), ("uint", 9000.0)):
+        a = (img * scale).astype(np.float32)
+        ref, _ = exr.decode_exr_float(exr.encode_exr(a, pt, "none"))
+        got, _ = exr.decode_exr_float(exr.encode_exr(a, pt, "pxr24"))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_pxr24_float_is_float24_quantization():
+    img = (_rng(73).random((19, 17)) * 7 - 3).astype(np.float32)
+    got, _ = exr.decode_exr_float(exr.encode_exr(img, "float", "pxr24"))
+    np.testing.assert_array_equal(got, _f24_quantize(img))
+    # tiled agrees with scanline bit-for-bit
+    gt, _ = exr.decode_exr_float(
+        exr.encode_exr(img, "float", "pxr24", tiles=(6, 5)))
+    np.testing.assert_array_equal(gt, got)
+
+
+def test_pxr24_float24_specials():
+    from fft_restoration_tpu.utils.exr_pxr24 import _f32_bits_to_f24
+    vals = np.array([np.inf, -np.inf, np.nan, 0.0, -0.0,
+                     np.float32(3.4e38), 1e-42], np.float32)
+    f24 = _f32_bits_to_f24(vals.view(np.uint32))
+    back = (f24.astype(np.uint32) << 8).view(np.float32)
+    assert back[0] == np.inf and back[1] == -np.inf
+    assert np.isnan(back[2])                      # NaN stays NaN
+    assert back[3] == 0.0 and back[4] == 0.0
+    assert np.signbit(back[4])
+    assert np.isfinite(back[5])                   # near-FLT_MAX: no overflow
+    assert back[6] >= 0.0                         # denormal survives shifted
+
+
+def test_pxr24_golden():
+    # 1x4 single-channel half, built by hand: per-row per-channel pixel
+    # deltas (first vs 0), split MSB-plane-then-LSB-plane, zlib.
+    vals = np.array([[0.5, 0.75, -1.0, 0.5]], np.float32)
+    pix = vals.astype("<f2").view(np.uint16)[0]
+    diffs = [(int(pix[i]) - (int(pix[i - 1]) if i else 0)) & 0xFFFF
+             for i in range(4)]
+    tmp = bytes([d >> 8 for d in diffs]) + bytes([d & 0xFF for d in diffs])
+    payload = zlib.compress(tmp)
+    header = _minimal_header(_chan("Y", 1), 5, struct.pack("<4i", 0, 0, 3, 0))
+    chunk = struct.pack("<ii", 0, len(payload)) + payload
+    table = struct.pack("<Q", 8 + len(header) + 8)
+    blob = exr.MAGIC + struct.pack("<i", 2) + header + table + chunk
+    img, _ = exr.decode_exr_float(blob)
+    np.testing.assert_array_equal(img, vals)
+
+
+# ---------------------------------------------------------------------------
+# B44 / B44A compression
+
+
+def test_b44_unpack14_matches_loop_transcription():
+    # Independent re-derivation of the 14-byte wire layout with plain
+    # loops; the module's vectorized unpack must agree bit-for-bit.
+    from fft_restoration_tpu.utils import exr_b44
+
+    def ref_unpack14(b):
+        s = [0] * 16
+        s[0] = (b[0] << 8) | b[1]
+        shift = b[2] >> 2
+        bias = 0x20 << shift
+        c = [((b[2] << 4) | (b[3] >> 4)) & 0x3F,
+             ((b[3] << 2) | (b[4] >> 6)) & 0x3F,
+             b[4] & 0x3F,
+             b[5] >> 2,
+             ((b[5] << 4) | (b[6] >> 4)) & 0x3F,
+             ((b[6] << 2) | (b[7] >> 6)) & 0x3F,
+             b[7] & 0x3F,
+             b[8] >> 2,
+             ((b[8] << 4) | (b[9] >> 4)) & 0x3F,
+             ((b[9] << 2) | (b[10] >> 6)) & 0x3F,
+             b[10] & 0x3F,
+             b[11] >> 2,
+             ((b[11] << 4) | (b[12] >> 4)) & 0x3F,
+             ((b[12] << 2) | (b[13] >> 6)) & 0x3F,
+             b[13] & 0x3F]
+        for k, (i, j) in enumerate(exr_b44._CHAIN):
+            s[i] = (s[j] + (c[k] << shift) - bias) & 0xFFFF
+        return [v & 0x7FFF if v & 0x8000 else ~v & 0xFFFF for v in s]
+
+    rng = _rng(79)
+    blocks = rng.integers(0, 256, (64, 14)).astype(np.uint8)
+    blocks[:, 2] &= 0x33  # keep every block in the 14-byte regime
+    got = exr_b44._unpack14(blocks)
+    for row, b in zip(got, blocks):
+        np.testing.assert_array_equal(row, np.array(ref_unpack14(
+            [int(v) for v in b]), np.uint16))
+
+
+def test_b44_anchor_pixels_exact():
+    # t[0] of every 4x4 block is stored at full 16-bit precision, so
+    # pixels at (4i, 4j) survive bit-exact even on adversarial data.
+    img = (_rng(83).random((21, 26)) * 100 - 50).astype(np.float32)
+    ref = img.astype(np.float16).astype(np.float32)
+    for comp in ("b44", "b44a"):
+        got, _ = exr.decode_exr_float(exr.encode_exr(img, "half", comp))
+        np.testing.assert_array_equal(got[0::4, 0::4], ref[0::4, 0::4])
+
+
+def test_b44_smooth_data_bound_and_verbatim_types():
+    y, x = np.mgrid[0:48, 0:37]
+    img = (0.3 + 0.5 * np.sin(x / 17.0) * np.cos(y / 23.0)).astype(np.float32)
+    ref = img.astype(np.float16).astype(np.float32)
+    for comp in ("b44", "b44a"):
+        got, _ = exr.decode_exr_float(exr.encode_exr(img, "half", comp))
+        assert np.abs(got - ref).max() < 0.05  # lossy, but bounded
+        # float/uint channels are stored verbatim inside b44 streams
+        for pt in ("float", "uint"):
+            a = img * 100 if pt == "uint" else img
+            r, _ = exr.decode_exr_float(exr.encode_exr(a, pt, "none"))
+            g, _ = exr.decode_exr_float(exr.encode_exr(a, pt, comp))
+            np.testing.assert_array_equal(g, r)
+        # tiled stream agrees with the scanline stream where blocks align
+        gt, _ = exr.decode_exr_float(
+            exr.encode_exr(img, "half", comp, tiles=(16, 16)))
+        np.testing.assert_array_equal(gt[:16, :16], got[:16, :16])
+
+
+def test_b44a_flat_blocks_exact_and_smaller():
+    flat = np.full((32, 32), 0.625, np.float32)
+    enc_a = exr.encode_exr(flat, "half", "b44a")
+    enc_b = exr.encode_exr(flat, "half", "b44")
+    got, _ = exr.decode_exr_float(enc_a)
+    np.testing.assert_array_equal(got, flat)
+    gotb, _ = exr.decode_exr_float(enc_b)
+    np.testing.assert_array_equal(gotb, flat)  # flat is exact in b44 too
+    assert len(enc_a) < len(enc_b)             # 3-byte vs 14-byte blocks
+
+
+def test_b44_specials_flush_to_zero():
+    sp = np.zeros((4, 4), np.float32)
+    sp[0, 0], sp[1, 1], sp[2, 2] = np.inf, np.nan, -np.inf
+    got, _ = exr.decode_exr_float(exr.encode_exr(sp, "half", "b44"))
+    np.testing.assert_array_equal(got, np.zeros((4, 4), np.float32))
+
+
+def test_b44_golden_flat_block_file():
+    # Hand-built single 3-byte flat block: t0 = 0.5h | 0x8000, marker
+    # byte 0xFC. 4x4 single-channel half, B44A (id 7).
+    half_bits = int(np.float16(0.5).view(np.uint16))
+    t0 = half_bits | 0x8000
+    payload = bytes([t0 >> 8, t0 & 0xFF, 0xFC])
+    header = _minimal_header(_chan("Y", 1), 7, struct.pack("<4i", 0, 0, 3, 3))
+    chunk = struct.pack("<ii", 0, len(payload)) + payload
+    table = struct.pack("<Q", 8 + len(header) + 8)
+    blob = exr.MAGIC + struct.pack("<i", 2) + header + table + chunk
+    img, _ = exr.decode_exr_float(blob)
+    np.testing.assert_array_equal(img, np.full((4, 4), 0.5, np.float32))
+
+
+def test_pxr24_b44_corruption_raises():
+    img = _rng(89).random((9, 9)).astype(np.float32)
+    for comp in ("pxr24", "b44", "b44a"):
+        blob = exr.encode_exr(img, "half", comp)
+        for cut in range(0, len(blob), 13):
+            with pytest.raises(ValueError):
+                exr.decode_exr_float(blob[:cut])
+    # trailing garbage inside a B44 chunk
+    blob = bytearray(exr.encode_exr(img, "half", "b44"))
+    hdr = exr._parse_header(bytes(blob))
+    at = int(np.frombuffer(bytes(blob), "<u8", 1, hdr["header_end"])[0])
+    y, size = struct.unpack("<ii", bytes(blob[at:at + 8]))
+    blob[at + 4:at + 8] = struct.pack("<i", size + 2)
+    blob[at + 8 + size:at + 8 + size] = b"\x00\x00"
+    with pytest.raises(ValueError, match="trailing|size mismatch|truncated"):
+        exr.decode_exr_float(bytes(blob))
