@@ -10,8 +10,12 @@ here on magic bytes):
   the standard 8-bit masks; bottom-up and top-down row orders.
 - PNM: P1-P6 (ASCII and binary bitmap/graymap/pixmap), maxval <= 65535
   (16-bit samples are big-endian per the spec and round to 8-bit).
-- TIFF: uncompressed (Compression=1) baseline strips, 8-bit grayscale or
-  RGB(A), both byte orders, PlanarConfiguration=1.
+- TIFF: compressions none/LZW/deflate/PackBits with Predictor 2, strip
+  and tile layouts, chunky and planar sample order, bit depths
+  1/4/8/16 (16-bit narrows per cv2's measured per-path conversions),
+  gray/WhiteIsZero/RGB(A)/palette photometrics, both byte orders, the
+  libtiff RGBA-path unassociated-alpha premultiply; 32-bit-sample
+  (float) files are rejected exactly like this cv2 build's reader.
 - PFM: 'PF' color / 'Pf' gray float maps, both endiannesses (scale sign),
   bottom-up rows, cv::imread's value/|scale| then saturate-round to uint8
   (semantics pinned against cv2 5.0, tests/test_formats_ext.py).
@@ -41,6 +45,7 @@ from __future__ import annotations
 
 import re
 import struct
+import zlib
 
 import numpy as np
 
@@ -336,9 +341,110 @@ def encode_pbm(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# TIFF (baseline, uncompressed)
+# TIFF
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _tiff_lzw_decode(src: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, 9..12 bits, early change).
+
+    Clear=256 resets the table to 9-bit codes; the code width bumps one
+    entry early (when the next index to assign reaches 2^bits - 1), the
+    TIFF quirk that distinguishes it from GIF's LSB-first LZW."""
+    out = bytearray()
+    nbits_total = len(src) * 8
+    bitpos, bits = 0, 9
+    table: list = []
+    prev = b""
+    CLEAR, EOI = 256, 257
+    while len(out) < expected:
+        if bitpos + bits > nbits_total:
+            raise ValueError("corrupt TIFF: LZW stream ends mid-code")
+        byte0, shift = bitpos >> 3, bitpos & 7
+        chunk = int.from_bytes(src[byte0:byte0 + 4].ljust(4, b"\x00"), "big")
+        code = (chunk >> (32 - shift - bits)) & ((1 << bits) - 1)
+        bitpos += bits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            bits, prev = 9, b""
+            continue
+        if not table:
+            raise ValueError("corrupt TIFF: LZW data before first Clear")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt TIFF: LZW code out of range")
+        if prev:
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        if len(table) == (1 << bits) - 1 and bits < 12:  # early change
+            bits += 1
+    if len(out) < expected:
+        raise ValueError("corrupt TIFF: LZW output short")
+    return bytes(out[:expected])
+
+
+def _tiff_packbits_decode(src: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(out) < expected:
+        c = src[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            if i + c + 1 > n:
+                raise ValueError("corrupt TIFF: PackBits literal overrun")
+            out += src[i:i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i >= n:
+                raise ValueError("corrupt TIFF: PackBits repeat overrun")
+            out += bytes([src[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    if len(out) < expected:
+        raise ValueError("corrupt TIFF: PackBits output short")
+    return bytes(out[:expected])
+
+
+def _tiff_decompress(comp: int, seg: bytes, expected: int) -> bytes:
+    if comp == 1:
+        if len(seg) < expected:
+            raise ValueError("corrupt TIFF: truncated strip")
+        return seg[:expected]
+    if comp == 5:
+        return _tiff_lzw_decode(seg, expected)
+    if comp in (8, 32946):  # Adobe deflate / deflate
+        try:
+            raw = zlib.decompress(seg)
+        except zlib.error as e:
+            raise ValueError(f"corrupt TIFF: deflate error ({e})") from e
+        if len(raw) < expected:
+            raise ValueError("corrupt TIFF: deflate output short")
+        return raw[:expected]
+    if comp == 32773:
+        return _tiff_packbits_decode(seg, expected)
+    raise ValueError(
+        f"TIFF compression {comp} not supported "
+        "(none/LZW/deflate/PackBits decode)"
+    )
+
+
+def _tiff_undo_predictor2(raw: bytes, rows: int, width: int, spp: int,
+                          bits: int, bo: str) -> bytes:
+    """Horizontal differencing (Predictor=2): cumulative sum along each
+    row, per sample channel, in the sample's own width."""
+    if bits == 8:
+        a = np.frombuffer(raw, np.uint8).reshape(rows, width, spp)
+        return np.cumsum(a, axis=1, dtype=np.uint64).astype(np.uint8).tobytes()
+    a = np.frombuffer(raw, bo + "u2").reshape(rows, width, spp)
+    return (np.cumsum(a, axis=1, dtype=np.uint64)
+            .astype(np.uint16).astype(bo + "u2").tobytes())
 
 
 def _tiff_ifd(data: bytes, bo: str):
@@ -376,7 +482,18 @@ def _tiff_ifd(data: bytes, bo: str):
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
-    """Decode an uncompressed baseline TIFF (first IFD) to uint8 gray/RGB(A)."""
+    """Decode the first IFD of a TIFF to uint8 gray/RGB(A).
+
+    Coverage matches what the environment's cv::imread (libtiff)
+    accepts for the common capture/export surface: compressions none/
+    LZW/deflate/PackBits, Predictor 2 (horizontal differencing), strip
+    AND tile layouts, chunky and planar (PlanarConfiguration=2) sample
+    order, bit depths 1 (bilevel -> 0/255), 4 (gray x17 / palette), 8
+    and 16 (narrowed to the high byte, the cv::imread IMREAD_COLOR
+    conversion), photometric WhiteIsZero/BlackIsZero/RGB/palette, both
+    byte orders. Floating-point TIFFs (32-bit samples) are rejected —
+    this cv2 build's reader rejects them too ("can not handle images
+    with 32-bit samples")."""
     if data[:4] == b"II*\x00":
         bo = "<"
     elif data[:4] == b"MM\x00*":
@@ -390,53 +507,186 @@ def decode_tiff(data: bytes) -> np.ndarray:
         return v[0] if v else default
 
     w, h = one(256), one(257)
-    if not w or not h:
-        raise ValueError("corrupt TIFF: missing dimensions")
+    if not w or not h or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("corrupt TIFF: missing or absurd dimensions")
     compression = one(259, 1)
-    if compression != 1:
-        raise ValueError(f"compressed TIFF (method {compression}) not supported")
-    bits = tags.get(258, [8])
-    if any(b != 8 for b in bits):
-        raise ValueError(f"TIFF bits-per-sample {bits} not supported (8 only)")
-    spp = one(277, len(bits))
-    if one(284, 1) != 1:
-        raise ValueError("TIFF PlanarConfiguration=2 (planar) not supported")
+    bits_list = tags.get(258, [1])  # spec default: 1 bit (bilevel)
+    bits = bits_list[0]
+    if any(b != bits for b in bits_list):
+        raise ValueError(f"TIFF mixed bits-per-sample {bits_list} not supported")
+    sample_format = one(339, 1)
+    if sample_format not in (None, 1) or bits == 32:
+        raise ValueError(
+            "TIFF sample format not supported (unsigned 1/4/8/16-bit only; "
+            "cv::imread rejects 32-bit-sample TIFFs as well)"
+        )
+    spp = one(277, len(bits_list))
+    if spp < 1 or spp > 4:
+        raise ValueError(f"corrupt TIFF: SamplesPerPixel {spp}")
+    planar = one(284, 1)
     photometric = one(262, 1)
-    if photometric not in (0, 1, 2):
+    if photometric not in (0, 1, 2, 3):
         raise ValueError(
             f"TIFF PhotometricInterpretation {photometric} not supported "
-            "(gray/RGB only)"
+            "(gray/RGB/palette only)"
         )
-    offsets = tags.get(273)
-    if not offsets:
-        raise ValueError("corrupt TIFF: missing StripOffsets")
-    rows_per_strip = one(278, h)
-    # Absent StripByteCounts (tag 279): derive per-strip sizes, clamping
-    # the final strip to the rows actually remaining so a short last
-    # strip doesn't trip the truncation check below.
-    counts = tags.get(279) or [
-        w * spp * max(0, min(rows_per_strip, h - i * rows_per_strip))
-        for i in range(len(offsets))
-    ]
+    if photometric == 3 and (320 not in tags or spp != 1):
+        raise ValueError("corrupt TIFF: palette image without usable ColorMap")
+    if bits not in (1, 4, 8, 16):
+        raise ValueError(f"TIFF bits-per-sample {bits} not supported (1/4/8/16)")
+    if bits in (1, 4) and spp != 1:
+        raise ValueError(f"TIFF {bits}-bit with {spp} samples not supported")
+    if one(266, 1) != 1:
+        raise ValueError("TIFF FillOrder=2 (reversed bits) not supported")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported (1/2)")
+    if predictor == 2 and bits < 8:
+        raise ValueError("corrupt TIFF: predictor on sub-byte samples")
 
-    chunks = []
-    for off, cnt in zip(offsets, counts):
-        seg = data[off : off + cnt]
-        if len(seg) < cnt:
-            raise ValueError("corrupt TIFF: truncated strip")
-        chunks.append(seg)
-    raw = b"".join(chunks)
-    need = w * h * spp
-    if len(raw) < need:
-        raise ValueError("corrupt TIFF: raster smaller than dimensions")
-    img = np.frombuffer(raw[:need], np.uint8).reshape(h, w, spp)
+    tiled = 322 in tags or 324 in tags
+    seg_spp = 1 if planar == 2 else spp
+
+    def narrow16(v16):
+        # cv::imread's 16->8 conversions differ by path (measured on
+        # this build): grayscale truncates to the high byte, color
+        # rescales with rounding (v*255/65535, i.e. round(v/257)).
+        if spp >= 3:
+            return ((v16.astype(np.uint32) * 510 + 65535) // 131070
+                    ).astype(np.uint8)
+        return (v16 >> 8).astype(np.uint8)
+
+    def row_bytes(width):
+        return (width * seg_spp * bits + 7) // 8
+
+    def undo_pred(raw, rows, width):
+        if predictor == 2:
+            return _tiff_undo_predictor2(raw, rows, width, seg_spp, bits, bo)
+        return raw
+
+    n_planes = spp if planar == 2 else 1
+    if tiled:
+        tw, tl = one(322), one(323)
+        offsets, counts = tags.get(324), tags.get(325)
+        if not tw or not tl or not offsets or not counts:
+            raise ValueError("corrupt TIFF: incomplete tile layout")
+        tx, ty = -(-w // tw), -(-h // tl)
+        if len(offsets) < tx * ty * n_planes or len(counts) < len(offsets):
+            raise ValueError("corrupt TIFF: tile table shorter than grid")
+        planes = []
+        for p in range(n_planes):
+            canvas = np.empty((h, w * seg_spp) if bits >= 8 else (h, row_bytes(w)),
+                              np.uint8)
+            # tiles are always full (tw x tl); edge tiles crop
+            for k in range(tx * ty):
+                off = offsets[p * tx * ty + k]
+                cnt = counts[p * tx * ty + k]
+                seg = data[off:off + cnt]
+                if len(seg) < cnt:
+                    raise ValueError("corrupt TIFF: truncated tile")
+                raw = undo_pred(_tiff_decompress(compression, seg,
+                                                 tl * row_bytes(tw)), tl, tw)
+                dy, dx = divmod(k, tx)
+                rows = min(tl, h - dy * tl)
+                a = np.frombuffer(raw, np.uint8).reshape(tl, row_bytes(tw))
+                if bits >= 8:
+                    nb = bits // 8
+                    vis = a[:rows, :min(tw, w - dx * tw) * seg_spp * nb]
+                    if bits == 16:  # narrow AFTER predictor, per sample
+                        vis = narrow16(np.ascontiguousarray(vis).view(bo + "u2"))
+                    canvas[dy * tl:dy * tl + rows,
+                           dx * tw * seg_spp:dx * tw * seg_spp + vis.shape[1]] = vis
+                else:
+                    # sub-byte tiles: tw is a multiple of 16 per spec, so
+                    # tile rows pack to whole bytes and splice bytewise
+                    cb = min(row_bytes(tw), row_bytes(w) - dx * (tw * bits // 8))
+                    canvas[dy * tl:dy * tl + rows,
+                           dx * (tw * bits // 8):dx * (tw * bits // 8) + cb] = \
+                        a[:rows, :cb]
+            planes.append(canvas)
+    else:
+        offsets = tags.get(273)
+        if not offsets:
+            raise ValueError("corrupt TIFF: missing StripOffsets")
+        rows_per_strip = min(one(278, h) or h, h)
+        strips_per_plane = -(-h // rows_per_strip)
+        if len(offsets) < strips_per_plane * n_planes:
+            raise ValueError("corrupt TIFF: strip table shorter than image")
+        counts = tags.get(279)
+        if not counts:
+            if compression != 1:
+                raise ValueError("corrupt TIFF: compressed without StripByteCounts")
+            counts = [
+                row_bytes(w) * max(0, min(rows_per_strip,
+                                          h - (i % strips_per_plane)
+                                          * rows_per_strip))
+                for i in range(len(offsets))
+            ]
+        planes = []
+        for p in range(n_planes):
+            chunks = []
+            for s in range(strips_per_plane):
+                i = p * strips_per_plane + s
+                off, cnt = offsets[i], counts[i]
+                seg = data[off:off + cnt]
+                if len(seg) < cnt:
+                    raise ValueError("corrupt TIFF: truncated strip")
+                rows = min(rows_per_strip, h - s * rows_per_strip)
+                chunks.append(undo_pred(
+                    _tiff_decompress(compression, seg, rows * row_bytes(w)),
+                    rows, w))
+            raw = b"".join(chunks)
+            a = np.frombuffer(raw, np.uint8).reshape(h, row_bytes(w))
+            if bits == 16:
+                a = narrow16(np.ascontiguousarray(a).view(bo + "u2"))
+            planes.append(a)
+
+    # expand sub-byte samples / finalize the (h, w, spp) uint8 raster
+    if bits in (1, 4):
+        plane = planes[0]
+        if bits == 1:
+            px = np.unpackbits(plane, axis=1)[:, :w]
+        else:
+            hi = plane >> 4
+            lo = plane & 0x0F
+            px = np.empty((h, plane.shape[1] * 2), np.uint8)
+            px[:, 0::2] = hi
+            px[:, 1::2] = lo
+            px = px[:, :w]
+        if photometric == 3:
+            img = px[..., None].astype(np.uint8)
+        else:
+            scale = 255 if bits == 1 else 17
+            img = (px * scale).astype(np.uint8)[..., None]
+    elif planar == 2:
+        img = np.stack([p.reshape(h, w) for p in planes], axis=-1)
+    else:
+        img = planes[0].reshape(h, w, spp)
+
     if photometric == 0:  # WhiteIsZero
         img = 255 - img
-    if spp == 1:
+    elif photometric == 3:  # palette: ColorMap is R,G,B planes of u16
+        cmap = tags[320]
+        n = 1 << bits
+        if len(cmap) < 3 * n:
+            raise ValueError("corrupt TIFF: ColorMap shorter than palette")
+        lut = (np.array(cmap[:3 * n], np.uint16).reshape(3, n).T >> 8
+               ).astype(np.uint8)
+        img = lut[img[..., 0]]
+    if img.shape[-1] == 4 and photometric == 2 and one(338) == 2:
+        # cv::imread premultiplies UNASSOCIATED alpha for RGBA TIFFs
+        # (libtiff's RGBA interface): v' = (v*a + 127) / 255, measured
+        # on this build. Gray+alpha takes the scanline path and is NOT
+        # premultiplied.
+        a16 = img[..., 3:4].astype(np.uint16)
+        img = np.concatenate([
+            ((img[..., :3].astype(np.uint16) * a16 + 127) // 255
+             ).astype(np.uint8),
+            img[..., 3:4],
+        ], axis=-1)
+    if img.shape[-1] == 1:
         return img[..., 0].copy()
-    if spp == 2:  # gray + alpha
-        return img.copy()
-    return img.copy()  # RGB / RGBA
+    return np.ascontiguousarray(img)
 
 
 def encode_tiff(img: np.ndarray) -> bytes:

@@ -444,7 +444,8 @@ def decode_image_bgr(data: bytes) -> np.ndarray:
 
     Formats, dispatched on magic bytes: PNG (this codec), baseline +
     progressive JPEG (utils/jpeg.py), BMP, PBM/PGM/PPM, PFM,
-    uncompressed TIFF, WebP, Radiance HDR, Sun Raster
+    TIFF (none/LZW/deflate/PackBits, strips + tiles, chunky + planar),
+    WebP, Radiance HDR, Sun Raster
     (utils/formats.py), scanline + tiled OpenEXR (utils/exr.py), JPEG 2000
     (utils/jp2.py), and GIF (utils/gif.py) — the full cv::imread
     surface the reference's drivers accept

@@ -320,8 +320,8 @@ def test_bmp_palette_index_out_of_range():
 
 def test_tiff_unsupported_photometric():
     blob = bytearray(formats.encode_tiff(_gray(4, 4)))
-    tags = formats._tiff_ifd(bytes(blob), "<")
-    # rewrite the Photometric tag value to 3 (palette)
+    # rewrite the Photometric tag value to 5 (CMYK separation; palette
+    # decodes since round 4, tests/test_tiff.py)
     import struct as _s
 
     n = _s.unpack("<H", blob[8:10])[0]
@@ -329,7 +329,7 @@ def test_tiff_unsupported_photometric():
         e = 10 + 12 * i
         tag = _s.unpack("<H", blob[e : e + 2])[0]
         if tag == 262:
-            blob[e + 8 : e + 10] = _s.pack("<H", 3)
+            blob[e + 8 : e + 10] = _s.pack("<H", 5)
     with pytest.raises(ValueError, match="PhotometricInterpretation"):
         formats.decode_tiff(bytes(blob))
 
