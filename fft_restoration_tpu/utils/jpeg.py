@@ -521,6 +521,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     scans = []
     progressive = False
+    adobe_transform = None
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -574,6 +575,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + nsym
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14: color-transform flag for 4-component streams
+            # (0 = CMYK as-is, 2 = YCCK)
+            adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan_comps = []
@@ -707,6 +712,25 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return out[:h, :w]
+    if len(planes) == 4:
+        # Adobe CMYK / YCCK. Stored samples follow the Adobe convention
+        # (ink values inverted); libjpeg hands them through unchanged
+        # and cv2 converts with R = k - (255-c)*k/256 etc. — replicated
+        # here so cv::imread parity holds (tests/test_jpeg.py).
+        c, m, ye, k = (p[:h, :w].astype(np.float32) for p in planes)
+        if adobe_transform == 2:  # YCCK: YCbCr over the inverted CMY
+            cb = m - np.float32(128.0)
+            cr = ye - np.float32(128.0)
+            r = c + np.float32(1.402) * cr
+            g = c - np.float32(0.344136) * cb - np.float32(0.714136) * cr
+            b = c + np.float32(1.772) * cb
+            c, m, ye = r, g, b
+        cmy = np.clip(np.round(np.stack([c, m, ye], -1)), 0, 255).astype(
+            np.int32
+        )
+        kk = np.clip(np.round(k), 0, 255).astype(np.int32)[..., None]
+        rgb = kk - (((255 - cmy) * kk) >> 8)
+        return np.clip(rgb, 0, 255).astype(np.uint8)
     if len(planes) != 3:
         raise ValueError(f"{len(planes)}-component JPEG not supported")
     y, cb, cr = (p[:h, :w].astype(np.float32) for p in planes)
