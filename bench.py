@@ -348,4 +348,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # Init-retry armor (round-4 post-mortem): the parent process
+    # supervises a re-exec'd child and retries device-init hangs with
+    # backoff, so a transient tunnel outage can't void the artifact.
+    from fft_restoration_tpu.utils.bench_retry import main_with_retries
+
+    main_with_retries(main)

@@ -204,5 +204,12 @@ def main(backend="matmul"):
 
 
 if __name__ == "__main__":
+    # Init-retry armor (see utils/bench_retry.py): passthrough mode
+    # because this harness prints one JSON line per config.
+    from fft_restoration_tpu.utils.bench_retry import main_with_retries
+
     # flagship backend by default; pass 'matmul' etc. to override
-    main(sys.argv[1] if len(sys.argv) > 1 else "pallas")
+    main_with_retries(
+        lambda: main(sys.argv[1] if len(sys.argv) > 1 else "pallas"),
+        passthrough=True,
+    )

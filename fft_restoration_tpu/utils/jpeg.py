@@ -724,7 +724,15 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             r = c + np.float32(1.402) * cr
             g = c - np.float32(0.344136) * cb - np.float32(0.714136) * cr
             b = c + np.float32(1.772) * cb
-            c, m, ye = r, g, b
+            # libjpeg's ycck_cmyk_convert re-inverts the inks
+            # (MAXJSAMPLE - value) before handing CMYK through; without
+            # this the image comes out color-inverted (round-4 advisor
+            # finding, verified vs cv2: max diff 254 -> 3).
+            c, m, ye = (
+                np.float32(255.0) - r,
+                np.float32(255.0) - g,
+                np.float32(255.0) - b,
+            )
         cmy = np.clip(np.round(np.stack([c, m, ye], -1)), 0, 255).astype(
             np.int32
         )

@@ -349,3 +349,59 @@ class TestProgressive:
         )
         with pytest.raises(ValueError, match="lossless|arithmetic|hierarchical"):
             decode_jpeg(blob)
+
+
+class TestAdobeCMYK:
+    """4-component Adobe JPEGs: CMYK (transform 0) and YCCK (transform 2).
+
+    The reference ingests these through cv::imread
+    (/root/reference/serial.cpp:22); cv2.imdecode is the parity oracle.
+    The YCCK branch re-inverts the inks after the YCbCr step, matching
+    libjpeg's ycck_cmyk_convert (round-4 advisor finding: without the
+    inversion colors come out complemented, max diff 254).
+    """
+
+    @staticmethod
+    def _cmyk_jpeg(quality=92):
+        import io
+
+        from PIL import Image
+
+        rng = np.random.default_rng(99)
+        y, x = np.mgrid[:80, :104]
+        base = (
+            128
+            + 60 * np.sin(x / 9.0)
+            + 50 * np.cos(y / 7.0)
+            + rng.random((80, 104)) * 30
+        )
+        img = np.clip(
+            np.stack([base, np.roll(base, 7, 0), 255 - base, base / 2], -1),
+            0,
+            255,
+        ).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img, mode="CMYK").save(
+            buf, format="JPEG", quality=quality
+        )
+        return buf.getvalue()
+
+    def _parity(self, data):
+        ours = decode_jpeg(data)
+        theirs = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        assert theirs is not None and ours.shape == theirs.shape
+        return np.abs(ours[..., ::-1].astype(int) - theirs.astype(int)).max()
+
+    def test_cmyk_transform0_matches_cv2(self):
+        data = self._cmyk_jpeg()
+        i = data.find(b"Adobe")
+        assert i >= 0 and data[i + 11] == 0  # PIL writes transform 0
+        assert self._parity(data) <= 3
+
+    def test_ycck_transform2_matches_cv2(self):
+        # Patch the Adobe APP14 transform byte to 2: the decoder must
+        # now run the YCbCr step AND re-invert the inks like libjpeg.
+        data = bytearray(self._cmyk_jpeg())
+        i = bytes(data).find(b"Adobe")
+        data[i + 11] = 2
+        assert self._parity(bytes(data)) <= 3

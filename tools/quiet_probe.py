@@ -73,11 +73,7 @@ def _unreachable_record():
     )
 
 
-if __name__ == "__main__":
-    import pathlib
-    import sys
-
-    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+def _main():
     # device init hangs when the tunnel is down and SIGALRM can't reach
     # it (utils/devwatch.py): a watchdog thread keeps the probe honest
     from fft_restoration_tpu.utils.devwatch import arm
@@ -86,3 +82,15 @@ if __name__ == "__main__":
     out = json.dumps(probe())
     done.set()
     print(out)
+
+
+if __name__ == "__main__":
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    # Init-retry armor: the supervisor retries transient tunnel outages
+    # with backoff (utils/bench_retry.py, round-4 post-mortem).
+    from fft_restoration_tpu.utils.bench_retry import main_with_retries
+
+    main_with_retries(_main)
