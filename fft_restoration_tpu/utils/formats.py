@@ -10,7 +10,8 @@ here on magic bytes):
   the standard 8-bit masks; bottom-up and top-down row orders.
 - PNM: P1-P6 (ASCII and binary bitmap/graymap/pixmap), maxval <= 65535
   (16-bit samples are big-endian per the spec and round to 8-bit).
-- TIFF: compressions none/LZW/deflate/PackBits with Predictor 2, strip
+- TIFF: compressions none/LZW/deflate/PackBits with Predictor 2, CCITT
+  fax MH/G3/G4 (utils/fax.py) and per-strip JPEG (TTN2, tag 347), strip
   and tile layouts, chunky and planar sample order, bit depths
   1/4/8/16 (16-bit narrows per cv2's measured per-path conversions),
   gray/WhiteIsZero/RGB(A)/palette photometrics, both byte orders, the
@@ -412,7 +413,14 @@ def _tiff_packbits_decode(src: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def _tiff_decompress(comp: int, seg: bytes, expected: int) -> bytes:
+def _tiff_decompress(
+    comp: int,
+    seg: bytes,
+    expected: int,
+    width: int = 0,
+    rows: int = 0,
+    t4opts: int = 0,
+) -> bytes:
     if comp == 1:
         if len(seg) < expected:
             raise ValueError("corrupt TIFF: truncated strip")
@@ -429,9 +437,19 @@ def _tiff_decompress(comp: int, seg: bytes, expected: int) -> bytes:
         return raw[:expected]
     if comp == 32773:
         return _tiff_packbits_decode(seg, expected)
+    if comp in (2, 3, 4):  # CCITT fax (utils/fax.py): bilevel segments
+        from .fax import decode_g3, decode_g4, decode_mh
+
+        if comp == 4:
+            return decode_g4(seg, width, rows)
+        if comp == 2:
+            return decode_mh(seg, width, rows)
+        return decode_g3(
+            seg, width, rows, bool(t4opts & 1), bool(t4opts & 4)
+        )
     raise ValueError(
         f"TIFF compression {comp} not supported "
-        "(none/LZW/deflate/PackBits decode)"
+        "(none/LZW/deflate/PackBits/CCITT-G3/G4/JPEG decode)"
     )
 
 
@@ -481,12 +499,102 @@ def _tiff_ifd(data: bytes, bo: str):
     return tags
 
 
+def _tiff_decode_jpeg_compressed(
+    data: bytes, tags, w, h, spp, planar, photometric, bits
+) -> np.ndarray:
+    """TIFF compression 7 (TTN2 "new JPEG"): every strip/tile is its own
+    JPEG stream, optionally abbreviated against the shared JPEGTables
+    (tag 347) stream.  libtiff merges the tables stream into each
+    segment before handing it to libjpeg; replicated here by splicing
+    the tables body between the segment's SOI and its first marker.
+
+    Photometrics seen from this env's writers: 2 (RGB — the JPEG stream
+    carries component ids 'R','G','B', no color transform; PIL/libtiff)
+    and 6 (YCbCr, converted by the JPEG decode); 1/0 for grayscale.
+    """
+    from .jpeg import decode_jpeg
+
+    if bits != 8:
+        raise ValueError("TIFF JPEG compression requires 8-bit samples")
+    if planar != 1:
+        raise ValueError("TIFF JPEG compression with planar layout not supported")
+    jt = tags.get(347)
+    tables_body = b""
+    if jt:
+        t = jt[0]
+        if len(t) >= 4 and t[:2] == b"\xff\xd8":
+            tables_body = t[2:-2] if t[-2:] == b"\xff\xd9" else t[2:]
+
+    def seg_decode(seg: bytes) -> np.ndarray:
+        if seg[:2] != b"\xff\xd8":
+            raise ValueError("corrupt TIFF: JPEG strip without SOI")
+        out = decode_jpeg(b"\xff\xd8" + tables_body + seg[2:])
+        if out.ndim == 2:
+            out = out[..., None]
+        return out
+
+    ncomp = 3 if photometric in (2, 6) else 1
+    if spp not in (ncomp,):
+        # libtiff tolerates spp mismatches by trusting the JPEG stream
+        ncomp = spp if spp in (1, 3) else ncomp
+    canvas = np.zeros((h, w, ncomp), np.uint8)
+    tiled = 322 in tags or 324 in tags
+    if tiled:
+        tw, tl = tags.get(322, [0])[0], tags.get(323, [0])[0]
+        offsets, counts = tags.get(324), tags.get(325)
+        if not tw or not tl or not offsets or not counts:
+            raise ValueError("corrupt TIFF: incomplete tile layout")
+        tx, ty = -(-w // tw), -(-h // tl)
+        if len(offsets) < tx * ty or len(counts) < len(offsets):
+            raise ValueError("corrupt TIFF: tile table shorter than grid")
+        for k in range(tx * ty):
+            seg = data[offsets[k] : offsets[k] + counts[k]]
+            if len(seg) < counts[k]:
+                raise ValueError("corrupt TIFF: truncated tile")
+            img = seg_decode(seg)
+            dy, dx = divmod(k, tx)
+            rows = min(tl, h - dy * tl)
+            cols = min(tw, w - dx * tw)
+            if img.shape[0] < rows or img.shape[1] < cols:
+                raise ValueError("corrupt TIFF: JPEG tile smaller than grid")
+            canvas[
+                dy * tl : dy * tl + rows, dx * tw : dx * tw + cols
+            ] = img[:rows, :cols, :ncomp]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts:
+            raise ValueError("corrupt TIFF: missing strip tables")
+        rows_per_strip = min(tags.get(278, [h])[0] or h, h)
+        nstrips = -(-h // rows_per_strip)
+        if len(offsets) < nstrips or len(counts) < nstrips:
+            raise ValueError("corrupt TIFF: strip table shorter than image")
+        for s in range(nstrips):
+            seg = data[offsets[s] : offsets[s] + counts[s]]
+            if len(seg) < counts[s]:
+                raise ValueError("corrupt TIFF: truncated strip")
+            img = seg_decode(seg)
+            rows = min(rows_per_strip, h - s * rows_per_strip)
+            if img.shape[0] < rows or img.shape[1] < w:
+                raise ValueError("corrupt TIFF: JPEG strip smaller than image")
+            canvas[s * rows_per_strip : s * rows_per_strip + rows] = img[
+                :rows, :w, :ncomp
+            ]
+    if photometric == 0:
+        canvas = 255 - canvas
+    if ncomp == 1:
+        return canvas[..., 0].copy()
+    return canvas
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """Decode the first IFD of a TIFF to uint8 gray/RGB(A).
 
     Coverage matches what the environment's cv::imread (libtiff)
     accepts for the common capture/export surface: compressions none/
-    LZW/deflate/PackBits, Predictor 2 (horizontal differencing), strip
+    LZW/deflate/PackBits, CCITT fax MH/G3/G4 (utils/fax.py), per-strip
+    JPEG (TTN2 compression 7 with shared JPEGTables), Predictor 2
+    (horizontal differencing), strip
     AND tile layouts, chunky and planar (PlanarConfiguration=2) sample
     order, bit depths 1 (bilevel -> 0/255), 4 (gray x17 / palette), 8
     and 16 (narrowed to the high byte, the cv::imread IMREAD_COLOR
@@ -525,10 +633,35 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt TIFF: SamplesPerPixel {spp}")
     planar = one(284, 1)
     photometric = one(262, 1)
-    if photometric not in (0, 1, 2, 3):
+    if photometric == 6 and compression != 7:
+        raise ValueError(
+            "TIFF YCbCr photometric only supported inside JPEG compression"
+        )
+    if photometric not in (0, 1, 2, 3) and not (
+        photometric == 6 and compression == 7
+    ):
         raise ValueError(
             f"TIFF PhotometricInterpretation {photometric} not supported "
-            "(gray/RGB/palette only)"
+            "(gray/RGB/palette/JPEG-YCbCr only)"
+        )
+    if compression in (2, 3, 4) and (bits != 1 or spp != 1):
+        raise ValueError(
+            "corrupt TIFF: CCITT fax compression requires bilevel data"
+        )
+    t4opts = one(293 if compression == 4 else 292, 0)
+    if compression == 4 and t4opts & 2:
+        raise ValueError(
+            "TIFF G4 uncompressed-mode option not supported "
+            "(T6Options bit 1; not emitted by this env's encoders)"
+        )
+    if compression == 7:
+        return _tiff_decode_jpeg_compressed(
+            data, tags, w, h, spp, planar, photometric, bits
+        )
+    if compression == 6:
+        raise ValueError(
+            "TIFF old-style JPEG (compression 6) not supported "
+            "(deprecated by TTN2; this env's writers emit compression 7)"
         )
     if photometric == 3 and (320 not in tags or spp != 1):
         raise ValueError("corrupt TIFF: palette image without usable ColorMap")
@@ -585,7 +718,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 if len(seg) < cnt:
                     raise ValueError("corrupt TIFF: truncated tile")
                 raw = undo_pred(_tiff_decompress(compression, seg,
-                                                 tl * row_bytes(tw)), tl, tw)
+                                                 tl * row_bytes(tw),
+                                                 tw, tl, t4opts), tl, tw)
                 dy, dx = divmod(k, tx)
                 rows = min(tl, h - dy * tl)
                 a = np.frombuffer(raw, np.uint8).reshape(tl, row_bytes(tw))
@@ -633,7 +767,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
                     raise ValueError("corrupt TIFF: truncated strip")
                 rows = min(rows_per_strip, h - s * rows_per_strip)
                 chunks.append(undo_pred(
-                    _tiff_decompress(compression, seg, rows * row_bytes(w)),
+                    _tiff_decompress(compression, seg, rows * row_bytes(w),
+                                     w, rows, t4opts),
                     rows, w))
             raw = b"".join(chunks)
             a = np.frombuffer(raw, np.uint8).reshape(h, row_bytes(w))

@@ -522,6 +522,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     scans = []
     progressive = False
     adobe_transform = None
+    saw_jfif = False
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -575,6 +576,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + nsym
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xE0 and seg[:5] == b"JFIF\x00":
+            saw_jfif = True
         elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
             # APP14: color-transform flag for 4-component streams
             # (0 = CMYK as-is, 2 = YCCK)
@@ -675,7 +678,21 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             segments, comps, comp_tables, plan, n_mcu, scans[0]["ri"]
         )
     bpm = len(plan)
-    native_out = _native_backend(
+    # libjpeg's jdmaster color-space guess for 3 components: JFIF wins
+    # (YCbCr), then the Adobe transform flag (0 = stored RGB), else
+    # component ids — 'R','G','B' marks an untransformed RGB stream
+    # (the form libtiff's JPEG-in-TIFF codec writes for photometric
+    # RGB, tested in tests/test_tiff.py). The native back half bakes in
+    # the YCbCr conversion, so RGB-direct streams take the NumPy tail.
+    rgb_direct = False
+    if len(comps) == 3 and not saw_jfif:
+        ids = [c["id"] for c in comps]
+        rgb_direct = (
+            adobe_transform == 0
+            if adobe_transform is not None
+            else ids == [0x52, 0x47, 0x42]
+        )
+    native_out = None if rgb_direct else _native_backend(
         blocks, comps, qtables, plan, mcux, mcuy, hmax, vmax, h, w
     )
     if native_out is not None:
@@ -741,6 +758,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         return np.clip(rgb, 0, 255).astype(np.uint8)
     if len(planes) != 3:
         raise ValueError(f"{len(planes)}-component JPEG not supported")
+    if rgb_direct:  # untransformed RGB stream (decided above)
+        rgb = np.stack([p[:h, :w] for p in planes], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     y, cb, cr = (p[:h, :w].astype(np.float32) for p in planes)
     cb = cb - np.float32(128.0)
     cr = cr - np.float32(128.0)

@@ -58,7 +58,31 @@ def _encoders():
         ("exr", _exr_enc),
         ("gif", _gif_enc),
         ("pam", cv(".pam")),
+        ("tiff_g4", _fax_tiff_enc),
+        ("tiff_jpeg", _jpeg_tiff_enc),
     ]
+
+
+def _fax_tiff_enc(img):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        ((img[..., 0] > 127).astype(np.uint8)) * 255
+    ).convert("1").save(buf, format="TIFF", compression="group4")
+    return buf.getvalue()
+
+
+def _jpeg_tiff_enc(img):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="TIFF", compression="jpeg", quality=90)
+    return buf.getvalue()
 
 
 def _jp2_enc(img):

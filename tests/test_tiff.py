@@ -256,9 +256,14 @@ def test_unsupported_knobs_raise():
     g = _rng(43).integers(0, 256, (5, 6)).astype(np.uint8)
     base = lambda **kw: build_tiff(6, 5, 1, 8, 1, 1, [g.tobytes()],
                                    (273, 279), **kw)
-    with pytest.raises(ValueError, match="compression 7"):
+    with pytest.raises(ValueError, match="SOI"):
+        # compression 7 is supported now, but a strip that isn't a JPEG
+        # stream is a contract error
         formats.decode_tiff(
             build_tiff(6, 5, 1, 8, 7, 1, [g.tobytes()], (273, 279)))
+    with pytest.raises(ValueError, match="compression 6"):
+        formats.decode_tiff(
+            build_tiff(6, 5, 1, 8, 6, 1, [g.tobytes()], (273, 279)))
     with pytest.raises(ValueError, match="FillOrder"):
         formats.decode_tiff(base(extra_tags=((266, 3, [2]),)))
     with pytest.raises(ValueError, match="predictor 3"):
@@ -289,3 +294,142 @@ def test_imread_integration(tmp_path):
     ref = cv2.imread(str(p), cv2.IMREAD_COLOR)
     np.testing.assert_array_equal(decode_image_bgr(p.read_bytes()), ref)
     assert formats.probe_size(bytes(buf)) == (19, 23)
+
+
+# ---------------------------------------------------------------------------
+# CCITT fax compressions (2=MH, 3=G3, 4=G4) — utils/fax.py
+
+
+def _fax_blob(bw: np.ndarray, compression: str) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(bw.astype(np.uint8) * 255).convert("1").save(
+        buf, format="TIFF", compression=compression
+    )
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("compression", ["group4", "group3", "tiff_ccitt"])
+def test_fax_textured_bilevel_bit_exact(compression):
+    # diagonal bands + noise: exercises all three 2D modes (V/H/P) and
+    # the 1D run tables; decode must be bit-exact vs cv2 (lossless).
+    rng = _rng(5)
+    drift = np.cumsum(rng.integers(0, 2, (61,)))[:, None]
+    bw = (drift + np.arange(203)[None, :]) % 7 < 3
+    bw[17] = False  # an all-white row (empty transition list)
+    bw[18] = True   # an all-black row (first white run of length 0)
+    _assert_cv2_parity(_fax_blob(bw, compression))
+
+
+@pytest.mark.parametrize("compression", ["group4", "group3"])
+def test_fax_run_table_sweep(compression):
+    # One black run of length k per row, sweeping every terminating
+    # code (0-63), every makeup bucket (64..1728) and the extended
+    # makeups (1792..2560): any wrong T.4 table entry shifts a run and
+    # breaks bit-exactness. The white runs sweep width-k in lockstep.
+    runs = list(range(0, 64)) + list(range(64, 1729, 64)) + list(
+        range(1792, 2561, 64)
+    ) + [2600, 2623]
+    w = 2624
+    bw = np.zeros((len(runs), w), bool)
+    for y, k in enumerate(runs):
+        bw[y, :k] = True
+    _assert_cv2_parity(_fax_blob(bw, compression))
+
+
+def test_fax_white_is_zero_photometric():
+    # PIL writes MinIsBlack; fax scanners write MinIsWhite. Patch the
+    # PhotometricInterpretation entry to 0 and require cv2 parity.
+    blob = bytearray(_fax_blob(_rng(7).random((40, 120)) < 0.4, "group4"))
+    (ifd,) = struct.unpack("<I", blob[4:8])
+    (n,) = struct.unpack("<H", blob[ifd : ifd + 2])
+    hit = False
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack("<H", blob[e : e + 2])[0] == 262:
+            blob[e + 8 : e + 12] = struct.pack("<I", 0)
+            hit = True
+    assert hit
+    _assert_cv2_parity(bytes(blob))
+
+
+def test_fax_corrupt_streams_raise():
+    blob = _fax_blob(_rng(9).random((32, 64)) < 0.5, "group4")
+    from fft_restoration_tpu.utils.fax import decode_g4
+
+    with pytest.raises(ValueError):
+        # VR3 with the reference edge at width: a1 lands past the row
+        decode_g4(b"\x06" * 8, 64, 32)
+    with pytest.raises(ValueError):
+        decode_g4(b"\x00" * 8, 64, 32)  # EOL-class zeros mid-G4
+    # zero out the heart of the strip payload inside a real file: the
+    # rows degrade to EOL-class zero bits mid-G4, which is a framing
+    # error (decode must raise, never loop or crash)
+    bo = "<" if blob[:2] == b"II" else ">"
+    off = formats._tiff_ifd(blob, bo)[273][0]
+    wrecked = bytearray(blob)
+    wrecked[off + 4 : off + 24] = b"\x00" * 20
+    with pytest.raises(ValueError):
+        formats.decode_tiff(bytes(wrecked))
+    with pytest.raises(ValueError):
+        # fax on non-bilevel data is a contract error
+        from fft_restoration_tpu.utils.fax import decode_mh
+
+        decode_mh(b"\x35" * 4, 0, 4)
+
+
+# ---------------------------------------------------------------------------
+# JPEG-in-TIFF (compression 7, TTN2) — per-strip JPEG + JPEGTables
+
+
+def _jpeg_tiff_blob(arr: np.ndarray, **kw) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(
+        buf, format="TIFF", compression="jpeg", quality=92, **kw
+    )
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def photo_rgb():
+    rng = _rng(11)
+    y, x = np.mgrid[:80, :120]
+    base = 128 + 60 * np.sin(x / 9.0) + 50 * np.cos(y / 7.0) + rng.random(
+        (80, 120)
+    ) * 30
+    return np.clip(
+        np.stack([base, np.roll(base, 7, 0), 255 - base], -1), 0, 255
+    ).astype(np.uint8)
+
+
+def test_jpeg_in_tiff_rgb(photo_rgb):
+    # PIL/libtiff writes photometric=2 with an untransformed RGB JPEG
+    # stream (component ids 'R','G','B') and shared JPEGTables (347).
+    blob = _jpeg_tiff_blob(photo_rgb)
+    ref = _cv2_bgr(blob)
+    assert np.abs(
+        _mine_bgr(blob).astype(int) - ref.astype(int)
+    ).max() <= 1  # IDCT rounding only: stream is RGB, no chroma loss
+
+
+def test_jpeg_in_tiff_multistrip(photo_rgb):
+    blob = _jpeg_tiff_blob(photo_rgb, strip_size=2048)
+    bo = "<" if blob[:2] == b"II" else ">"
+    assert len(formats._tiff_ifd(blob, bo).get(273, [])) > 1
+    ref = _cv2_bgr(blob)
+    assert np.abs(_mine_bgr(blob).astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_jpeg_in_tiff_gray(photo_rgb):
+    blob = _jpeg_tiff_blob(photo_rgb[..., 0])
+    ref = _cv2_bgr(blob)
+    assert np.abs(_mine_bgr(blob).astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_jpeg_in_tiff_corrupt_raises(photo_rgb):
+    blob = bytearray(_jpeg_tiff_blob(photo_rgb))
+    bo = "<" if blob[:2] == b"II" else ">"
+    tags = formats._tiff_ifd(bytes(blob), bo)
+    off = tags[273][0]
+    blob[off] = 0x00  # strip no longer starts with SOI
+    with pytest.raises(ValueError):
+        formats.decode_tiff(bytes(blob))
