@@ -13,10 +13,11 @@ scanline format:
   rounding modes honoured when sizing the chunk-offset table, exactly
   the subset cv::imread returns for a mip/rip-mapped texture;
 - compressions NONE, RLE, ZIPS, ZIP, PIZ (utils/exr_piz.py), PXR24
-  (utils/exr_pxr24.py) and B44/B44A (utils/exr_b44.py) — everything
-  but the table-driven DWAA/DWAB pair. ZIP/PXR24 blocks are 16 scan
-  lines, PIZ/B44 32; raw-stored blocks, which OpenEXR emits whenever
-  compression does not shrink a block, are handled;
+  (utils/exr_pxr24.py), B44/B44A (utils/exr_b44.py) and DWAA/DWAB
+  (utils/exr_dwa.py) — the full compression matrix. ZIP/PXR24 blocks
+  are 16 scan lines, PIZ/B44/DWAA 32, DWAB 256; raw-stored blocks,
+  which OpenEXR emits whenever compression does not shrink a block,
+  are handled;
 - pixel types HALF (via np.float16), FLOAT and UINT;
 - INCREASING_Y, DECREASING_Y and RANDOM_Y line orders (each chunk
   carries its own y coordinate, so block order never matters);
@@ -37,11 +38,14 @@ this environment has no EXR codec, so parity is pinned against
 hand-built golden bytes + encoder/decoder roundtrips instead —
 tests/test_exr.py).
 
-There is no EXR oracle in this environment (cv2 5.0 ships without the
-codec, no OpenEXR python module); the test anchors are (a) golden
+There is no EXR oracle in this environment's cv2 (5.0 ships without
+the codec, no OpenEXR python module); the test anchors are (a) golden
 files constructed byte-by-byte in the tests straight from the spec,
-independent of encode_exr, and (b) spec-built encoder <-> decoder
-roundtrips across the type x compression x line-order matrix.
+independent of encode_exr, (b) spec-built encoder <-> decoder
+roundtrips across the type x compression x line-order matrix, and
+(c) for DWAA/DWAB, committed fixtures written AND decoded by the
+system libOpenEXR 3.1 (tests/data/dwa_*.exr + dwa_reference.npz,
+regenerable via the C++ oracle recipe in tests/test_exr_dwa.py).
 """
 
 from __future__ import annotations
@@ -58,11 +62,12 @@ _PT_SIZE = {_PT_UINT: 4, _PT_HALF: 2, _PT_FLOAT: 4}
 _PT_DTYPE = {_PT_UINT: "<u4", _PT_HALF: "<f2", _PT_FLOAT: "<f4"}
 
 _C_NONE, _C_RLE, _C_ZIPS, _C_ZIP, _C_PIZ = 0, 1, 2, 3, 4
-_C_PXR24, _C_B44, _C_B44A = 5, 6, 7
+_C_PXR24, _C_B44, _C_B44A, _C_DWAA, _C_DWAB = 5, 6, 7, 8, 9
 _C_NAMES = {0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ",
             5: "PXR24", 6: "B44", 7: "B44A", 8: "DWAA", 9: "DWAB"}
 _LINES_PER_BLOCK = {_C_NONE: 1, _C_RLE: 1, _C_ZIPS: 1, _C_ZIP: 16,
-                    _C_PIZ: 32, _C_PXR24: 16, _C_B44: 32, _C_B44A: 32}
+                    _C_PIZ: 32, _C_PXR24: 16, _C_B44: 32, _C_B44A: 32,
+                    _C_DWAA: 32, _C_DWAB: 256}
 
 
 # ---------------------------------------------------------------------------
@@ -237,9 +242,13 @@ def _decompress_block(comp: int, payload: bytes, expected: int,
         return b44_uncompress(
             payload, [(n, pt) for n, pt, _, _ in chans], width, rows, expected
         )
+    if comp in (_C_DWAA, _C_DWAB):
+        from fft_restoration_tpu.utils.exr_dwa import dwa_uncompress
+
+        return dwa_uncompress(payload, chans, width, rows, expected)
     raise ValueError(
         f"EXR compression {_C_NAMES.get(comp, comp)} not supported "
-        "(NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A decode)"
+        "(NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A/DWAA/DWAB decode)"
     )
 
 
@@ -416,7 +425,7 @@ def decode_exr_float(data: bytes):
     if comp not in _LINES_PER_BLOCK:
         raise ValueError(
             f"EXR compression {_C_NAMES.get(comp, comp)} not supported "
-            "(NONE/RLE/ZIPS/ZIP/PIZ scanline files decode)"
+            "(NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A/DWAA/DWAB decode)"
         )
     if any(xs != 1 or ys != 1 for _, _, xs, ys in chans):
         raise ValueError(

@@ -279,11 +279,11 @@ def test_unsupported_layouts_and_flags():
         with pytest.raises(ValueError, match=msg):
             exr.decode_exr_float(bytes(bad))
 
-    # unsupported compression id (DWAA = 8; B44 decodes since round 4)
+    # unknown compression id (10; the whole 0-9 matrix decodes now)
     bad = bytearray(good)
     idx = bad.index(b"compression\x00compression\x00")
-    bad[idx + len(b"compression\x00compression\x00") + 4] = 8
-    with pytest.raises(ValueError, match="DWAA not supported"):
+    bad[idx + len(b"compression\x00compression\x00") + 4] = 10
+    with pytest.raises(ValueError, match="compression 10 not supported"):
         exr.decode_exr_float(bytes(bad))
 
 
