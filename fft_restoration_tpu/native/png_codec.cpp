@@ -609,3 +609,191 @@ extern "C" int jpeg_backend_rgb(const int32_t* blocks, int64_t n_mcu,
     }
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Progressive-JPEG entropy lanes (T.81 Annex G, Huffman): the per-block
+// band/approximation bit loops of utils/jpeg.py _decode_progressive,
+// one call per restart segment. Counterpart of the reference's single
+// cv::imread call (serial.cpp:22); the pure-Python loops ran ~0.3 MP/s
+// on a 2048x2048 progressive photo, these lanes restore batch-ingest
+// speed (see docs/PERF.md round-5 JPEG section).
+//
+// Shared conventions with jpeg_decode_scan: `data` is the
+// stuffing-stripped entropy segment; Huffman tables arrive as 65536-
+// entry symbol/length LUTs; coefficient grids are int32 (rows, cols,
+// 64) in zigzag order. Error codes: -1 invalid code, -2 exhausted
+// data, -3 band overflow, -4 bad refinement size.
+
+// DC scan segment (first pass or refinement), interleaved or single
+// component. plan_*: per block-in-unit component index and sampling
+// offsets; comp_*: per scan-component grid geometry. Decodes units
+// [start_unit, start_unit + n_units).
+extern "C" int jpeg_decode_prog_dc(
+    const uint8_t* data, int64_t nbytes,
+    const uint8_t* lut_sym, const uint8_t* lut_len,  // (n_comps, 65536)
+    int refine, int al,
+    int n_comps,
+    int32_t* const* comp_base,      // per scan-component grid base
+    const int64_t* comp_stride,     // per comp: grid row stride in i32
+    const int32_t* comp_ch, const int32_t* comp_cv,
+    int blocks_per_unit,
+    const int32_t* plan_comp, const int32_t* plan_v, const int32_t* plan_h,
+    int64_t units_per_row,          // MCUs per row (or blocks for single)
+    int64_t start_unit, int64_t n_units,
+    int32_t* pred_io)               // per comp DC predictor, in/out
+{
+    (void)n_comps;  // geometry arrives via the per-comp arrays
+    BitReader br{data, nbytes};
+    for (int64_t u = 0; u < n_units; ++u) {
+        const int64_t unit = start_unit + u;
+        const int64_t uy = unit / units_per_row;
+        const int64_t ux = unit % units_per_row;
+        for (int j = 0; j < blocks_per_unit; ++j) {
+            const int c = plan_comp[j];
+            int32_t* blk = comp_base[c]
+                + (uy * comp_cv[c] + plan_v[j]) * comp_stride[c]
+                + (ux * comp_ch[c] + plan_h[j]) * 64;
+            if (!refine) {
+                const uint8_t* sym = lut_sym + (int64_t)c * 65536;
+                const uint8_t* len = lut_len + (int64_t)c * 65536;
+                const int w = br.peek16();
+                const int l = len[w];
+                if (l == 0) return -1;
+                if (!br.ok(l)) return -2;
+                const int s = sym[w];
+                br.drop(l);
+                if (!br.ok(s)) return -2;
+                const int bits = s ? (br.peek16() >> (16 - s)) : 0;
+                br.drop(s);
+                pred_io[c] += extend(bits, s);
+                // int64 product: the predictor can reach +-2^26 on
+                // hostile streams and al is <= 15, so a 32-bit shift
+                // would be UB; the truncating cast is well-defined
+                blk[0] = (int32_t)((int64_t)pred_io[c] * ((int64_t)1 << al));
+            } else {
+                if (!br.ok(1)) return -2;
+                if (br.peek16() >> 15) blk[0] |= (int32_t)1 << al;
+                br.drop(1);
+            }
+        }
+    }
+    return 0;
+}
+
+// AC scan segment (always single-component). First pass (refine == 0)
+// decodes the ss..se zigzag band with EOBn runs; refinement appends one
+// magnitude bit per already-nonzero coefficient and introduces new
+// +-(1<<al) values. eobrun resets at segment (restart) boundaries, so
+// no state crosses calls.
+extern "C" int jpeg_decode_prog_ac(
+    const uint8_t* data, int64_t nbytes,
+    const uint8_t* lut_sym, const uint8_t* lut_len,  // one AC table
+    int refine, int ss, int se, int al,
+    int32_t* coef_base, int64_t row_stride,
+    int64_t blocks_per_row,
+    int64_t start_unit, int64_t n_units)
+{
+    BitReader br{data, nbytes};
+    const int32_t p1 = (int32_t)1 << al;
+    const int32_t m1 = -p1;
+    int64_t eobrun = 0;
+    for (int64_t u = 0; u < n_units; ++u) {
+        const int64_t unit = start_unit + u;
+        int32_t* blk = coef_base
+            + (unit / blocks_per_row) * row_stride
+            + (unit % blocks_per_row) * 64;
+        if (!refine) {
+            if (eobrun > 0) { --eobrun; continue; }
+            int k = ss;
+            while (k <= se) {
+                const int w = br.peek16();
+                const int l = lut_len[w];
+                if (l == 0) return -1;
+                if (!br.ok(l)) return -2;
+                const int rs = lut_sym[w];
+                br.drop(l);
+                const int r = rs >> 4, s = rs & 15;
+                if (s == 0) {
+                    if (r == 15) { k += 16; continue; }
+                    eobrun = ((int64_t)1 << r) - 1;
+                    if (r) {
+                        if (!br.ok(r)) return -2;
+                        eobrun += br.peek16() >> (16 - r);
+                        br.drop(r);
+                    }
+                    break;
+                }
+                k += r;
+                if (k > se) return -3;
+                if (!br.ok(s)) return -2;
+                const int v = br.peek16() >> (16 - s);
+                br.drop(s);
+                blk[k] = (int32_t)extend(v, s) * p1;
+                ++k;
+            }
+        } else {
+            int k = ss;
+            if (eobrun == 0) {
+                while (k <= se) {
+                    const int w = br.peek16();
+                    const int l = lut_len[w];
+                    if (l == 0) return -1;
+                    if (!br.ok(l)) return -2;
+                    const int rs = lut_sym[w];
+                    br.drop(l);
+                    int r = rs >> 4;
+                    const int s = rs & 15;
+                    int32_t newval = 0;
+                    if (s == 0) {
+                        if (r != 15) {
+                            eobrun = (int64_t)1 << r;
+                            if (r) {
+                                if (!br.ok(r)) return -2;
+                                eobrun += br.peek16() >> (16 - r);
+                                br.drop(r);
+                            }
+                            break;
+                        }
+                        // ZRL: r == 15, skip 16 zero-history coefficients
+                    } else {
+                        if (s != 1) return -4;
+                        if (!br.ok(1)) return -2;
+                        newval = (br.peek16() >> 15) ? p1 : m1;
+                        br.drop(1);
+                    }
+                    while (k <= se) {
+                        const int32_t v = blk[k];
+                        if (v != 0) {
+                            if (!br.ok(1)) return -2;
+                            const int bit = br.peek16() >> 15;
+                            br.drop(1);
+                            if (bit && (v & p1) == 0)
+                                blk[k] = v + (v >= 0 ? p1 : m1);
+                        } else {
+                            if (r == 0) break;
+                            --r;
+                        }
+                        ++k;
+                    }
+                    if (newval && k <= se) blk[k] = newval;
+                    ++k;
+                }
+            }
+            if (eobrun > 0) {
+                while (k <= se) {
+                    const int32_t v = blk[k];
+                    if (v != 0) {
+                        if (!br.ok(1)) return -2;
+                        const int bit = br.peek16() >> 15;
+                        br.drop(1);
+                        if (bit && (v & p1) == 0)
+                            blk[k] = v + (v >= 0 ? p1 : m1);
+                    }
+                    ++k;
+                }
+                --eobrun;
+            }
+        }
+    }
+    return 0;
+}

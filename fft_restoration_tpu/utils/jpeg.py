@@ -384,13 +384,84 @@ def _decode_progressive(scans, comps, by_id, h, w, hmax, vmax, mcux, mcuy):
     selection + successive approximation) into per-component coefficient
     grids (blocks_y, blocks_x, 64), zigzag order.
 
-    Pure Python per-block loops — progressive entropy decode is
-    inherently sequential across bands and approximation passes, and is
-    an ingest path, not a hot path (the baseline path has the native
-    fast lane). cv::imread accepts these streams (serial.cpp:22)."""
+    The per-block band/approximation bit loops run in C++ when the
+    native lane is built (native/png_codec.cpp jpeg_decode_prog_dc/_ac,
+    ~45x the pure path on a 2048^2 progressive photo — docs/PERF.md
+    round 5); the pure-Python loops below are the always-working
+    fallback and the parity oracle. cv::imread accepts these streams
+    (serial.cpp:22)."""
+    from fft_restoration_tpu.utils.imageio import _load_native
+
+    lib = _load_native()
+    native = lib if lib and hasattr(lib, "jpeg_decode_prog_ac") else None
+    if native is not None:
+        import ctypes
+
+        _i32p = ctypes.POINTER(ctypes.c_int32)
+        _i64p = ctypes.POINTER(ctypes.c_int64)
+        _u8p = ctypes.POINTER(ctypes.c_uint8)
+        _i64 = ctypes.c_longlong
+
     coef = [
         np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32) for c in comps
     ]
+
+    def _native_dc_scan(scan, idxs, dc_tables, ah, al, plan, units_per_row,
+                        n_units, segments):
+        """One DC scan through jpeg_decode_prog_dc (per restart
+        segment; the predictor resets at segment boundaries)."""
+        n = len(idxs)
+        local = {ci: k for k, ci in enumerate(idxs)}
+        lut_sym = np.zeros((n, 1 << 16), np.uint8)
+        lut_len = np.zeros((n, 1 << 16), np.uint8)
+        if ah == 0:
+            for ci in idxs:
+                lut_sym[local[ci]] = dc_tables[ci].lut_sym
+                lut_len[local[ci]] = dc_tables[ci].lut_len
+        comp_base = (_i32p * n)(
+            *[coef[ci].ctypes.data_as(_i32p) for ci in idxs]
+        )
+        comp_stride = np.asarray(
+            [coef[ci].shape[1] * 64 for ci in idxs], np.int64
+        )
+        if len(idxs) > 1:  # MCU walk: true sampling factors
+            comp_ch = np.asarray([comps[ci]["h"] for ci in idxs], np.int32)
+            comp_cv = np.asarray([comps[ci]["v"] for ci in idxs], np.int32)
+        else:  # single-component scan walks its own block grid
+            comp_ch = np.ones(1, np.int32)
+            comp_cv = np.ones(1, np.int32)
+        plan_comp = np.asarray([local[p[0]] for p in plan], np.int32)
+        plan_v = np.asarray([p[1] for p in plan], np.int32)
+        plan_h = np.asarray([p[2] for p in plan], np.int32)
+        pred = np.zeros(n, np.int32)
+        unit = 0
+        for seg_data in segments:
+            data = _strip_stuffing(seg_data)
+            limit = (
+                min(unit + scan["ri"], n_units) if scan["ri"] else n_units
+            )
+            if limit <= unit:
+                break
+            pred[:] = 0
+            rc = lib.jpeg_decode_prog_dc(
+                data, _i64(len(data)),
+                lut_sym.ctypes.data_as(_u8p), lut_len.ctypes.data_as(_u8p),
+                int(ah != 0), al, n,
+                comp_base, comp_stride.ctypes.data_as(_i64p),
+                comp_ch.ctypes.data_as(_i32p), comp_cv.ctypes.data_as(_i32p),
+                len(plan),
+                plan_comp.ctypes.data_as(_i32p),
+                plan_v.ctypes.data_as(_i32p),
+                plan_h.ctypes.data_as(_i32p),
+                _i64(units_per_row), _i64(unit), _i64(limit - unit),
+                pred.ctypes.data_as(_i32p),
+            )
+            if rc != 0:
+                raise ValueError(
+                    f"corrupt JPEG: progressive DC decode failed ({rc})"
+                )
+            unit = limit
+
     for scan in scans:
         idxs = [by_id[sc["id"]] for sc in scan["comps"]]
         ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
@@ -418,6 +489,10 @@ def _decode_progressive(scans, comps, by_id, h, w, hmax, vmax, mcux, mcuy):
                     for hh in range(comps[ci]["h"])
                 ]
                 n_units = mcux * mcuy
+                if native is not None:
+                    _native_dc_scan(scan, idxs, dc_tables, ah, al, plan,
+                                    mcux, n_units, segments)
+                    continue
                 unit = 0
                 for seg_data in segments:
                     reader = _BitReader(_strip_stuffing(seg_data))
@@ -445,6 +520,10 @@ def _decode_progressive(scans, comps, by_id, h, w, hmax, vmax, mcux, mcuy):
                 cw = -(-(w * c["h"]) // hmax)
                 chh = -(-(h * c["v"]) // vmax)
                 bw, bh = -(-cw // 8), -(-chh // 8)
+                if native is not None:
+                    _native_dc_scan(scan, idxs, dc_tables, ah, al,
+                                    [(ci, 0, 0)], bw, bw * bh, segments)
+                    continue
                 unit = 0
                 for seg_data in segments:
                     reader = _BitReader(_strip_stuffing(seg_data))
@@ -476,6 +555,32 @@ def _decode_progressive(scans, comps, by_id, h, w, hmax, vmax, mcux, mcuy):
             cw = -(-(w * c["h"]) // hmax)
             chh = -(-(h * c["v"]) // vmax)
             bw, bh = -(-cw // 8), -(-chh // 8)
+            if native is not None:
+                unit = 0
+                for seg_data in segments:
+                    data = _strip_stuffing(seg_data)
+                    limit = (
+                        min(unit + scan["ri"], bw * bh)
+                        if scan["ri"]
+                        else bw * bh
+                    )
+                    if limit <= unit:
+                        break
+                    rc = lib.jpeg_decode_prog_ac(
+                        data, _i64(len(data)),
+                        ac_t.lut_sym.ctypes.data_as(_u8p),
+                        ac_t.lut_len.ctypes.data_as(_u8p),
+                        int(ah != 0), ss, se, al,
+                        coef[ci].ctypes.data_as(_i32p),
+                        _i64(coef[ci].shape[1] * 64),
+                        _i64(bw), _i64(unit), _i64(limit - unit),
+                    )
+                    if rc != 0:
+                        raise ValueError(
+                            f"corrupt JPEG: progressive AC decode failed ({rc})"
+                        )
+                    unit = limit
+                continue
             unit = 0
             for seg_data in segments:
                 reader = _BitReader(_strip_stuffing(seg_data))
@@ -572,6 +677,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 counts = list(seg[p + 1 : p + 17])
                 nsym = sum(counts)
                 symbols = list(seg[p + 17 : p + 17 + nsym])
+                if tc == 0 and any(s > 15 for s in symbols):
+                    # DC symbols are SSSS bit-lengths; >15 is spec-
+                    # invalid and would turn into an out-of-range shift
+                    # in the native scan lanes
+                    raise ValueError("corrupt JPEG: DC Huffman symbol > 15")
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(counts, symbols)
                 p += 17 + nsym
         elif marker == 0xDD:  # DRI

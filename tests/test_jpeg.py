@@ -405,3 +405,86 @@ class TestAdobeCMYK:
         i = bytes(data).find(b"Adobe")
         data[i + 11] = 2
         assert self._parity(bytes(data)) <= 3
+
+
+class TestProgressiveNativeLane:
+    """The C++ progressive entropy lanes (jpeg_decode_prog_dc/_ac) must
+    be bit-identical to the pure-Python loops on every stream shape —
+    the pure path is the parity oracle (native/png_codec.cpp header)."""
+
+    @staticmethod
+    def _img(h, w, seed=5):
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[:h, :w]
+        base = 128 + 60 * np.sin(x / 9.0) + 50 * np.cos(y / 7.0) + rng.random(
+            (h, w)
+        ) * 30
+        return np.clip(
+            np.stack([base, np.roll(base, 7, 0), 255 - base], -1), 0, 255
+        ).astype(np.uint8)
+
+    @pytest.mark.parametrize(
+        "shape,params",
+        [
+            ((96, 120), []),
+            ((67, 93), []),  # odd dims
+            ((64, 80), [cv2.IMWRITE_JPEG_RST_INTERVAL, 2]),  # restarts
+            ((48, 56), [cv2.IMWRITE_JPEG_SAMPLING_FACTOR,
+                        cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444]),
+        ],
+        ids=["420", "odd", "restarts", "444"],
+    )
+    def test_native_matches_pure_bitwise(self, shape, params, monkeypatch):
+        # Pin the entropy lanes' actual product — the per-component
+        # coefficient grids — to the pure loops, bit for bit. (The
+        # final pixels can differ by 1 count between the C++ and NumPy
+        # IDCT back halves, a separate pre-existing rounding property.)
+        from fft_restoration_tpu.utils import imageio as iio
+        from fft_restoration_tpu.utils import jpeg as jpeg_mod
+
+        if not iio._load_native() or not hasattr(
+            iio._load_native(), "jpeg_decode_prog_ac"
+        ):
+            pytest.skip("native lane not built")
+        img = self._img(*shape)
+        ok, enc = cv2.imencode(
+            ".jpg", img[..., ::-1],
+            [cv2.IMWRITE_JPEG_QUALITY, 90, cv2.IMWRITE_JPEG_PROGRESSIVE, 1]
+            + list(params),
+        )
+        blob = enc.tobytes()
+        grids = {}
+        orig = jpeg_mod._decode_progressive
+
+        def spy(*a, **k):
+            out = orig(*a, **k)
+            grids[tag].extend(g.copy() for g in out)
+            return out
+
+        monkeypatch.setattr(jpeg_mod, "_decode_progressive", spy)
+        tag = "native"
+        grids[tag] = []
+        native_out = decode_jpeg(blob)
+        monkeypatch.setattr(iio, "_load_native", lambda: False)
+        tag = "pure"
+        grids[tag] = []
+        pure_out = decode_jpeg(blob)
+        assert len(grids["native"]) == len(grids["pure"]) > 0
+        for gn, gp in zip(grids["native"], grids["pure"]):
+            np.testing.assert_array_equal(gn, gp)
+        assert np.abs(
+            native_out.astype(int) - pure_out.astype(int)
+        ).max() <= 1  # back-half IDCT rounding only
+
+    def test_truncated_stream_raises_not_crashes(self):
+        img = self._img(64, 64)
+        ok, enc = cv2.imencode(
+            ".jpg", img[..., ::-1],
+            [cv2.IMWRITE_JPEG_QUALITY, 90, cv2.IMWRITE_JPEG_PROGRESSIVE, 1],
+        )
+        blob = enc.tobytes()
+        for cut in range(len(blob) // 2, len(blob), 97):
+            try:
+                decode_jpeg(blob[:cut])
+            except ValueError:
+                pass

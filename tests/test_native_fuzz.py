@@ -258,3 +258,85 @@ def test_gif_lzw_native_fuzz_never_corrupts_memory():
         except ValueError:
             pass
         arr[pos] = old
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG entropy lanes (libpngfilt.so)
+# ---------------------------------------------------------------------------
+
+from fft_restoration_tpu.utils import imageio as _iio
+from fft_restoration_tpu.utils import jpeg as _jpeg_mod
+
+_png_lib = _iio._load_native()
+
+
+@pytest.mark.skipif(
+    not _png_lib or not hasattr(_png_lib, "jpeg_decode_prog_ac"),
+    reason="native/libpngfilt.so progressive lanes not built",
+)
+def test_progressive_jpeg_native_fuzz_never_corrupts_memory():
+    """Corrupt entropy segments straight into jpeg_decode_prog_dc/_ac:
+    nonzero return or in-bounds writes only, with redzoned coefficient
+    grids and predictor arrays. LUTs come from a real table built over
+    a hostile-but-spec-shaped DHT (every r/s nibble pair occurs)."""
+    import ctypes
+
+    rng = np.random.default_rng(23)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.c_longlong
+
+    # an AC-style table covering all 256 rs symbols (16 per length tier)
+    counts = [0, 0, 0, 0, 0, 0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 252]
+    symbols = list(range(4)) + list(range(4, 256))
+    tab = _jpeg_mod._Huff(counts, symbols)
+    # a DC-style table: symbols are SSSS <= 15
+    dc_tab = _jpeg_mod._Huff([0, 2, 2, 2, 2, 2, 2, 2, 2, 0, 0, 0, 0, 0, 0, 0],
+                             list(range(16)))
+
+    bw, bh = 6, 5
+    grid = _Guarded(bh * bw * 64 * 4)
+    coef = grid.view.view(np.int32).reshape(bh, bw, 64)
+    predz = _Guarded(4)
+    payload = rng.integers(0, 256, 160, dtype=np.uint8).tobytes()
+
+    checked = 0
+    for tag, blob in _corpus(rng, payload):
+        data = blob.replace(b"\xff\x00", b"\xff")
+        for refine in (0, 1):
+            coef[:] = rng.integers(-4, 5, coef.shape, dtype=np.int32)
+            rc = _png_lib.jpeg_decode_prog_ac(
+                data, i64(len(data)),
+                tab.lut_sym.ctypes.data_as(u8p),
+                tab.lut_len.ctypes.data_as(u8p),
+                refine, 1, 63, 2,
+                coef.ctypes.data_as(i32p), i64(bw * 64),
+                i64(bw), i64(0), i64(bh * bw),
+            )
+            assert rc in (0, -1, -2, -3, -4), (tag, refine, rc)
+            grid.assert_intact(f"prog_ac {tag} refine={refine}")
+
+            coef[:] = 0
+            predz.view[:] = 0
+            stride = np.asarray([bw * 64], np.int64)
+            ch = np.ones(1, np.int32)
+            base = (i32p * 1)(coef.ctypes.data_as(i32p))
+            plan0 = np.zeros(1, np.int32)
+            rc = _png_lib.jpeg_decode_prog_dc(
+                data, i64(len(data)),
+                dc_tab.lut_sym.ctypes.data_as(u8p),
+                dc_tab.lut_len.ctypes.data_as(u8p),
+                refine, 2, 1,
+                base, stride.ctypes.data_as(i64p),
+                ch.ctypes.data_as(i32p), ch.ctypes.data_as(i32p),
+                1, plan0.ctypes.data_as(i32p),
+                plan0.ctypes.data_as(i32p), plan0.ctypes.data_as(i32p),
+                i64(bw), i64(0), i64(bh * bw),
+                predz.ptr(ctypes.c_int32),
+            )
+            assert rc in (0, -1, -2), (tag, refine, rc)
+            grid.assert_intact(f"prog_dc {tag} refine={refine}")
+            predz.assert_intact(f"prog_dc pred {tag}")
+        checked += 1
+    assert checked > 1000
