@@ -163,6 +163,42 @@ def main(backend="matmul"):
          "device_ms": device_ms(bfn, ba, iters=3)}
     )
 
+    # config 3b (VERDICT r4 #8): flagship-size batch — 8 frames of
+    # 2048^2x3 through the same serving graph, amortizing launch/ingest
+    # over the batch the way the reference's per-driver channel loop
+    # does (/root/reference/serial.cpp:34-39). device_ms is the honest
+    # per-batch busy figure to compare against 8x the single-frame
+    # headline (bench.py device_ms_per_frame).
+    stack8 = (rng.random((8, 2048, 2048, 3)) * 255).astype(np.uint8)
+    b8fn = jax.jit(
+        functools.partial(
+            _batched_images_core,
+            psf_length=50,
+            fft_backend=backend,
+            filter_name="wiener",
+            white_balance=True,
+        )
+    )
+    xs8 = jax.device_put(jnp.asarray(stack8))
+    ba8 = (xs8, jnp.float32(30.0), jnp.float32(0.01))
+    try:
+        ms = bench_call(b8fn, ba8, iters=3)
+        dms = device_ms(b8fn, ba8, iters=3)
+        mp = 8 * 2048 * 2048 * 3 / 1e6
+        results.append(
+            {"metric": "batch8_2048sq_shared_psf",
+             "value": round(ms, 2) if ms else None, "unit": "ms/batch",
+             "mp_per_s": round(mp / ms * 1e3, 1) if ms else None,
+             "device_ms": dms,
+             "device_mp_per_s": round(mp / dms * 1e3, 1) if dms else None}
+        )
+    except Exception as e:  # HBM pressure must not void the other rows
+        results.append(
+            {"metric": "batch8_2048sq_shared_psf", "value": None,
+             "error": str(e)[:200]}
+        )
+    del xs8, ba8, b8fn
+
     # config 4: 4K non-square (pads to 4096x4096)
     uhd = (rng.random((2160, 3840, 3)) * 255).astype(np.uint8)
     run_single("uhd_3840x2160_psf50_30", uhd, 50, 30.0)
