@@ -364,7 +364,128 @@ def main():
         assert np.array_equal(m, m.T), f"qm {w}x{h} slice not symmetric"
     tables["qm"] = qm.copy()
 
+    find_recon_tables(tables)
     emit(tables)
+
+
+def find_recon_tables(tables):
+    """Reconstruction-side constants (spec 7.11.2): Filter_Intra_Taps,
+    Sm_Weights, Dr_Intra_Derivative.  Same content-addressed discipline:
+    each table is located by a structural invariant the spec pins, never
+    by file offset."""
+    # Filter_Intra_Taps[5][8][7] int8: 40 consecutive 7-tap rows, every
+    # one summing to 16 (each 4x2-patch output is a gain-16 weighted
+    # average of the 7 reference pixels), taps bounded and mixed-sign.
+    print("== filter intra taps")
+    hit = None
+    for src, blob in SOURCES:
+        a = np.frombuffer(blob, np.int8).astype(np.int32)
+        if len(a) < 320:
+            continue
+        s8 = np.convolve(a, np.ones(8, np.int32), "valid")
+        for off in np.where(s8 == 16)[0]:
+            if off + 320 > len(a):
+                continue
+            rows = a[off : off + 320].reshape(40, 8)
+            # stored [5][8][8] with a zero pad column; the 7 taps of each
+            # 4x2-patch output sum to 16 (gain-16 weighted average)
+            if (
+                np.all(rows.sum(1) == 16)
+                and np.all(rows[:, 0] == 0)
+                and np.all(np.abs(rows) <= 16)
+                and (rows < 0).sum() >= 20
+            ):
+                hit = (src, int(off), rows[:, 1:].astype(np.int8).reshape(5, 8, 7))
+                break
+        if hit:
+            break
+    if hit is None:
+        sys.exit("FAILED to locate filter intra taps")
+    src, off, taps = hit
+    tables["filter_intra_taps"] = taps.copy()
+    print(f"  filter_intra_taps: {Path(src).name} @ {off}")
+
+    # Sm_Weights: five strictly-decreasing u8 runs (lengths 4/8/16/32/64)
+    # stored back to back, each starting at 255; anchored on the len-4
+    # run {255, 149, 85, 64} followed immediately by the len-8 run's 255.
+    print("== smooth weights")
+    anchor = bytes([255, 149, 85, 64, 255])
+    found = None
+    for src, blob in SOURCES:
+        i = -1
+        while True:
+            i = blob.find(anchor, i + 1)
+            if i < 0:
+                break
+            seq = np.frombuffer(blob[i : i + 124], np.uint8)
+            if len(seq) < 124:
+                continue
+            ok, pos = True, 0
+            for n in (4, 8, 16, 32, 64):
+                run = seq[pos : pos + n].astype(np.int32)
+                # non-increasing (the 32/64 runs end in repeated values),
+                # from 255 down to a small positive tail
+                if (
+                    run[0] != 255
+                    or np.any(np.diff(run) > 0)
+                    or run[-1] < 1
+                    or run[-1] > 64
+                ):
+                    ok = False
+                    break
+                pos += n
+            if ok:
+                found = (src, i, seq.copy())
+                break
+        if found:
+            break
+    if found is None:
+        sys.exit("FAILED to locate smooth weights")
+    src, off, sm = found
+    tables["sm_weights"] = sm
+    print(f"  sm_weights: {Path(src).name} @ {off}")
+
+    # Dr_Intra_Derivative[90] u16: nonzero exactly at the angles the
+    # directional predictors can look up (spec 7.11.2.7 slot layout:
+    # pAngle, pAngle-90 and 180-pAngle for every coded angle), strictly
+    # decreasing from 1023 at 3 degrees down to 3 at 87.
+    print("== dr intra derivative")
+    dr_slots = (
+        [3, 6, 9, 14, 17, 20, 23, 26, 29, 32]
+        + [36, 39, 42, 45, 48, 51, 54, 58, 61, 64]
+        + [67, 70, 73, 76, 81, 84, 87]
+    )
+    pat = struct.pack("<6H", 1023, 0, 0, 547, 0, 0)
+    found = None
+    for src, blob in SOURCES:
+        i = -1
+        while True:
+            i = blob.find(pat, i + 1)
+            if i < 0:
+                break
+            if i % 2:
+                continue
+            off = i - 6  # table starts three zero slots earlier
+            arr = np.frombuffer(blob[off : off + 180], "<u2")
+            if len(arr) < 90:
+                continue
+            nz = arr[:90][dr_slots]
+            zeros = np.delete(arr[:90], dr_slots)
+            if (
+                np.all(zeros == 0)
+                and nz[0] == 1023
+                and nz[-1] == 3
+                and np.all(np.diff(nz.astype(np.int32)) < 0)
+            ):
+                found = (src, off, arr[:90].astype(np.uint16).copy())
+                break
+        if found:
+            break
+    if found is None:
+        sys.exit("FAILED to locate dr intra derivative")
+    src, off, dr = found
+    tables["dr_intra_derivative"] = dr
+    print(f"  dr_intra_derivative: {Path(src).name} @ {off}")
 
 
 def emit(tables):
@@ -398,6 +519,10 @@ def emit(tables):
         "    return np.frombuffer(_ba.unhexlify(hexstr), np.uint8).reshape(shape).copy()",
         "",
         "",
+        "def _i8(hexstr, shape):",
+        "    return np.frombuffer(_ba.unhexlify(hexstr), np.int8).reshape(shape).copy()",
+        "",
+        "",
         "# Quantizer_Matrix tx-size slices: enum-order offsets into axis 2.",
         "QM_OFFSET = {",
         "    (4, 4): 0, (8, 8): 16, (16, 16): 80, (32, 32): 336,",
@@ -412,6 +537,8 @@ def emit(tables):
             fn, blob = "_u16", arr.astype("<u2").tobytes()
         elif arr.dtype == np.int16:
             fn, blob = "_i16", arr.astype("<i2").tobytes()
+        elif arr.dtype == np.int8:
+            fn, blob = "_i8", arr.tobytes()
         else:
             fn, blob = "_u8", arr.tobytes()
         hx = blob.hex()
