@@ -257,6 +257,13 @@ def main():
         "delta_q", icdf([28160, 32120, 32677]) + [0],
         nsyms=[4], width=5, strides=[5],
     )
+    # default_tx_size_cdf[MAX_TX_CATS=4][TX_SIZE_CONTEXTS=3][CDF_SIZE(3)]:
+    # cat 0 rows carry 2 symbols (depth 0/1), cats 1-3 carry 3.
+    tables["tx_size"] = find_cdf(
+        "tx_size",
+        anchor_rows([[19968], [19968], [24320]], 4),
+        nsyms=[2] * 3 + [3] * 9, width=4, strides=[4],
+    ).reshape(4, 3, 4)
 
     print("== intra tx-type CDFs (structural)")
     tables["intra_tx_type1"], tables["intra_tx_type2"] = find_intra_tx()
