@@ -372,7 +372,125 @@ def main():
     tables["qm"] = qm.copy()
 
     find_recon_tables(tables)
+    find_scan_tables(tables)
     emit(tables)
+
+
+def find_scan_tables(tables):
+    """Default (diagonal) scan orders, spec section 9.23, one per coded
+    tx shape (64-wide/tall transforms reuse the 32 tables).  Located
+    structurally: an int16 window is a Default_Scan_WxH candidate iff it
+    is a permutation of 0..w*h-1 whose positions (pos // w, pos % w)
+    walk anti-diagonals in nondecreasing order, each diagonal traversed
+    monotonically.  That property is orientation-discriminating for
+    every rect shape (reading the bytes at the transposed stride fails
+    the diagonal walk), and both system decoders carry byte-identical
+    rect tables.  Squares exist in both traversal parities in rodata;
+    the spec family is the right-first one (scan[1] == 1 — pinned by the
+    spec's own Default_Scan_4x4 = {0, 1, 4, 8, ...})."""
+    print("== scan orders (structural)")
+    shapes = [(4, 4), (8, 8), (16, 16), (32, 32), (4, 8), (8, 4), (8, 16),
+              (16, 8), (16, 32), (32, 16), (4, 16), (16, 4), (8, 32), (32, 8)]
+
+    def diagonal_scans(blob):
+        found: dict[tuple[int, int], set[tuple[int, ...]]] = {}
+        for align in (0, 1):
+            a = np.frombuffer(
+                blob[align : align + (len(blob) - align) // 2 * 2], "<i2"
+            )
+            zero_idx = np.flatnonzero(a == 0)
+            for (w, h) in shapes:
+                n = w * h
+                for i in zero_idx:
+                    if i + n > len(a) or a[i + 1] not in (1, w):
+                        continue
+                    v = a[i : i + n].astype(np.int64)
+                    if v.min() != 0 or v.max() != n - 1:
+                        continue
+                    if len(np.unique(v)) != n:
+                        continue
+                    r, c = v // w, v % w
+                    d = r + c
+                    dd = np.diff(d)
+                    if np.any(dd < 0) or np.any(dd > 1):
+                        continue
+                    ok, start = True, 0
+                    for k in range(1, n + 1):
+                        if k == n or d[k] != d[start]:
+                            rr = r[start:k]
+                            if len(rr) > 1 and not (
+                                np.all(np.diff(rr) == 1)
+                                or np.all(np.diff(rr) == -1)
+                            ):
+                                ok = False
+                                break
+                            start = k
+                    if ok:
+                        found.setdefault((w, h), set()).add(tuple(int(x) for x in v))
+        return found
+
+    per_src = [(src, diagonal_scans(blob)) for src, blob in SOURCES]
+    for (w, h) in shapes:
+        cands = None
+        for src, f in per_src:
+            got = set()
+            for v in f.get((w, h), set()):
+                if w != h or v[1] == 1:
+                    got.add(v)
+                else:  # square stored down-first (dav1d parity): transpose
+                    a = np.array(v, np.int64)
+                    t = (a % w) * w + a // w
+                    got.add(tuple(int(x) for x in t))
+            cands = got if cands is None else (cands & got)
+        if not cands:
+            sys.exit(f"FAILED to locate default scan {w}x{h}")
+        if len(cands) > 1:
+            sys.exit(f"ambiguous default scan {w}x{h}: {len(cands)} candidates")
+        tables[f"scan_{w}x{h}"] = np.array(sorted(cands)[0], np.uint16)
+        print(f"  scan_{w}x{h}: agreed across {len(per_src)} source(s)")
+
+    # Coeff_Base_Ctx_Offset (spec: the 2D-class base-level context
+    # offsets, one 5x5 grid per aspect class square/wide/tall) and the
+    # Skip_Contexts grid (get_txb_skip_ctx) — stored adjacently in the
+    # decoders' rodata; anchored on the square grid's exact bytes and
+    # validated by each grid's structural monotonicity.
+    print("== coeff-base ctx offsets")
+    sq = bytes([0, 1, 6, 6, 21, 1, 6, 6, 21, 21, 6, 6, 21, 21, 21,
+                6, 21, 21, 21, 21, 21, 21, 21, 21, 21])
+    hit = None
+    for src, blob in SOURCES:
+        i = blob.find(sq)
+        if i < 0 or i + 75 > len(blob):
+            continue
+        trio = np.frombuffer(blob[i : i + 75], np.uint8)
+        wide, tall = trio[25:50], trio[50:75]
+        if (
+            wide[0] == 0 and tall[0] == 0
+            and set(wide.tolist()) <= {0, 6, 16, 21}
+            and set(tall.tolist()) <= {0, 6, 11, 21}
+        ):
+            hit = (src, i, trio.reshape(3, 5, 5).copy())
+            break
+    if hit is None:
+        sys.exit("FAILED to locate coeff-base ctx offsets")
+    src, off, trio = hit
+    tables["lo_ctx_offsets"] = trio
+    print(f"  lo_ctx_offsets: {Path(src).name} @ {off}")
+
+    # Skip_Contexts[5][5] (spec get_txb_skip_ctx): its own anchor — the
+    # exact 25 bytes are unique and identical across the decoders.
+    skip_pat = bytes([1, 2, 2, 2, 3, 2, 4, 4, 4, 5, 2, 4, 4, 4, 5,
+                      2, 4, 4, 4, 5, 3, 5, 5, 5, 6])
+    for src, blob in SOURCES:
+        i = blob.find(skip_pat)
+        if i >= 0:
+            tables["skip_contexts"] = np.frombuffer(
+                blob[i : i + 25], np.uint8
+            ).reshape(5, 5).copy()
+            print(f"  skip_contexts: {Path(src).name} @ {i}")
+            break
+    else:
+        sys.exit("FAILED to locate skip contexts")
 
 
 def find_recon_tables(tables):
