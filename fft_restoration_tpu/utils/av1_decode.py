@@ -270,15 +270,18 @@ class TileDecoder:
             lo = cdf_row[i - 1] if i > 0 else 32768
             return lo - cdf_row[i]
         # aom partition_gather_*_alike: the 2-symbol ICDF is the summed
-        # probability of the gathered set (AOM_ICDF re-inverts the 32768-sum)
-        if horz_alike:  # bottom edge: HORZ vs SPLIT
+        # probability of the gathered set (AOM_ICDF re-inverts the 32768-sum).
+        # Bottom edge asks "is the visible TOP half split vertically?", so
+        # it gathers the VERT-alike set, and vice versa (pinned vs dav1d:
+        # the mirrored sets mis-parse every partial-superblock stream).
+        if horz_alike:  # bottom edge: HORZ vs SPLIT -> vert-alike set
+            kinds = [P_VERT, P_SPLIT, P_HORZ_A, P_VERT_A, P_VERT_B]
+            if bsize != B128X128:
+                kinds.append(P_VERT_4)
+        else:  # right edge: VERT vs SPLIT -> horz-alike set
             kinds = [P_HORZ, P_SPLIT, P_HORZ_A, P_HORZ_B, P_VERT_A]
             if bsize != B128X128:
                 kinds.append(P_HORZ_4)
-        else:  # right edge: VERT vs SPLIT
-            kinds = [P_VERT, P_SPLIT, P_VERT_A, P_VERT_B, P_HORZ_A]
-            if bsize != B128X128:
-                kinds.append(P_VERT_4)
         f = sum(prob(i) for i in kinds)
         return self.m.bool_prob(f) == 1
 
