@@ -211,6 +211,11 @@ class TileDecoder:
         self.skip_g = g(1)
         self.tx_w4 = g(16)  # luma tx dims per 4x4, for deblocking
         self.tx_h4 = g(16)
+        self.blk_left = g(0, np.uint8)  # mi is its block's left column
+        self.blk_top = g(0, np.uint8)  # mi is its block's top row
+        # tx-block edge flags for the loop filter, per plane geometry
+        self.txe_l = [None, None]  # [luma(mi), chroma(chroma-4units)]
+        self.txe_t = [None, None]
         # entropy neighbour state, per plane in plane-4x4 units
         self.abv_lvl = [np.zeros(c4 * 4 >> (self.ss_x if p else 0) >> 2, np.int32) for p in range(3)]
         self.lft_lvl = [np.zeros(r4 * 4 >> (self.ss_y if p else 0) >> 2, np.int32) for p in range(3)]
@@ -220,6 +225,10 @@ class TileDecoder:
         self.cdef_idx = np.full((r4 // 16, c4 // 16), -1, np.int32)
         cw4 = c4 * 4 >> self.ss_x >> 2
         ch4 = r4 * 4 >> self.ss_y >> 2
+        self.txe_l = [np.zeros((r4, c4), np.uint8),
+                      np.zeros((ch4, cw4), np.uint8)]
+        self.txe_t = [np.zeros((r4, c4), np.uint8),
+                      np.zeros((ch4, cw4), np.uint8)]
         self.tx_uv_w4 = np.full((ch4, cw4), 8, np.int32)
         self.tx_uv_h4 = np.full((ch4, cw4), 8, np.int32)
         self._scan_cache = {}
@@ -457,6 +466,8 @@ class TileDecoder:
         # bookkeeping grids over the block extent
         r1, c1 = min(r + bh4, self.pad_r4), min(c + bw4, self.pad_c4)
         self.mi_size[r:r1, c:c1] = bsize
+        self.blk_left[r:r1, c] = 1
+        self.blk_top[r, c:c1] = 1
         self.y_mode[r:r1, c:c1] = ymode
         self.uv_mode_g[r:r1, c:c1] = self.b_uvmode
         self.skip_g[r:r1, c:c1] = skip
@@ -544,6 +555,10 @@ class TileDecoder:
         if x >= (self.mi_cols * 4) >> sx or y >= (self.mi_rows * 4) >> sy:
             return  # spec 5.11.35: tx blocks past the frame mi area are not coded
         w, h = TX_W[ptx], TX_H[ptx]
+        if plane < 2:  # loop-filter tx edges (chroma planes share geometry)
+            g = 0 if plane == 0 else 1
+            self.txe_l[g][y >> 2:(y + h) >> 2, x >> 2] = 1
+            self.txe_t[g][y >> 2, x >> 2:(x + w) >> 2] = 1
         arr = self.planes[plane]
         pred = self._predict(plane, x, y, w, h, ptx)
         arr[y:y + h, x:x + w] = pred
@@ -1135,7 +1150,7 @@ def decode_frame(
         raise ValueError("AV1 multi-tile still pictures are out of scope")
     td = TileDecoder(seq, hdr, tile_data)
     planes = td.decode()
-    if apply_deblock and any(hdr.loop_filter_level[:2]):
+    if apply_deblock and any(hdr.loop_filter_level):
         _deblock(td)
     if apply_cdef and seq.enable_cdef and not hdr.coded_lossless:
         if any(td.hdr.cdef_y_pri) or any(td.hdr.cdef_y_sec) or any(
@@ -1152,9 +1167,348 @@ def decode_frame(
     return out
 
 
-def _deblock(td):  # placeholder until the loop-filter lands
-    raise NotImplementedError
+# ------------------------------------------------------------ deblocking
+#
+# Spec 7.14, intra/still profile: no segmentation, no delta-lf, every
+# block references INTRA_FRAME, so the filter level is uniform per
+# (plane, direction).  Each pass is vectorised one edge-column at a
+# time over every pixel row crossing it (the horizontal pass runs the
+# same code on transposed views).  Pinned plane-exact vs dav1d
+# INLOOP_DEBLOCK in tests/test_av1.py.
+
+
+def _lf_level(base, ref_delta):
+    if base == 0:
+        return 0
+    return _clip3(0, 63, base + ref_delta * (1 << (base >> 5)))
+
+
+def _deblock(td):
+    hdr = td.hdr
+    ref_d = (
+        hdr.loop_filter_ref_deltas[0]
+        if hdr.loop_filter_delta_enabled
+        else 0
+    )
+    sharp = hdr.loop_filter_sharpness
+    for plane in range(td.nplanes):
+        for horz in (0, 1):
+            base = hdr.loop_filter_level[horz if plane == 0 else 1 + plane]
+            lvl = _lf_level(base, ref_d)
+            if lvl:
+                _deblock_pass(td, plane, horz, lvl, sharp)
+
+
+def _deblock_pass(td, plane, horz, lvl, sharp):
+    sx = td.ss_x if plane else 0
+    sy = td.ss_y if plane else 0
+    arr = td.planes[plane]
+    if plane == 0:
+        txw, txh = td.tx_w4, td.tx_h4
+    else:
+        txw, txh = td.tx_uv_w4, td.tx_uv_h4
+    skip = td.skip_g
+    blk_e = td.blk_left if not horz else td.blk_top
+    txe = td.txe_l[min(plane, 1)] if not horz else td.txe_t[min(plane, 1)]
+    # dav1d/aom bound the filtered area by the CROPPED plane rounded up
+    # to 4 (f->h4/w4), not the mi grid: an overhang H-edge would write
+    # visible rows, and the unfiltered overhang feeds CDEF's direction
+    # search, so this is observable in the visible output.
+    crop_w = (td.hdr.width + (1 << sx) - 1) >> sx
+    crop_h = (td.hdr.height + (1 << sy) - 1) >> sy
+    vis_w = ((crop_w + 3) >> 2) << 2
+    vis_h = ((crop_h + 3) >> 2) << 2
+    if horz:
+        arr = arr.T
+        txw, txh = txh.T, txw.T
+        skip = skip.T
+        blk_e = blk_e.T
+        txe = txe.T
+        vis_w, vis_h = vis_h, vis_w
+        sx, sy = sy, sx
+
+    # limits (spec 7.14.5)
+    shift = 2 if sharp > 4 else (1 if sharp > 0 else 0)
+    limit = _clip3(1, 9 - sharp, lvl >> shift) if sharp > 0 else max(1, lvl)
+    blimit = 2 * (lvl + 2) + limit
+    thresh = lvl >> 4
+
+    n_units = -(-vis_h // 4)
+    urow = np.arange(vis_h) >> 2
+    u = np.arange(n_units)
+    mi_r = u << sy
+    cap = 4 if plane == 0 else 2  # luma 16px / chroma 8px in 4px units
+    for x in range(4, vis_w, 4):
+        uc = x >> 2
+        mi_c = uc << sx
+        cw, pw = txw[u, uc], txw[u, uc - 1]
+        is_be = blk_e[mi_r, mi_c].astype(bool)
+        s_cur = skip[mi_r, mi_c].astype(bool)
+        s_prv = skip[mi_r, mi_c - (1 << sx)].astype(bool)
+        on_u = txe[u, uc].astype(bool) & (is_be | ~(s_cur & s_prv))
+        if not on_u.any():
+            continue
+        wd_u = np.minimum(np.minimum(cw, pw), cap) * 4
+        if plane:
+            wd_u = np.where(wd_u == 8, 6, wd_u)
+        on = on_u[urow]
+        wd = wd_u[urow]
+        idx = np.clip(x + np.arange(-7, 7), 0, arr.shape[1] - 1)
+        win = arr[:vis_h, idx].astype(np.int32)  # p6..p0 q0..q6
+        p = {i: win[:, 6 - i] for i in range(7)}
+        q = {i: win[:, 7 + i] for i in range(7)}
+        for off, vals, mask in _lf_filter(p, q, wd, on, limit, blimit, thresh):
+            np.copyto(arr[:vis_h, x + off], vals, where=mask)
+
+
+def _lf_filter(p, q, wd, on, limit, blimit, thresh):
+    """Vectorised spec 7.14.6 along one edge: p/q map tap index to the
+    pixel columns, wd is the per-row filter width (4, 6 chroma-wide,
+    8, 16), on the per-row edge-enable.  Returns [(offset, values,
+    mask)] updates with offsets relative to the edge (-1 = p0, 0 = q0).
+    """
+    ab = lambda a, b: np.abs(a - b)  # noqa: E731
+    fm = (
+        (ab(p[1], p[0]) <= limit)
+        & (ab(q[1], q[0]) <= limit)
+        & (ab(p[0], q[0]) * 2 + (ab(p[1], q[1]) >> 1) <= blimit)
+    )
+    fm6 = fm & (ab(p[2], p[1]) <= limit) & (ab(q[2], q[1]) <= limit)
+    fm8 = fm6 & (ab(p[3], p[2]) <= limit) & (ab(q[3], q[2]) <= limit)
+    fmw = np.select([wd == 4, wd == 6], [fm, fm6], fm8) & on
+    flat_in = (
+        (ab(p[2], p[0]) <= 1)
+        & (ab(p[1], p[0]) <= 1)
+        & (ab(q[1], q[0]) <= 1)
+        & (ab(q[2], q[0]) <= 1)
+    )
+    flat8 = flat_in & (ab(p[3], p[0]) <= 1) & (ab(q[3], q[0]) <= 1)
+    flat_out = (
+        (ab(p[6], p[0]) <= 1)
+        & (ab(p[5], p[0]) <= 1)
+        & (ab(p[4], p[0]) <= 1)
+        & (ab(q[4], q[0]) <= 1)
+        & (ab(q[5], q[0]) <= 1)
+        & (ab(q[6], q[0]) <= 1)
+    )
+    m14 = fmw & (wd == 16) & flat8 & flat_out
+    m8 = fmw & (((wd == 16) & flat8 & ~flat_out) | ((wd == 8) & flat8))
+    m6 = fmw & (wd == 6) & flat_in
+    m4 = fmw & ~m14 & ~m8 & ~m6
+    out = []
+    r3 = lambda s: (s + 4) >> 3  # noqa: E731
+    r4_ = lambda s: (s + 8) >> 4  # noqa: E731
+    P, Q = p, q
+    if m14.any():
+        out += [
+            (-6, r4_(P[6] * 7 + P[5] * 2 + P[4] * 2 + P[3] + P[2] + P[1] + P[0] + Q[0]), m14),
+            (-5, r4_(P[6] * 5 + P[5] * 2 + P[4] * 2 + P[3] * 2 + P[2] + P[1] + P[0] + Q[0] + Q[1]), m14),
+            (-4, r4_(P[6] * 4 + P[5] + P[4] * 2 + P[3] * 2 + P[2] * 2 + P[1] + P[0] + Q[0] + Q[1] + Q[2]), m14),
+            (-3, r4_(P[6] * 3 + P[5] + P[4] + P[3] * 2 + P[2] * 2 + P[1] * 2 + P[0] + Q[0] + Q[1] + Q[2] + Q[3]), m14),
+            (-2, r4_(P[6] * 2 + P[5] + P[4] + P[3] + P[2] * 2 + P[1] * 2 + P[0] * 2 + Q[0] + Q[1] + Q[2] + Q[3] + Q[4]), m14),
+            (-1, r4_(P[6] + P[5] + P[4] + P[3] + P[2] + P[1] * 2 + P[0] * 2 + Q[0] * 2 + Q[1] + Q[2] + Q[3] + Q[4] + Q[5]), m14),
+            (0, r4_(P[5] + P[4] + P[3] + P[2] + P[1] + P[0] * 2 + Q[0] * 2 + Q[1] * 2 + Q[2] + Q[3] + Q[4] + Q[5] + Q[6]), m14),
+            (1, r4_(P[4] + P[3] + P[2] + P[1] + P[0] + Q[0] * 2 + Q[1] * 2 + Q[2] * 2 + Q[3] + Q[4] + Q[5] + Q[6] * 2), m14),
+            (2, r4_(P[3] + P[2] + P[1] + P[0] + Q[0] + Q[1] * 2 + Q[2] * 2 + Q[3] * 2 + Q[4] + Q[5] + Q[6] * 3), m14),
+            (3, r4_(P[2] + P[1] + P[0] + Q[0] + Q[1] + Q[2] * 2 + Q[3] * 2 + Q[4] * 2 + Q[5] + Q[6] * 4), m14),
+            (4, r4_(P[1] + P[0] + Q[0] + Q[1] + Q[2] + Q[3] * 2 + Q[4] * 2 + Q[5] * 2 + Q[6] * 5), m14),
+            (5, r4_(P[0] + Q[0] + Q[1] + Q[2] + Q[3] + Q[4] * 2 + Q[5] * 2 + Q[6] * 7), m14),
+        ]
+    if m8.any():
+        out += [
+            (-3, r3(P[3] + P[3] + P[3] + 2 * P[2] + P[1] + P[0] + Q[0]), m8),
+            (-2, r3(P[3] + P[3] + P[2] + 2 * P[1] + P[0] + Q[0] + Q[1]), m8),
+            (-1, r3(P[3] + P[2] + P[1] + 2 * P[0] + Q[0] + Q[1] + Q[2]), m8),
+            (0, r3(P[2] + P[1] + P[0] + 2 * Q[0] + Q[1] + Q[2] + Q[3]), m8),
+            (1, r3(P[1] + P[0] + Q[0] + 2 * Q[1] + Q[2] + Q[3] + Q[3]), m8),
+            (2, r3(P[0] + Q[0] + Q[1] + 2 * Q[2] + Q[3] + Q[3] + Q[3]), m8),
+        ]
+    if m6.any():
+        out += [
+            (-2, r3(P[2] * 3 + P[1] * 2 + P[0] * 2 + Q[0]), m6),
+            (-1, r3(P[2] + P[1] * 2 + P[0] * 2 + Q[0] * 2 + Q[1]), m6),
+            (0, r3(P[1] + P[0] * 2 + Q[0] * 2 + Q[1] * 2 + Q[2]), m6),
+            (1, r3(P[0] + Q[0] * 2 + Q[1] * 2 + Q[2] * 3), m6),
+        ]
+    if m4.any():
+        hev = (np.abs(p[1] - p[0]) > thresh) | (np.abs(q[1] - q[0]) > thresh)
+        c8 = lambda v: np.clip(v, -128, 127)  # noqa: E731
+        ps1, ps0 = p[1] - 128, p[0] - 128
+        qs0, qs1 = q[0] - 128, q[1] - 128
+        f = np.where(hev, c8(ps1 - qs1), 0)
+        f = c8(f + 3 * (qs0 - ps0))
+        f1 = c8(f + 4) >> 3
+        f2 = c8(f + 3) >> 3
+        out.append((-1, np.clip(c8(ps0 + f2) + 128, 0, 255), m4))
+        out.append((0, np.clip(c8(qs0 - f1) + 128, 0, 255), m4))
+        f3 = (f1 + 1) >> 1
+        m4n = m4 & ~hev
+        out.append((-2, np.clip(c8(ps1 + f3) + 128, 0, 255), m4n))
+        out.append((1, np.clip(c8(qs1 - f3) + 128, 0, 255), m4n))
+    return out
+
+
+# ----------------------------------------------------------------- CDEF
+#
+# Spec 7.15: per 8x8 luma block, direction search on the deblocked
+# frame, then the constrained directional filter with primary taps
+# along the detected direction and secondary taps at +-2 directions.
+# Reads come from a VERY_LARGE-padded copy so filtering never cascades.
+
+_CDEF_DIV = [0, 840, 420, 280, 210, 168, 140, 120, 105]
+# direction offsets (dy, dx) for the two primary taps of each of the 8
+# directions (spec 7.15.3 Cdef_Directions)
+_CDEF_DIRS = [
+    [(-1, 1), (-2, 2)], [(0, 1), (-1, 2)], [(0, 1), (0, 2)],
+    [(0, 1), (1, 2)], [(1, 1), (2, 2)], [(1, 0), (2, 1)],
+    [(1, 0), (2, 0)], [(1, 0), (2, -1)],
+]
+_CDEF_UV_DIR_420 = [7, 0, 2, 4, 5, 6, 6, 6]
+_CDEF_LARGE = 30000
+
+
+def _cdef_dir(block):
+    """Spec 7.15.2: direction + variance of one 8x8 luma block."""
+    x = block.astype(np.int64) - 128
+    i, j = np.mgrid[0:8, 0:8]
+    partial = [np.zeros(15, np.int64) for _ in range(8)]
+    np.add.at(partial[0], (i + j).ravel(), x.ravel())
+    np.add.at(partial[1], (i + (j >> 1)).ravel(), x.ravel())
+    np.add.at(partial[2], i.ravel(), x.ravel())
+    np.add.at(partial[3], (3 + i - (j >> 1)).ravel(), x.ravel())
+    np.add.at(partial[4], (7 + i - j).ravel(), x.ravel())
+    np.add.at(partial[5], (3 - (i >> 1) + j).ravel(), x.ravel())
+    np.add.at(partial[6], j.ravel(), x.ravel())
+    np.add.at(partial[7], ((i >> 1) + j).ravel(), x.ravel())
+    cost = [0] * 8
+    for d in (2, 6):
+        cost[d] = 105 * int((partial[d][:8] ** 2).sum())
+    for d in (0, 4):
+        pd = partial[d]
+        s = 0
+        for k in range(7):
+            s += (int(pd[k]) ** 2 + int(pd[14 - k]) ** 2) * _CDEF_DIV[k + 1]
+        s += int(pd[7]) ** 2 * _CDEF_DIV[8]
+        cost[d] = s
+    for d in (1, 3, 5, 7):
+        pd = partial[d]
+        s = 105 * int((pd[3:8] ** 2).sum())
+        for k in range(3):
+            s += (int(pd[k]) ** 2 + int(pd[10 - k]) ** 2) * _CDEF_DIV[2 * k + 2]
+        cost[d] = s
+    best = int(np.argmax(cost))
+    var = (cost[best] - cost[(best + 4) & 7]) >> 10
+    return best, var
+
+
+def _constrain(diff, strength, damping):
+    if not strength:
+        return np.zeros_like(diff)
+    shift = max(0, damping - (strength.bit_length() - 1))
+    ad = np.abs(diff)
+    return np.sign(diff) * np.minimum(
+        ad, np.maximum(0, strength - (ad >> shift))
+    )
+
+
+def _cdef_block(src, y0, x0, h, w, dir_, pri, sec, damping):
+    """Filter one block against the padded source; returns the output."""
+    x = src[y0:y0 + h, x0:x0 + w].astype(np.int32)
+    sum_ = np.zeros_like(x)
+    mx = x.copy()
+    mn = x.copy()
+    pri_taps = (3, 3) if pri & 1 else (4, 2)
+    sec_taps = (2, 1)
+
+    def tap(dy, dx):
+        return src[y0 + dy:y0 + dy + h, x0 + dx:x0 + dx + w].astype(np.int32)
+
+    for k in range(2):
+        if pri:
+            dy, dx = _CDEF_DIRS[dir_][k]
+            for s in (1, -1):
+                pv = tap(s * dy, s * dx)
+                sum_ += pri_taps[k] * _constrain(pv - x, pri, damping)
+                mx = np.maximum(mx, np.where(pv == _CDEF_LARGE, mx, pv))
+                mn = np.minimum(mn, pv)
+        if sec:
+            for dd in ((dir_ + 2) & 7, (dir_ + 6) & 7):
+                dy, dx = _CDEF_DIRS[dd][k]
+                for s in (1, -1):
+                    pv = tap(s * dy, s * dx)
+                    sum_ += sec_taps[k] * _constrain(pv - x, sec, damping)
+                    mx = np.maximum(mx, np.where(pv == _CDEF_LARGE, mx, pv))
+                    mn = np.minimum(mn, pv)
+    y = x + ((8 + sum_ - (sum_ < 0)) >> 4)
+    return np.clip(y, mn, mx)
 
 
 def _cdef(td):
-    raise NotImplementedError
+    hdr = td.hdr
+    mi_r, mi_c = td.mi_rows, td.mi_cols
+    fh, fw = mi_r * 4, mi_c * 4
+    pad = 8
+    srcs = []
+    for p in range(td.nplanes):
+        sx = td.ss_x if p else 0
+        sy = td.ss_y if p else 0
+        ph = -(-fh // (1 << sy))
+        pw = -(-fw // (1 << sx))
+        s = np.full((ph + 2 * pad, pw + 2 * pad), _CDEF_LARGE, np.int32)
+        s[pad:pad + ph, pad:pad + pw] = td.planes[p][:ph, :pw]
+        srcs.append(s)
+    damping = hdr.cdef_damping
+    for r in range(0, mi_r, 2):
+        for c in range(0, mi_c, 2):
+            r1 = min(r + 1, mi_r - 1)
+            c1 = min(c + 1, mi_c - 1)
+            if (
+                td.skip_g[r, c] and td.skip_g[r1, c] and td.skip_g[r, c1]
+                and td.skip_g[r1, c1]
+            ):
+                continue
+            idx = int(td.cdef_idx[r >> 4, c >> 4])
+            if idx < 0:
+                idx = 0
+            y_pri = hdr.cdef_y_pri[idx]
+            y_sec = hdr.cdef_y_sec[idx]
+            uv_pri = hdr.cdef_uv_pri[idx] if td.nplanes > 1 else 0
+            uv_sec = hdr.cdef_uv_sec[idx] if td.nplanes > 1 else 0
+            if not (y_pri or y_sec or uv_pri or uv_sec):
+                continue
+            y0, x0 = r * 4, c * 4
+            h = min(8, fh - y0)
+            w = min(8, fw - x0)
+            dir_, var = _cdef_dir(
+                np.where(
+                    srcs[0][pad + y0:pad + y0 + 8, pad + x0:pad + x0 + 8]
+                    == _CDEF_LARGE,
+                    0,
+                    srcs[0][pad + y0:pad + y0 + 8, pad + x0:pad + x0 + 8],
+                )
+            )
+            if y_pri or y_sec:
+                pri = y_pri
+                if pri:
+                    i = min((var >> 6).bit_length() - 1, 12) if (var >> 6) else 0
+                    pri = (pri * (4 + i) + 8) >> 4 if var else 0
+                out = _cdef_block(
+                    srcs[0], pad + y0, pad + x0, h, w, dir_, pri, y_sec,
+                    damping,
+                )
+                td.planes[0][y0:y0 + h, x0:x0 + w] = out
+            if (uv_pri or uv_sec) and td.nplanes > 1:
+                sx, sy = td.ss_x, td.ss_y
+                cy, cx_ = y0 >> sy, x0 >> sx
+                ch = min(8 >> sy, (-(-fh // (1 << sy))) - cy)
+                cw = min(8 >> sx, (-(-fw // (1 << sx))) - cx_)
+                if sx and sy:
+                    cdir = _CDEF_UV_DIR_420[dir_]
+                else:
+                    cdir = dir_
+                for p in (1, 2):
+                    out = _cdef_block(
+                        srcs[p], pad + cy, pad + cx_, ch, cw, cdir,
+                        uv_pri, uv_sec, damping - 1,
+                    )
+                    td.planes[p][cy:cy + ch, cx_:cx_ + cw] = out
