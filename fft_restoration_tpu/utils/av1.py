@@ -876,3 +876,114 @@ def probe_avif_size(data: bytes) -> tuple[int, int]:
     """(height, width) from the ispe box only."""
     item = parse_avif(data)
     return item.height, item.width
+
+
+# ------------------------------------------------------------ full decode
+
+
+def _decode_obu_stream(payload: bytes):
+    """OBU stream -> uint8 planes via av1_decode (lazy import: the
+    header layer stays importable without the reconstruction stack)."""
+    from .av1_decode import decode_frame
+
+    seq = hdr = tile = None
+    for t, p in split_obus(payload):
+        if t == 1:
+            seq = parse_sequence_header(p)
+        elif t == 3 and seq is not None:  # OBU_FRAME_HEADER
+            hdr = parse_frame_header(p, seq)
+        elif t == 4 and hdr is not None:  # OBU_TILE_GROUP
+            tile = p
+        elif t == 6 and seq is not None:  # OBU_FRAME
+            hdr = parse_frame_header(p, seq)
+            tile = p[(hdr.header_bitpos + 7) // 8:]
+    if seq is None or hdr is None or tile is None:
+        raise ValueError("corrupt AVIF: no decodable AV1 frame in item")
+    return decode_frame(seq, hdr, tile), seq, hdr
+
+
+def _upsample_bilinear(c, h, w):
+    """libyuv bilinear 2x chroma upsampling as libavif drives it: the
+    centered 9/3/3/1 kernel with edge replication, except the final
+    column of an odd output width, which libyuv special-cases to the
+    vertical-only 3:1 blend (pinned bit-exact vs cv2 on odd frames)."""
+    import numpy as np
+
+    ch, cw = c.shape
+    cp = np.pad(c.astype(np.uint16), 1, mode="edge")
+    out = np.empty((2 * ch, 2 * cw), np.uint16)
+    a = cp[1:-1, 1:-1]
+    out[0::2, 0::2] = (9 * a + 3 * cp[:-2, 1:-1] + 3 * cp[1:-1, :-2] + cp[:-2, :-2] + 8) >> 4
+    out[0::2, 1::2] = (9 * a + 3 * cp[:-2, 1:-1] + 3 * cp[1:-1, 2:] + cp[:-2, 2:] + 8) >> 4
+    out[1::2, 0::2] = (9 * a + 3 * cp[2:, 1:-1] + 3 * cp[1:-1, :-2] + cp[2:, :-2] + 8) >> 4
+    out[1::2, 1::2] = (9 * a + 3 * cp[2:, 1:-1] + 3 * cp[1:-1, 2:] + cp[2:, 2:] + 8) >> 4
+    if w & 1:
+        last = c[:, -1].astype(np.uint16)
+        rows = np.arange(h)
+        ci = rows >> 1
+        adj = np.where(rows & 1, np.minimum(ci + 1, ch - 1),
+                       np.maximum(ci - 1, 0))
+        out[:h, w - 1] = (3 * last[ci] + last[adj] + 2) >> 2
+    return out[:h, :w].astype(np.uint8)
+
+
+def decode_avif(data: bytes):
+    """AVIF bytes -> uint8 gray (H, W), RGB (H, W, 3) or RGBA (H, W, 4).
+
+    From-scratch ingest path for `cv::imread` parity (reference surface
+    /root/reference/serial.cpp:22): ISOBMFF walk, AV1 tile decode
+    (dav1d-plane-exact), then libavif's YUV->RGB: identity matrix maps
+    (G, B, R) = (Y, U, V); BT.601 full-range uses the float matrix with
+    round-half-away and bilinear chroma upsampling for 4:2:0."""
+    import numpy as np
+
+    item = parse_avif(data)
+    planes, seq, hdr = _decode_obu_stream(item.data)
+    h, w = item.height, item.width
+    if seq.monochrome or len(planes) == 1:
+        return planes[0][:h, :w]
+    y = planes[0][:h, :w]
+    if item.matrix == 0:  # identity (lossless 4:4:4): G=Y, B=U, R=V
+        if seq.subsampling_x or seq.subsampling_y:
+            raise ValueError(
+                "corrupt AVIF: identity matrix requires 4:4:4"
+            )
+        rgb = np.stack([planes[2][:h, :w], y, planes[1][:h, :w]], -1)
+    else:
+        if seq.subsampling_x and seq.subsampling_y:
+            u = _upsample_bilinear(planes[1], h, w)
+            v = _upsample_bilinear(planes[2], h, w)
+        else:
+            u, v = planes[1][:h, :w], planes[2][:h, :w]
+        if item.full_range:
+            # libyuv J420 fixed point (what cv2's libavif drives for
+            # full-range BT.601 8-bit) — bit-exact vs cv2.imdecode
+            y32 = (y.astype(np.int64) * 0x0101 * 16320) >> 16
+            ui = u.astype(np.int64)
+            vi = v.astype(np.int64)
+            b = np.clip((y32 + 113 * ui + (-113 * 128 + 32)) >> 6, 0, 255)
+            g = np.clip(
+                (y32 - 22 * ui - 46 * vi + (22 * 128 + 46 * 128 + 32)) >> 6,
+                0, 255,
+            )
+            r = np.clip((y32 + 90 * vi + (-90 * 128 + 32)) >> 6, 0, 255)
+            rgb = np.stack([r, g, b], -1).astype(np.uint8)
+        else:
+            # limited range: libavif float path (documented tolerance)
+            yf = (y.astype(np.float64) - 16.0) * (255.0 / 219.0)
+            cb = (u.astype(np.float64) - 128.0) * (255.0 / 224.0)
+            cr = (v.astype(np.float64) - 128.0) * (255.0 / 224.0)
+            kr, kb = 0.299, 0.114
+            r = yf + 2.0 * (1.0 - kr) * cr
+            b = yf + 2.0 * (1.0 - kb) * cb
+            g = (yf - kr * r - kb * b) / (1.0 - kr - kb)
+            rgb = np.stack([
+                np.clip(np.floor(r + 0.5), 0, 255),
+                np.clip(np.floor(g + 0.5), 0, 255),
+                np.clip(np.floor(b + 0.5), 0, 255),
+            ], -1).astype(np.uint8)
+    if item.alpha_item:
+        a_planes, a_seq, _ = _decode_obu_stream(item.alpha_item)
+        alpha = a_planes[0][:h, :w]
+        return np.concatenate([rgb, alpha[..., None]], -1)
+    return rgb

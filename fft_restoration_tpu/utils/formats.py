@@ -1259,15 +1259,15 @@ def _decode_gif(data: bytes) -> np.ndarray:
 
 
 def _decode_avif(data: bytes) -> np.ndarray:
-    """Documented contract error: this environment's OpenCV 5.0 decodes
-    AVIF through libavif/libaom; a from-scratch AV1 intra-frame decoder
-    (symbol-adaptive range coder, 10 intra prediction families, TX sets
-    up to 64x64, CDEF/loop-restoration) is out of scope — the rejection
-    is precise and tested (tests/test_formats_ext.py, ingest fuzz)."""
-    raise ValueError(
-        "AVIF/HEIF decode is not implemented (requires an AV1/HEVC "
-        "decoder); convert to PNG/WebP/JPEG first"
-    )
+    """AVIF -> uint8 gray/RGB/RGBA via the from-scratch AV1 still
+    decoder (utils/av1.py + av1_decode.py): MSAC entropy decode, the
+    intra prediction families, inverse transforms, deblocking and CDEF,
+    pinned plane-exact vs libdav1d and bit-exact vs cv2.imdecode for
+    the streams this environment's encoder emits (tests/test_av1.py).
+    HEIC (HEVC-coded) items still raise a precise contract error."""
+    from fft_restoration_tpu.utils.av1 import decode_avif
+
+    return decode_avif(data)
 
 
 _DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
@@ -1342,5 +1342,7 @@ def probe_size(data: bytes):
             raise ValueError("corrupt PAM: truncated header")
         return int(m2.group(1)), int(m.group(1))
     if kind == "avif":
-        return _decode_avif(data)
+        from fft_restoration_tpu.utils.av1 import probe_avif_size
+
+        return probe_avif_size(data)
     raise ValueError("not a BMP/PNM/PFM/TIFF/WebP/HDR/RAS file")

@@ -447,7 +447,8 @@ def decode_image_bgr(data: bytes) -> np.ndarray:
     TIFF (none/LZW/deflate/PackBits, strips + tiles, chunky + planar),
     WebP, Radiance HDR, Sun Raster
     (utils/formats.py), scanline + tiled OpenEXR (utils/exr.py), JPEG 2000
-    (utils/jp2.py), and GIF (utils/gif.py) — the full cv::imread
+    (utils/jp2.py), GIF (utils/gif.py), and AVIF via the from-scratch
+    AV1 still decoder (utils/av1.py) — the full cv::imread
     surface the reference's drivers accept
     (/root/reference/serial.cpp:22). Channel
     canonicalisation: gray and gray+alpha replicate to 3 channels, RGBA

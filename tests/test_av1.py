@@ -114,3 +114,164 @@ class TestHeaders:
         assert -63 <= hdr.delta_q_u_ac <= 0
         assert hdr.delta_q_u_dc == hdr.delta_q_u_ac or True  # both read
         assert abs(hdr.delta_q_u_ac) < 40
+
+
+# ---------------------------------------------------------------------------
+# Phase B-E: full decode. Ladder: reconstruction / +deblock / +CDEF are
+# each pinned plane-exact vs libdav1d (tests/dav1d_oracle.py), then the
+# RGB output is pinned bit-exact vs cv2.imdecode (libavif+libyuv).
+
+
+def _dav1d():
+    oracle = pytest.importorskip("dav1d_oracle")
+    try:
+        oracle._load()
+    except OSError:
+        pytest.skip("libdav1d not available")
+    return oracle
+
+
+def _decode_planes(data, **kw):
+    from fft_restoration_tpu.utils.av1_decode import decode_frame
+
+    item = parse_avif(data)
+    seq = hdr = tile = None
+    for t, p in split_obus(item.data):
+        if t == 1:
+            seq = parse_sequence_header(p)
+        elif t == 6:
+            hdr = parse_frame_header(p, seq)
+            tile = p[(hdr.header_bitpos + 7) // 8:]
+    return decode_frame(seq, hdr, tile, **kw), item
+
+
+def _noise(h, w, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3)
+    ).astype(np.uint8)
+
+
+class TestTileDecode:
+    @pytest.mark.parametrize("shape", [(64, 64), (40, 40), (33, 57)])
+    def test_recon_exact_vs_dav1d(self, shape):
+        oracle = _dav1d()
+        data = _enc(_grad(*shape), 40)
+        planes, _ = _decode_planes(
+            data, apply_deblock=False, apply_cdef=False
+        )
+        ref, _, _ = oracle.decode_yuv(
+            parse_avif(data).data, oracle.INLOOP_NONE
+        )
+        for ours, theirs in zip(planes, ref):
+            np.testing.assert_array_equal(ours, theirs)
+
+    def test_deblock_exact_vs_dav1d(self):
+        oracle = _dav1d()
+        img = np.zeros((64, 64, 3), np.uint8)
+        img[:, 32:] = 230  # one hard edge -> the wide 14-tap path
+        for data in (_enc(img, 40), _enc(_noise(100, 100), 30)):
+            planes, _ = _decode_planes(data, apply_cdef=False)
+            ref, _, _ = oracle.decode_yuv(
+                parse_avif(data).data, oracle.INLOOP_DEBLOCK
+            )
+            for ours, theirs in zip(planes, ref):
+                np.testing.assert_array_equal(ours, theirs)
+
+    @pytest.mark.parametrize("shape", [(64, 64), (33, 57), (100, 100)])
+    def test_full_pipeline_exact_vs_dav1d(self, shape):
+        oracle = _dav1d()
+        data = _enc(_noise(*shape), 40)
+        planes, _ = _decode_planes(data)
+        ref, _, _ = oracle.decode_yuv(
+            parse_avif(data).data, oracle.INLOOP_ALL
+        )
+        for ours, theirs in zip(planes, ref):
+            np.testing.assert_array_equal(ours, theirs)
+
+    def test_bottom_edge_overhang(self):
+        # 330 % 8 != 0: the mi-grid overhang is NOT deblocked (dav1d
+        # f->h4 semantics) and feeds CDEF's direction search
+        oracle = _dav1d()
+        img = cv2.imread("/root/reference/input/car_blurred.png")
+        data = _enc(img, 30)
+        planes, _ = _decode_planes(data)
+        ref, _, _ = oracle.decode_yuv(
+            parse_avif(data).data, oracle.INLOOP_ALL
+        )
+        for ours, theirs in zip(planes, ref):
+            np.testing.assert_array_equal(ours, theirs)
+
+
+class TestAvifRGB:
+    @pytest.mark.parametrize("q", [30, 75, 90, 100])
+    def test_bit_exact_vs_cv2(self, q):
+        from fft_restoration_tpu.utils.av1 import decode_avif
+
+        img = cv2.imread("/root/reference/input/car_blurred.png")
+        data = _enc(img, q)
+        ours = decode_avif(data)
+        ref = cv2.imdecode(
+            np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR
+        )
+        np.testing.assert_array_equal(ours[..., ::-1], ref)
+
+    @pytest.mark.parametrize("shape", [(33, 57), (97, 35)])
+    def test_odd_dims_bit_exact(self, shape):
+        # odd output width exercises libyuv's vertical-only last column
+        from fft_restoration_tpu.utils.av1 import decode_avif
+
+        data = _enc(_noise(*shape), 50)
+        ours = decode_avif(data)
+        ref = cv2.imdecode(
+            np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR
+        )
+        np.testing.assert_array_equal(ours[..., ::-1], ref)
+
+    def test_gray_bit_exact(self):
+        from fft_restoration_tpu.utils.av1 import decode_avif
+
+        img = cv2.cvtColor(
+            cv2.imread("/root/reference/input/car_blurred.png"),
+            cv2.COLOR_BGR2GRAY,
+        )
+        data = _enc(img, 60)
+        ours = decode_avif(data)
+        ref = cv2.imdecode(
+            np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED
+        )
+        assert ours.ndim == 2
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_alpha_bit_exact(self):
+        from fft_restoration_tpu.utils.av1 import decode_avif
+
+        img = cv2.cvtColor(
+            cv2.imread("/root/reference/input/car_blurred.png"),
+            cv2.COLOR_BGR2BGRA,
+        )
+        img[..., 3] = 200
+        data = _enc(img, 70)
+        ours = decode_avif(data)
+        ref = cv2.imdecode(
+            np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED
+        )
+        assert ours.shape[2] == 4
+        np.testing.assert_array_equal(ours[..., [2, 1, 0, 3]], ref)
+
+    def test_imread_dispatch(self, tmp_path):
+        from fft_restoration_tpu.utils.imageio import imread
+
+        img = cv2.imread("/root/reference/input/car_blurred.png")
+        p = tmp_path / "x.avif"
+        p.write_bytes(_enc(img, 70))
+        ours = imread(str(p))
+        ref = cv2.imread(str(p))
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_corrupt_payload_raises(self):
+        data = bytearray(_enc(_grad(32, 32), 50))
+        # truncate the mdat payload
+        with pytest.raises(ValueError):
+            from fft_restoration_tpu.utils.av1 import decode_avif
+
+            decode_avif(bytes(data[: len(data) // 2]))

@@ -466,14 +466,17 @@ def test_imwrite_pam_pbm_dib_roundtrip(tmp_path):
     np.testing.assert_array_equal(imread(p)[..., 0], ref)
 
 
-def test_avif_rejection_contract():
+def test_avif_decodes_via_av1(tmp_path):
+    """AVIF flows through the from-scratch AV1 decoder (round 5); the
+    old rejection contract is gone.  Deep parity lives in test_av1.py."""
     import cv2
 
-    ok, enc = cv2.imencode(".avif", np.zeros((8, 8, 3), np.uint8))
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, 4:] = 200
+    ok, enc = cv2.imencode(".avif", img, [cv2.IMWRITE_AVIF_QUALITY, 80])
     assert ok
     blob = bytes(enc)
     assert formats.sniff(blob) == "avif"
-    with pytest.raises(ValueError, match="AVIF.*not implemented"):
-        decode_image_bgr(blob)
-    with pytest.raises(ValueError, match="AVIF.*not implemented"):
-        formats.probe_size(blob)
+    ref = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+    np.testing.assert_array_equal(decode_image_bgr(blob), ref)
+    assert formats.probe_size(blob) == (8, 8)

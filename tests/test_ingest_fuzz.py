@@ -60,6 +60,7 @@ def _encoders():
         ("pam", cv(".pam")),
         ("tiff_g4", _fax_tiff_enc),
         ("tiff_jpeg", _jpeg_tiff_enc),
+        ("avif", cv(".avif", [int(__import__("cv2").IMWRITE_AVIF_QUALITY), 60])),
     ]
 
 
