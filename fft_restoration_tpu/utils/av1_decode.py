@@ -691,33 +691,48 @@ class TileDecoder:
                     ec = 3
                 lvl = m.symbol(beob_cdf[ec], 3) + 1
             else:
-                mag = min(lrow[col + 1], 3) + min(lrow1[col], 3)
+                a = lrow[col + 1]
+                b_ = lrow1[col]
+                mag = (a if a < 3 else 3) + (b_ if b_ < 3 else 3)
                 if cls == TX_CLASS_2D:
                     if pos == 0:
                         bc = 0
                     else:
+                        a = lrow1[col + 1]
+                        b_ = lrow[col + 2]
+                        c_ = lrow2[col]
                         mag += (
-                            min(lrow1[col + 1], 3)
-                            + min(lrow[col + 2], 3)
-                            + min(lrow2[col], 3)
+                            (a if a < 3 else 3)
+                            + (b_ if b_ < 3 else 3)
+                            + (c_ if c_ < 3 else 3)
                         )
-                        bc = min((mag + 1) >> 1, 4) + grid[min(row, 4)][min(col, 4)]
+                        mag = (mag + 1) >> 1
+                        bc = (mag if mag < 4 else 4) + grid[
+                            row if row < 4 else 4][col if col < 4 else 4]
                 elif cls == TX_CLASS_HORIZ:
+                    a = lrow[col + 2]
+                    b_ = lrow[col + 3]
+                    c_ = lrow[col + 4]
                     mag += (
-                        min(lrow[col + 2], 3)
-                        + min(lrow[col + 3], 3)
-                        + min(lrow[col + 4], 3)
+                        (a if a < 3 else 3)
+                        + (b_ if b_ < 3 else 3)
+                        + (c_ if c_ < 3 else 3)
                     )
-                    bc = min((mag + 1) >> 1, 4) + 26 + (
+                    mag = (mag + 1) >> 1
+                    bc = (mag if mag < 4 else 4) + 26 + (
                         0 if col == 0 else (5 if col == 1 else 10)
                     )
                 else:
+                    a = lrow2[col]
+                    b_ = lv[row + 3][col]
+                    c_ = lv[row + 4][col]
                     mag += (
-                        min(lrow2[col], 3)
-                        + min(lv[row + 3][col], 3)
-                        + min(lv[row + 4][col], 3)
+                        (a if a < 3 else 3)
+                        + (b_ if b_ < 3 else 3)
+                        + (c_ if c_ < 3 else 3)
                     )
-                    bc = min((mag + 1) >> 1, 4) + 26 + (
+                    mag = (mag + 1) >> 1
+                    bc = (mag if mag < 4 else 4) + 26 + (
                         0 if row == 0 else (5 if row == 1 else 10)
                     )
                 lvl = m.symbol(base_cdf[bc], 4)
@@ -729,7 +744,9 @@ class TileDecoder:
                     mag += lrow[col + 2]
                 else:
                     mag += lrow2[col]
-                mag = min((mag + 1) >> 1, 6)
+                mag = (mag + 1) >> 1
+                if mag > 6:
+                    mag = 6
                 if pos == 0:
                     brc = mag
                 elif (
@@ -1367,38 +1384,62 @@ _CDEF_UV_DIR_420 = [7, 0, 2, 4, 5, 6, 6, 6]
 _CDEF_LARGE = 30000
 
 
+def _cdef_dir_mats():
+    """(64, 15) one-hot scatter matrices, one per direction (cached)."""
+    global _CDEF_DIR_MATS
+    try:
+        return _CDEF_DIR_MATS
+    except NameError:
+        pass
+    i, j = np.mgrid[0:8, 0:8]
+    bins = [
+        i + j, i + (j >> 1), i, 3 + i - (j >> 1), 7 + i - j,
+        3 - (i >> 1) + j, j, (i >> 1) + j,
+    ]
+    mats = []
+    for b in bins:
+        m = np.zeros((64, 15), np.int64)
+        m[np.arange(64), b.ravel()] = 1
+        mats.append(m)
+    _CDEF_DIR_MATS = mats
+    return mats
+
+
+def _cdef_dirs_batch(blocks):
+    """Spec 7.15.2 over N stacked 8x8 luma blocks -> (dirs, vars)."""
+    x = blocks.reshape(-1, 64).astype(np.int64) - 128
+    mats = _cdef_dir_mats()
+    n = x.shape[0]
+    cost = np.zeros((n, 8), np.int64)
+    div = np.asarray(_CDEF_DIV, np.int64)
+    for d in range(8):
+        p = x @ mats[d]  # (n, 15) partial sums
+        p2 = p * p
+        if d in (2, 6):
+            cost[:, d] = 105 * p2[:, :8].sum(1)
+        elif d in (0, 4):
+            w = np.empty(15, np.int64)
+            for k in range(7):
+                w[k] = div[k + 1]
+                w[14 - k] = div[k + 1]
+            w[7] = div[8]
+            cost[:, d] = p2 @ w
+        else:
+            w = np.zeros(15, np.int64)
+            w[3:8] = 105
+            for k in range(3):
+                w[k] = div[2 * k + 2]
+                w[10 - k] = div[2 * k + 2]
+            cost[:, d] = p2[:, :11] @ w[:11]
+    best = cost.argmax(1)
+    var = (cost[np.arange(n), best] - cost[np.arange(n), (best + 4) & 7]) >> 10
+    return best.astype(np.int64), var
+
+
 def _cdef_dir(block):
     """Spec 7.15.2: direction + variance of one 8x8 luma block."""
-    x = block.astype(np.int64) - 128
-    i, j = np.mgrid[0:8, 0:8]
-    partial = [np.zeros(15, np.int64) for _ in range(8)]
-    np.add.at(partial[0], (i + j).ravel(), x.ravel())
-    np.add.at(partial[1], (i + (j >> 1)).ravel(), x.ravel())
-    np.add.at(partial[2], i.ravel(), x.ravel())
-    np.add.at(partial[3], (3 + i - (j >> 1)).ravel(), x.ravel())
-    np.add.at(partial[4], (7 + i - j).ravel(), x.ravel())
-    np.add.at(partial[5], (3 - (i >> 1) + j).ravel(), x.ravel())
-    np.add.at(partial[6], j.ravel(), x.ravel())
-    np.add.at(partial[7], ((i >> 1) + j).ravel(), x.ravel())
-    cost = [0] * 8
-    for d in (2, 6):
-        cost[d] = 105 * int((partial[d][:8] ** 2).sum())
-    for d in (0, 4):
-        pd = partial[d]
-        s = 0
-        for k in range(7):
-            s += (int(pd[k]) ** 2 + int(pd[14 - k]) ** 2) * _CDEF_DIV[k + 1]
-        s += int(pd[7]) ** 2 * _CDEF_DIV[8]
-        cost[d] = s
-    for d in (1, 3, 5, 7):
-        pd = partial[d]
-        s = 105 * int((pd[3:8] ** 2).sum())
-        for k in range(3):
-            s += (int(pd[k]) ** 2 + int(pd[10 - k]) ** 2) * _CDEF_DIV[2 * k + 2]
-        cost[d] = s
-    best = int(np.argmax(cost))
-    var = (cost[best] - cost[(best + 4) & 7]) >> 10
-    return best, var
+    dirs, variances = _cdef_dirs_batch(block[None])
+    return int(dirs[0]), int(variances[0])
 
 
 def _constrain(diff, strength, damping):
@@ -1458,6 +1499,8 @@ def _cdef(td):
         s[pad:pad + ph, pad:pad + pw] = td.planes[p][:ph, :pw]
         srcs.append(s)
     damping = hdr.cdef_damping
+    # pass 1: collect candidate blocks, then one batched direction search
+    cands = []
     for r in range(0, mi_r, 2):
         for c in range(0, mi_c, 2):
             r1 = min(r + 1, mi_r - 1)
@@ -1476,17 +1519,25 @@ def _cdef(td):
             uv_sec = hdr.cdef_uv_sec[idx] if td.nplanes > 1 else 0
             if not (y_pri or y_sec or uv_pri or uv_sec):
                 continue
+            cands.append((r, c, y_pri, y_sec, uv_pri, uv_sec))
+    if not cands:
+        return
+    blocks = np.stack([
+        np.where(
+            srcs[0][pad + r * 4:pad + r * 4 + 8, pad + c * 4:pad + c * 4 + 8]
+            == _CDEF_LARGE,
+            0,
+            srcs[0][pad + r * 4:pad + r * 4 + 8, pad + c * 4:pad + c * 4 + 8],
+        )
+        for (r, c, *_rest) in cands
+    ])
+    dirs, variances = _cdef_dirs_batch(blocks)
+    for bi, (r, c, y_pri, y_sec, uv_pri, uv_sec) in enumerate(cands):
+        if True:
             y0, x0 = r * 4, c * 4
             h = min(8, fh - y0)
             w = min(8, fw - x0)
-            dir_, var = _cdef_dir(
-                np.where(
-                    srcs[0][pad + y0:pad + y0 + 8, pad + x0:pad + x0 + 8]
-                    == _CDEF_LARGE,
-                    0,
-                    srcs[0][pad + y0:pad + y0 + 8, pad + x0:pad + x0 + 8],
-                )
-            )
+            dir_, var = int(dirs[bi]), int(variances[bi])
             if y_pri or y_sec:
                 pri = y_pri
                 if pri:

@@ -496,32 +496,39 @@ def _do_1d(kind, vec, log2n):
 def inverse_transform_2d(coeffs, tx_type: int, w: int, h: int, lossless: bool):
     """Spec 7.13.3: dequantized coefficients (h rows of w) -> residual.
 
-    `coeffs` is a list of h lists of w ints in natural (row, col) order.
-    Returns the residual as h lists of w ints.
+    `coeffs` is a list of h lists of w ints (or an (h, w) array) in
+    natural (row, col) order.  Returns the residual as an (h, w) int64
+    ndarray.  The 1D kernels above are pure elementwise integer ops so
+    they run unchanged on ndarray lanes: the row pass feeds each of the
+    w transform inputs a length-h column vector (all rows at once), the
+    column pass mirrors it — same op count as ONE scalar transform.
     """
+    import numpy as np
+
     if lossless:
         # 4x4 WHT: rows with shift 2, then columns with shift 0
-        rows = [iwht4(r, 2) for r in coeffs]
-        cols = [iwht4([rows[i][j] for i in range(4)], 0) for j in range(4)]
-        return [[cols[j][i] for j in range(4)] for i in range(4)]
+        t = np.asarray(coeffs, np.int64)
+        rows = iwht4([t[:, j] for j in range(4)], 2)
+        t = np.stack(rows, axis=1)
+        cols = iwht4([t[i, :] for i in range(4)], 0)
+        return np.stack(cols, axis=0)
     log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
     vk, hk, flip_ud, flip_lr = _TX1D[tx_type]
     row_shift = _ROW_SHIFT[(log2w, log2h)]
 
-    t = [list(r) for r in coeffs]
+    t = np.asarray(coeffs, np.int64)
     if (log2w + log2h) & 1:
-        t = [[round2(v * 2896, 12) for v in r] for r in t]
-    # row transforms (horizontal, width w)
-    t = [_do_1d(hk, r, log2w) for r in t]
-    t = [[round2(v, row_shift) if row_shift else v for v in r] for r in t]
-    # column transforms
-    out = [[0] * w for _ in range(h)]
-    for j in range(w):
-        col = _do_1d(vk, [t[i][j] for i in range(h)], log2h)
-        for i in range(h):
-            out[i][j] = round2(col[i], 4)
+        t = round2(t * 2896, 12)
+    # row transforms (horizontal, width w), batched over the h rows
+    t = np.stack(_do_1d(hk, [t[:, j] for j in range(w)], log2w), axis=1)
+    if row_shift:
+        t = round2(t, row_shift)
+    # column transforms, batched over the w columns
+    out = round2(
+        np.stack(_do_1d(vk, [t[i, :] for i in range(h)], log2h), axis=0), 4
+    )
     if flip_lr:
-        out = [r[::-1] for r in out]
+        out = out[:, ::-1]
     if flip_ud:
         out = out[::-1]
     return out
